@@ -1,0 +1,334 @@
+"""Vectorized geospatial kernels (pure numpy — no native geo libs).
+
+These replace the reference's delegated geometry pipeline
+(``src/osm/Osm2ttl.cpp:38-109`` hands geometry work to osm2rdf /
+spatialjoin) with in-engine, vectorized kernels:
+
+- a **hierarchical cell grid** ("geocell"): an equirectangular
+  quadtree in the spirit of S2/H3 — resolution r splits the world into
+  2^r x 2^r cells; cell ids pack (res, y, x) into one int64 with pure
+  arithmetic so the encoding is reproducible in ANSI SQL
+  (``res*2^58 + y*2^29 + x``);
+- **ray-casting point-in-polygon** (even-odd rule), the exact-refine
+  step behind the cell-cover prefilter;
+- **haversine** great-circle distance;
+- **k-ring** neighborhood expansion for kNN candidate generation.
+
+Coordinates follow the reference's 7-decimal-place contract
+(``src/osm/Node.cpp:27,44-51``): quantize to 1e-7 degrees before
+encoding so goldens are stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# int64 packing: cell = res * 2^58 + y * 2^29 + x  (res <= 28 => fits int64,
+# and every term is exact BIGINT arithmetic in SQL).
+RES_SHIFT = 2**58
+Y_SHIFT = 2**29
+MAX_RES = 28
+
+EARTH_RADIUS_M = 6371008.8  # IUGG mean Earth radius
+
+
+# ---------------------------------------------------------------------------
+# deterministic point derivation (fixture/key -> lon/lat), SQL-reproducible
+# ---------------------------------------------------------------------------
+
+_KNUTH = 3600000000  # lon microdegree span
+_LAT_SPAN = 1700000000  # lat microdegree span (±85 like web-mercator clip)
+_HASH_MULT = 2654435761  # Knuth multiplicative hash constant
+_MOD32 = 4294967296
+
+
+def derive_lonlat(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (lon, lat) from integer keys.
+
+    Integer-exact (uint64) so the identical value is computable in
+    DuckDB SQL via HUGEINT arithmetic — see :func:`derive_lonlat_sql`.
+    lon in [-180, 180), lat in [-85, 85), quantized to 1e-7 degrees.
+    """
+    k = np.asarray(keys, dtype=np.uint64)
+    h1 = (k * np.uint64(_HASH_MULT)) % np.uint64(_MOD32)
+    h2 = ((k + np.uint64(1)) * np.uint64(_HASH_MULT)) % np.uint64(_MOD32)
+    lon_u = (h1 * np.uint64(_KNUTH)) // np.uint64(_MOD32)
+    lat_u = (h2 * np.uint64(_LAT_SPAN)) // np.uint64(_MOD32)
+    lon = -180.0 + lon_u.astype(np.float64) / 1e7
+    lat = -85.0 + lat_u.astype(np.float64) / 1e7
+    return lon, lat
+
+
+def derive_lonlat_sql(key_expr: str) -> tuple[str, str]:
+    """SQL expressions computing exactly :func:`derive_lonlat`."""
+    h1 = f"((({key_expr}) * {_HASH_MULT}) % {_MOD32})"
+    h2 = f"(((({key_expr}) + 1) * {_HASH_MULT}) % {_MOD32})"
+    lon = f"(-180.0 + (({h1}::HUGEINT * {_KNUTH}) // {_MOD32})::DOUBLE / 10000000.0)"
+    lat = f"(-85.0 + (({h2}::HUGEINT * {_LAT_SPAN}) // {_MOD32})::DOUBLE / 10000000.0)"
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# cell grid
+# ---------------------------------------------------------------------------
+
+
+def cell_encode(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """Encode points into int64 cell ids at `res` (0..28).
+
+    x = floor((lon+180)/360 * 2^res), y = floor((lat+90)/180 * 2^res),
+    clamped to the grid. Mirrors :func:`cell_encode_sql` op-for-op so
+    numpy and DuckDB produce bit-identical ids.
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    n = float(1 << res)
+    x = np.floor(((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0) * n)
+    y = np.floor(((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0) * n)
+    x = np.clip(x, 0, n - 1).astype(np.int64)
+    y = np.clip(y, 0, n - 1).astype(np.int64)
+    return np.int64(res) * np.int64(RES_SHIFT) + y * np.int64(Y_SHIFT) + x
+
+
+def cell_encode_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """ANSI-SQL expression computing exactly :func:`cell_encode`."""
+    n = 1 << res
+    x = (
+        f"LEAST(GREATEST(floor((({lon_expr} + 180.0) / 360.0) * {float(n)!r})::BIGINT,"
+        f" 0), {n - 1})"
+    )
+    y = (
+        f"LEAST(GREATEST(floor((({lat_expr} + 90.0) / 180.0) * {float(n)!r})::BIGINT,"
+        f" 0), {n - 1})"
+    )
+    return f"({res} * {RES_SHIFT} + {y} * {Y_SHIFT} + {x})"
+
+
+def cell_decode(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cell id -> (res, x, y)."""
+    c = np.asarray(cell, dtype=np.int64)
+    res = c // RES_SHIFT
+    rem = c % RES_SHIFT
+    y = rem // Y_SHIFT
+    x = rem % Y_SHIFT
+    return res, x, y
+
+
+def cell_bounds(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(lon_min, lat_min, lon_max, lat_max) of each cell."""
+    res, x, y = cell_decode(cell)
+    n = (np.int64(1) << res).astype(np.float64)
+    lon0 = -180.0 + 360.0 * x / n
+    lat0 = -90.0 + 180.0 * y / n
+    return lon0, lat0, lon0 + 360.0 / n, lat0 + 180.0 / n
+
+
+def cell_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lon0, lat0, lon1, lat1 = cell_bounds(cell)
+    return (lon0 + lon1) / 2.0, (lat0 + lat1) / 2.0
+
+
+def cell_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    """Ancestor cell id at a coarser resolution (hierarchy walk)."""
+    res, x, y = cell_decode(cell)
+    shift = res - parent_res
+    if np.any(shift < 0):
+        raise ValueError("parent_res coarser than cell res required")
+    return (
+        np.int64(parent_res) * np.int64(RES_SHIFT)
+        + (y >> shift) * np.int64(Y_SHIFT)
+        + (x >> shift)
+    )
+
+
+def k_ring(cell: np.ndarray, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k of each input cell.
+
+    Returns shape (len(cell), (2k+1)^2). x wraps around the
+    antimeridian; y is clamped at the poles (duplicates possible at
+    the clamp — harmless for candidate generation).
+    """
+    res, x, y = cell_decode(np.atleast_1d(cell))
+    n = np.int64(1) << res  # per-cell grid size
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    dx, dy = np.meshgrid(offs, offs, indexing="ij")
+    dx, dy = dx.ravel(), dy.ravel()
+    nx = (x[:, None] + dx[None, :]) % n[:, None]  # wrap lon
+    ny = np.clip(y[:, None] + dy[None, :], 0, (n - 1)[:, None])  # clamp lat
+    return res[:, None] * np.int64(RES_SHIFT) + ny * np.int64(Y_SHIFT) + nx
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (ray casting, even-odd)
+# ---------------------------------------------------------------------------
+
+
+def point_in_polygon(
+    lon: np.ndarray, lat: np.ndarray, ring_lon: np.ndarray, ring_lat: np.ndarray
+) -> np.ndarray:
+    """Even-odd ray-casting PIP, vectorized over points.
+
+    `ring_*` is the closed-or-open vertex list of one polygon (the
+    closing edge is implied). Loops over edges (small), vectorizes
+    over points (large). Horizontal edges contribute no crossings.
+    The per-edge test mirrors :func:`pip_sql_expr` exactly so SQL
+    oracles agree bit-for-bit.
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    rx = np.asarray(ring_lon, dtype=np.float64)
+    ry = np.asarray(ring_lat, dtype=np.float64)
+    if rx[0] == rx[-1] and ry[0] == ry[-1] and len(rx) > 1:
+        rx, ry = rx[:-1], ry[:-1]
+    inside = np.zeros(lon.shape, dtype=bool)
+    nv = len(rx)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(nv):
+            x1, y1 = rx[i], ry[i]
+            x2, y2 = rx[(i + 1) % nv], ry[(i + 1) % nv]
+            if y1 == y2:
+                continue
+            cond = (y1 > lat) != (y2 > lat)
+            xint = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+            inside ^= cond & (lon < xint)
+    return inside
+
+
+def pip_sql_expr(
+    ring_lon: list[float], ring_lat: list[float], lon_expr: str, lat_expr: str
+) -> str:
+    """SQL boolean expr: point inside polygon by the SAME ray-casting
+    arithmetic as :func:`point_in_polygon` (same literals, same op
+    order => identical IEEE doubles => identical verdicts)."""
+    rx, ry = list(ring_lon), list(ring_lat)
+    if rx[0] == rx[-1] and ry[0] == ry[-1] and len(rx) > 1:
+        rx, ry = rx[:-1], ry[:-1]
+    terms = []
+    nv = len(rx)
+    for i in range(nv):
+        x1, y1 = rx[i], ry[i]
+        x2, y2 = rx[(i + 1) % nv], ry[(i + 1) % nv]
+        if y1 == y2:
+            continue
+        xint = f"(({x2!r} - {x1!r}) * (({lat_expr}) - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r})"
+        cond = (
+            f"CASE WHEN (({y1!r} > ({lat_expr})) <> ({y2!r} > ({lat_expr})))"
+            f" AND (({lon_expr}) < {xint}) THEN 1 ELSE 0 END"
+        )
+        terms.append(cond)
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def polygon_bbox(ring_lon: np.ndarray, ring_lat: np.ndarray) -> tuple[float, float, float, float]:
+    return (
+        float(np.min(ring_lon)),
+        float(np.min(ring_lat)),
+        float(np.max(ring_lon)),
+        float(np.max(ring_lat)),
+    )
+
+
+def bbox_cover(
+    lon0: float, lat0: float, lon1: float, lat1: float, res: int
+) -> np.ndarray:
+    """Cell ids of every cell at `res` intersecting the bbox (superset
+    prefilter for the exact PIP refine). No antimeridian crossing
+    (v0 contract — documented in FIXTURES.md §4)."""
+    n = 1 << res
+    x0 = int(np.clip(np.floor((lon0 + 180.0) / 360.0 * n), 0, n - 1))
+    x1 = int(np.clip(np.floor((lon1 + 180.0) / 360.0 * n), 0, n - 1))
+    y0 = int(np.clip(np.floor((lat0 + 90.0) / 180.0 * n), 0, n - 1))
+    y1 = int(np.clip(np.floor((lat1 + 90.0) / 180.0 * n), 0, n - 1))
+    xs = np.arange(x0, x1 + 1, dtype=np.int64)
+    ys = np.arange(y0, y1 + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return (
+        np.int64(res) * np.int64(RES_SHIFT)
+        + gy.ravel() * np.int64(Y_SHIFT)
+        + gx.ravel()
+    )
+
+
+def _segments_intersect(p1, p2, q1, q2) -> bool:
+    def orient(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    d1 = orient(q1, q2, p1)
+    d2 = orient(q1, q2, p2)
+    d3 = orient(p1, p2, q1)
+    d4 = orient(p1, p2, q2)
+    return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
+
+
+def polygon_cover(ring_lon: np.ndarray, ring_lat: np.ndarray, res: int) -> np.ndarray:
+    """Cells at `res` intersecting the polygon: bbox cover refined by
+    (corner-in-poly | vertex-in-cell | edge-crossing). A strict
+    superset of cells containing any interior point — safe prefilter.
+    """
+    rx = np.asarray(ring_lon, dtype=np.float64)
+    ry = np.asarray(ring_lat, dtype=np.float64)
+    cells = bbox_cover(*polygon_bbox(rx, ry), res)
+    if len(cells) <= 4:
+        return cells
+    lon0, lat0, lon1, lat1 = cell_bounds(cells)
+    # corner of cell inside polygon?
+    keep = np.zeros(len(cells), dtype=bool)
+    for cx, cy in ((lon0, lat0), (lon0, lat1), (lon1, lat0), (lon1, lat1)):
+        keep |= point_in_polygon(cx, cy, rx, ry)
+    # polygon vertex inside cell?
+    for vx, vy in zip(rx, ry):
+        keep |= (lon0 <= vx) & (vx < lon1) & (lat0 <= vy) & (vy < lat1)
+    # edge crossing (only for still-unresolved cells; python loop over few)
+    unresolved = np.nonzero(~keep)[0]
+    nv = len(rx)
+    for idx in unresolved:
+        corners = [
+            (lon0[idx], lat0[idx]),
+            (lon1[idx], lat0[idx]),
+            (lon1[idx], lat1[idx]),
+            (lon0[idx], lat1[idx]),
+        ]
+        hit = False
+        for i in range(nv):
+            a = (rx[i], ry[i])
+            b = (rx[(i + 1) % nv], ry[(i + 1) % nv])
+            for j in range(4):
+                if _segments_intersect(a, b, corners[j], corners[(j + 1) % 4]):
+                    hit = True
+                    break
+            if hit:
+                break
+        keep[idx] = hit
+    return cells[keep]
+
+
+# ---------------------------------------------------------------------------
+# haversine
+# ---------------------------------------------------------------------------
+
+
+def haversine_m(
+    lon1: np.ndarray, lat1: np.ndarray, lon2: np.ndarray, lat2: np.ndarray
+) -> np.ndarray:
+    """Great-circle distance in meters. Mirrors :func:`haversine_sql`
+    op-for-op (same formula/order) so rounded values match DuckDB."""
+    rlat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    rlat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    dlat = np.radians(np.asarray(lat2, dtype=np.float64) - np.asarray(lat1, dtype=np.float64))
+    dlon = np.radians(np.asarray(lon2, dtype=np.float64) - np.asarray(lon1, dtype=np.float64))
+    s1 = np.sin(dlat / 2.0)
+    s2 = np.sin(dlon / 2.0)
+    a = s1 * s1 + np.cos(rlat1) * np.cos(rlat2) * (s2 * s2)
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """SQL expression for :func:`haversine_m` (meters)."""
+    s1 = f"sin(radians(({lat2}) - ({lat1})) / 2.0)"
+    s2 = f"sin(radians(({lon2}) - ({lon1})) / 2.0)"
+    return (
+        f"(2.0 * {EARTH_RADIUS_M!r} * asin(sqrt(LEAST("
+        f"{s1} * {s1}"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * ({s2} * {s2}), 1.0))))"
+    )

@@ -1,0 +1,164 @@
+"""Flagship pipeline: apply a changeset window to the image table.
+
+The end-to-end recomposition of the reference's run loop
+(`/root/reference/src/osm/OsmChangeHandler.cpp:74-117`) on the
+north-rule payload:
+
+  images (Lance/Parquet) ──project (no bytes!)──► footprints
+      ─► cell encode ─► PIP join vs changeset polygons (actor-pool
+      index, cell-cover prefilter) ─► nearest-feature dist (broadcast
+      centroids, no shuffle) ─► tile cover explode ─► assignments,
+      written as per-partition parquet with a checkpoint manifest
+      (delete-then-insert per window = the reference's idempotence,
+      `src/osm/OsmChangeHandler.cpp:101-103`).
+
+Output schema (SURVEY.md §1.2): assignments(image_id, cell, poly_id,
+op, dist_m, caption).
+
+Scale contract: image `bytes` never enter this pipeline — only the
+(image_id, phash, w, h, caption) projection streams through the
+joins; bytes re-join (by image_id, within the already-partitioned
+output cell) only in tile materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from oluray.functions import geo
+from oluray.sources.fixtures import footprint_from_phash
+from oluray.stages.spatial import pip_join, tile_cover
+
+
+def add_footprint(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """phash -> deterministic (lon, lat) footprint (FIXTURES.md §1)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon, lat = footprint_from_phash(batch["phash"].to_numpy(zero_copy_only=False))
+        return batch.append_column("lon", pa.array(lon)).append_column(
+            "lat", pa.array(lat)
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class AddCentroidDist:
+    """dist_m from each assigned point to its polygon's centroid —
+    broadcast centroid lookup, vectorized take, NO shuffle."""
+
+    def __init__(self, cent_ref):
+        cents = ray.get(cent_ref)  # {poly_id: (lon, lat)}
+        ids = np.array(sorted(cents), dtype=np.int64)
+        self.ids = ids
+        self.clon = np.array([cents[i][0] for i in ids])
+        self.clat = np.array([cents[i][1] for i in ids])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pid = batch["poly_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.ids, pid)
+        d = geo.haversine_m(
+            batch["lon"].to_numpy(zero_copy_only=False),
+            batch["lat"].to_numpy(zero_copy_only=False),
+            self.clon[pos],
+            self.clat[pos],
+        )
+        return batch.append_column("dist_m", pa.array(np.round(d, 3)))
+
+
+def poly_centroids(polys: pa.Table) -> dict[int, tuple[float, float]]:
+    out = {}
+    for row in polys.to_pylist():
+        lons = np.array([v["lon"] for v in row["ring"]])
+        lats = np.array([v["lat"] for v in row["ring"]])
+        out[row["poly_id"]] = (float(lons.mean()), float(lats.mean()))
+    return out
+
+
+def assignments_pipeline(
+    images: ray.data.Dataset,
+    polys: pa.Table,
+    pip_res: int = 8,
+    tile_res: int = 12,
+    part_res: int = 2,
+    concurrency: int = 4,
+    batch_size: int = 32768,
+) -> ray.data.Dataset:
+    """images x changeset polygons -> assignments rows."""
+    pts = add_footprint(
+        images.select_columns(["image_id", "phash", "w", "h", "caption"])
+    )
+    hits = pip_join(
+        pts, polys, res=pip_res, id_col="image_id",
+        concurrency=concurrency, batch_size=batch_size,
+        carry_cols=("caption", "w", "h"),
+    )
+    cent_ref = ray.put(poly_centroids(polys))
+    hits = hits.map_batches(
+        AddCentroidDist,
+        fn_constructor_kwargs=dict(cent_ref=cent_ref),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    # raster->vector: explode each assigned image onto its covering tile
+    # cells, then attach a coarse partition cell for the resumable sink
+    def explode_tiles(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = float(1 << tile_res)
+        deg_per_px = 1e-3
+        halfw, halfh = w * deg_per_px / 2.0, h * deg_per_px / 2.0
+        x0 = np.clip(np.floor((lon - halfw + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        x1 = np.clip(np.floor((lon + halfw + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        y0 = np.clip(np.floor((lat - halfh + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+        y1 = np.clip(np.floor((lat + halfh + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+        counts = (x1 - x0 + 1) * (y1 - y0 + 1)
+        row_idx = np.repeat(np.arange(len(lon)), counts)
+        cells = np.empty(int(counts.sum()), dtype=np.int64)
+        pos = 0
+        for i in range(len(lon)):
+            xs = np.arange(x0[i], x1[i] + 1)
+            ys = np.arange(y0[i], y1[i] + 1)
+            gx, gy = np.meshgrid(xs, ys, indexing="ij")
+            m = counts[i]
+            cells[pos : pos + m] = (
+                np.int64(tile_res) * np.int64(geo.RES_SHIFT)
+                + gy.ravel() * np.int64(geo.Y_SHIFT)
+                + gx.ravel()
+            )
+            pos += m
+        taken = pa.array(row_idx)
+        part = geo.cell_parent(cells, part_res)
+        return pa.table(
+            {
+                "image_id": pa.compute.take(batch["image_id"], taken),
+                "cell": pa.array(cells),
+                "poly_id": pa.compute.take(batch["poly_id"], taken),
+                "op": pa.compute.take(batch["op"], taken),
+                "dist_m": pa.compute.take(batch["dist_m"], taken),
+                "caption": pa.compute.take(batch["caption"], taken),
+                "part": pa.array(part),
+            }
+        )
+
+    return hits.map_batches(explode_tiles, batch_format="pyarrow", batch_size=batch_size)
+
+
+def run_window(
+    images: ray.data.Dataset,
+    polys: pa.Table,
+    out_dir: str,
+    window_id: str,
+    **kw,
+):
+    """Apply one changeset window and persist resumable output."""
+    from oluray.state.checkpoint import write_partitioned_resumable
+
+    ds = assignments_pipeline(images, polys, **kw)
+    return write_partitioned_resumable(ds, out_dir, window_id, part_col="part")

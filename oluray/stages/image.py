@@ -1,0 +1,103 @@
+"""Multimodal (image) stages: decode / feature-extract / resize.
+
+The payload table carries encoded images as an opaque `binary` column
+with typed metadata (w, h, fmt) — per BASELINE.json input_hint. Each
+stage is an actor-pool `map_batches` callable: codec setup happens
+once per actor in __init__, per-batch work decodes with the in-repo
+codecs (real PNG; the "jpeg" path uses the clearly-marked
+deterministic fake codec — see `oluray.functions.imagecodec`).
+
+Batches stay small (binary payloads are wide rows); keep these stages
+in `batch_format="pyarrow"` so bytes move zero-copy from the object
+store. Design contract for 100 TB: image bytes are NEVER shuffled —
+joins run on (image_id, footprint) projections and bytes are
+re-joined only at the tile-write (SURVEY.md §7.3 hard part (c)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from oluray.functions import imagecodec
+from oluray.sources.fixtures import phash64
+
+
+class DecodeStats:
+    """Decode each image; emit per-image pixel stats + recomputed
+    phash. Validates the per-row invariant path (PSNR/caption)."""
+
+    def __init__(self):
+        self.decode = imagecodec.decode  # codec table resolved once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        means = np.empty(len(blobs))
+        phashes = np.empty(len(blobs), dtype=np.int64)
+        for i, (b, f) in enumerate(zip(blobs, fmts)):
+            px = self.decode(b, f)
+            means[i] = px.astype(np.float64).mean()
+            phashes[i] = phash64(px)
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("mean_px", pa.array(np.round(means, 4)))
+        return out.append_column("phash_decoded", pa.array(phashes))
+
+
+class Resize:
+    """Nearest-neighbor resize to (out_w, out_h), re-encoded as PNG.
+
+    A real thumbnailing stage (no stub): pure-numpy index-gather
+    resample + the in-repo PNG encoder.
+    """
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        thumbs = []
+        for b, f in zip(blobs, fmts):
+            px = imagecodec.decode(b, f)
+            h, w, _ = px.shape
+            ys = (np.arange(self.out_h) * h) // self.out_h
+            xs = (np.arange(self.out_w) * w) // self.out_w
+            thumbs.append(imagecodec.encode_png(px[ys][:, xs]))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "thumb": pa.array(thumbs, pa.binary()),
+                "thumb_w": pa.array([self.out_w] * len(thumbs), pa.int32()),
+                "thumb_h": pa.array([self.out_h] * len(thumbs), pa.int32()),
+            }
+        )
+
+
+class VerifyPsnr:
+    """Per-row invariant check (north rule): decode both sides,
+    PSNR >= threshold for lossy formats, exact for lossless; caption
+    equality is a plain column compare upstream."""
+
+    def __init__(self, threshold_db: float = 40.0):
+        self.threshold_db = threshold_db
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["bytes"].to_pylist()
+        b = batch["bytes_ref"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ok = []
+        psnr = []
+        for x, y, f in zip(a, b, fmts):
+            pa_img = imagecodec.decode(x, f)
+            pb_img = imagecodec.decode(y, f)
+            p = imagecodec.psnr_db(pa_img, pb_img)
+            psnr.append(p if np.isfinite(p) else 99.0)
+            ok.append((f == "png" and np.array_equal(pa_img, pb_img)) or p >= self.threshold_db)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "psnr_db": pa.array(psnr),
+                "pixels_ok": pa.array(ok, pa.bool_()),
+            }
+        )

@@ -1,0 +1,68 @@
+"""Skew handling: pre-aggregation combiners + salted repartition.
+
+The reference leaves skew unhandled (one dense diff region just runs
+long — single process). At 100 TB a dense cell (a city) would melt a
+naive `groupby(cell)`; this module provides:
+
+- `preagg_cell_counts` — two-phase grouped count: a per-batch partial
+  aggregate inside `map_batches` (one row per key per BLOCK) followed
+  by a tiny `groupby().sum()` over the partials. The all-to-all
+  exchange moves #distinct-keys-per-block rows, not #rows.
+- `salted` — adds a deterministic salt column (`hash(id) % buckets`)
+  so `groupby([key, salt])` / `repartition` splits a hot key across
+  `buckets` reducers; callers merge the per-salt partials afterwards
+  (cheap: `buckets` rows per hot key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def preagg_cell_counts(ds: ray.data.Dataset, key: str = "cell") -> ray.data.Dataset:
+    """Grouped count with a partial-aggregate combiner (skew-safe)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = batch.group_by(key).aggregate([(key, "count")])
+        return tbl.rename_columns([key, "partial_n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(key).aggregate(Sum("partial_n", alias_name="n"))
+    return out
+
+
+def salted(
+    ds: ray.data.Dataset, id_col: str, buckets: int = 16, out_col: str = "salt"
+) -> ray.data.Dataset:
+    """Deterministic salt from a stable id column (NOT random — keeps
+    reruns and resumes byte-identical)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if pa.types.is_integer(ids.type):
+            h = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            s = (h * 2654435761) % buckets
+        else:
+            s = np.array(
+                [hash(v) % buckets for v in ids.to_pylist()], dtype=np.int64
+            )
+        return batch.append_column(out_col, pa.array(np.abs(s).astype(np.int64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def salted_group_apply(
+    ds: ray.data.Dataset, key: str, fn, buckets: int = 16, id_col: str | None = None,
+    batch_format: str = "pandas",
+) -> ray.data.Dataset:
+    """`groupby(key).map_groups(fn)` with hot keys split over salted
+    sub-groups. `fn` must be decomposable (e.g. per-row transforms,
+    partial reductions later merged). Partitioning assumption: fn's
+    output per sub-group is independent of the other sub-groups."""
+    s = salted(ds, id_col or key, buckets)
+    return s.groupby([key, "salt"]).map_groups(fn, batch_format=batch_format)

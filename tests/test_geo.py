@@ -1,0 +1,125 @@
+"""Geometry kernels vs brute force + DuckDB SQL-parity.
+
+Mirrors the reference's pure-function unit-test layer
+(`/root/reference/tests/sparql/QueryWriter.cpp:25-189` exact-string
+tests -> here exact-value SQL-parity tests)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from oluray.functions import geo
+from oluray.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute("create table t as select unnest(range(1, 20001)) as k")
+    return c
+
+
+def test_derive_lonlat_sql_parity(con):
+    keys = np.arange(1, 20001, dtype=np.int64)
+    lon, lat = geo.derive_lonlat(keys)
+    assert lon.min() >= -180 and lon.max() < 180
+    assert lat.min() >= -85 and lat.max() < 85
+    ls, bs = geo.derive_lonlat_sql("k")
+    r = con.sql(f"select {ls} lon, {bs} lat from t order by k").fetchnumpy()
+    np.testing.assert_array_equal(r["lon"], lon)
+    np.testing.assert_array_equal(r["lat"], lat)
+
+
+def test_cell_encode_sql_parity(con):
+    keys = np.arange(1, 20001, dtype=np.int64)
+    lon, lat = geo.derive_lonlat(keys)
+    for res in (0, 6, 12, 20):
+        cells = geo.cell_encode(lon, lat, res)
+        ls, bs = geo.derive_lonlat_sql("k")
+        r = con.sql(
+            f"select {geo.cell_encode_sql(ls, bs, res)} c from t order by k"
+        ).fetchnumpy()
+        np.testing.assert_array_equal(r["c"], cells)
+
+
+def test_cell_roundtrip_and_hierarchy():
+    lon = np.array([-179.9, -1.0, 0.0, 13.37, 179.9])
+    lat = np.array([-84.9, -0.5, 0.0, 52.52, 84.9])
+    cells = geo.cell_encode(lon, lat, 14)
+    res, x, y = geo.cell_decode(cells)
+    assert (res == 14).all()
+    lo0, la0, lo1, la1 = geo.cell_bounds(cells)
+    assert ((lo0 <= lon) & (lon < lo1)).all()
+    assert ((la0 <= lat) & (lat < la1)).all()
+    parents = geo.cell_parent(cells, 8)
+    plo0, pla0, plo1, pla1 = geo.cell_bounds(parents)
+    assert ((plo0 <= lon) & (lon < plo1)).all()
+    # parent of parent == direct coarse encode
+    np.testing.assert_array_equal(parents, geo.cell_encode(lon, lat, 8))
+
+
+def test_k_ring_wraps_and_clamps():
+    # cell at x=0: ring must wrap to x = n-1
+    c = geo.cell_encode(np.array([-180.0 + 1e-9]), np.array([0.0]), 4)
+    ring = geo.k_ring(c, 1)
+    res, x, y = geo.cell_decode(ring[0])
+    assert 15 in x.tolist() and 0 in x.tolist()
+    # polar clamp keeps y in range
+    c2 = geo.cell_encode(np.array([0.0]), np.array([89.99]), 4)
+    _, _, y2 = geo.cell_decode(geo.k_ring(c2, 2)[0])
+    assert y2.max() == 15
+
+
+def test_pip_matches_sql_and_bruteforce(con):
+    keys = np.arange(1, 20001, dtype=np.int64)
+    lon, lat = geo.derive_lonlat(keys)
+    polys = fixtures.make_change_polys(5, 42)
+    ls, bs = geo.derive_lonlat_sql("k")
+    total_hits = 0
+    for row in polys.to_pylist():
+        rx = [v["lon"] for v in row["ring"]]
+        ry = [v["lat"] for v in row["ring"]]
+        ins = geo.point_in_polygon(lon, lat, np.array(rx), np.array(ry))
+        total_hits += int(ins.sum())
+        expr = geo.pip_sql_expr(rx, ry, ls, bs)
+        r = con.sql(f"select {expr} i from t order by k").fetchnumpy()["i"]
+        np.testing.assert_array_equal(r, ins)
+    assert total_hits > 0, "fixture polygons must contain some points"
+
+
+def test_pip_concave():
+    # concave "U" polygon: points in the notch are OUTSIDE
+    rx = np.array([0.0, 10.0, 10.0, 7.0, 7.0, 3.0, 3.0, 0.0])
+    ry = np.array([0.1, 0.2, 10.1, 10.2, 3.1, 3.2, 10.3, 10.4])
+    assert geo.point_in_polygon(np.array([5.0]), np.array([8.0]), rx, ry)[0] == False  # noqa: E712
+    assert geo.point_in_polygon(np.array([5.0]), np.array([1.5]), rx, ry)[0] == True  # noqa: E712
+    assert geo.point_in_polygon(np.array([1.5]), np.array([8.0]), rx, ry)[0] == True  # noqa: E712
+
+
+def test_polygon_cover_superset():
+    polys = fixtures.make_change_polys(6, 7)
+    rng = np.random.default_rng(0)
+    lon = rng.uniform(-179, 179, 20000)
+    lat = rng.uniform(-84, 84, 20000)
+    for row in polys.to_pylist():
+        rx = np.array([v["lon"] for v in row["ring"]])
+        ry = np.array([v["lat"] for v in row["ring"]])
+        ins = geo.point_in_polygon(lon, lat, rx, ry)
+        for res in (4, 7):
+            cover = set(geo.polygon_cover(rx, ry, res).tolist())
+            pcells = geo.cell_encode(lon[ins], lat[ins], res)
+            assert set(pcells.tolist()) <= cover
+
+
+def test_haversine_known_values_and_sql(con):
+    # quarter circumference: equator to pole
+    d = geo.haversine_m(np.array([0.0]), np.array([0.0]), np.array([0.0]), np.array([90.0]))
+    assert abs(d[0] - np.pi * geo.EARTH_RADIUS_M / 2) < 1.0
+    keys = np.arange(1, 20001, dtype=np.int64)
+    lon, lat = geo.derive_lonlat(keys)
+    hn = geo.haversine_m(np.full_like(lon, 8.0), np.full_like(lat, 47.0), lon, lat)
+    ls, bs = geo.derive_lonlat_sql("k")
+    r = con.sql(
+        f"select {geo.haversine_sql('8.0', '47.0', ls, bs)} d from t order by k"
+    ).fetchnumpy()["d"]
+    np.testing.assert_array_equal(np.round(r, 3), np.round(hn, 3))

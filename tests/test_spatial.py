@@ -1,0 +1,130 @@
+"""PIP join, kNN, tile cover vs brute-force oracles."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from oluray.functions import geo
+from oluray.sources import fixtures
+from oluray.stages import spatial
+
+
+def _points(n=4000, seed=3):
+    rng = np.random.default_rng(seed)
+    lon = np.round(rng.uniform(-179, 179, n), 7)
+    lat = np.round(rng.uniform(-84, 84, n), 7)
+    ids = [f"p{i:06d}" for i in range(n)]
+    return pa.table({"image_id": ids, "lon": lon, "lat": lat})
+
+
+def test_pip_join_matches_bruteforce():
+    pts = _points()
+    polys = fixtures.make_change_polys(8, seed=42, span_deg=40.0)
+    ds = ray.data.from_arrow(pts)
+    got = spatial.pip_join(ds, polys, res=7, concurrency=2).to_pandas()
+    got_pairs = set(zip(got["image_id"], got["poly_id"]))
+    lon = pts["lon"].to_numpy()
+    lat = pts["lat"].to_numpy()
+    ids = pts["image_id"].to_pylist()
+    expected = set()
+    for row in polys.to_pylist():
+        rx = np.array([v["lon"] for v in row["ring"]])
+        ry = np.array([v["lat"] for v in row["ring"]])
+        ins = geo.point_in_polygon(lon, lat, rx, ry)
+        for i in np.nonzero(ins)[0]:
+            expected.add((ids[i], row["poly_id"]))
+    assert got_pairs == expected
+    assert len(expected) > 0
+
+
+def test_pip_join_empty_polygon_no_rows():
+    pts = _points(500)
+    polys = fixtures.make_change_polys(4, seed=42)  # poly 3 is tiny/mid-ocean
+    ds = ray.data.from_arrow(pts)
+    got = spatial.pip_join(ds, polys, res=7, concurrency=1).to_pandas()
+    assert 3 not in set(got["poly_id"])  # empty-join tolerated (no error)
+
+
+def test_knn_bucketed_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    nf = 300  # > brute threshold (64) => exercises the bucketed path
+    fid = np.arange(nf, dtype=np.int64)
+    flon = np.round(rng.uniform(-179, 179, nf), 7)
+    flat_ = np.round(rng.uniform(-84, 84, nf), 7)
+    pts = _points(1500, seed=5)
+    ds = ray.data.from_arrow(pts)
+    for k in (1, 3):
+        got = (
+            spatial.knn_join(ds, fid, flon, flat_, k=k, res=5, concurrency=2)
+            .to_pandas()
+            .sort_values(["image_id", "rank"])
+        )
+        bi, bd = spatial.knn_brute(
+            pts["lon"].to_numpy(), pts["lat"].to_numpy(), flon, flat_, k=k
+        )
+        ids = pts["image_id"].to_pylist()
+        expected = {
+            (ids[i], r + 1): (int(fid[bi[i, r]]), round(float(bd[i, r]), 3))
+            for i in range(len(ids))
+            for r in range(k)
+        }
+        got_map = {
+            (row.image_id, row.rank): (row.feature_id, row.dist_m)
+            for row in got.itertuples()
+        }
+        assert got_map == expected
+
+
+def test_knn_high_latitude_exactness():
+    # meridian convergence: nearest-by-meters != nearest-by-degrees
+    fid = np.arange(100, dtype=np.int64)
+    rng = np.random.default_rng(2)
+    flon = np.round(rng.uniform(-179, 179, 100), 7)
+    flat_ = np.round(rng.uniform(85, 89.9, 100), 7)  # near pole, force distortion
+    pts = pa.table(
+        {
+            "image_id": [f"q{i}" for i in range(200)],
+            "lon": np.round(rng.uniform(-179, 179, 200), 7),
+            "lat": np.round(rng.uniform(84, 89.9, 200), 7),
+        }
+    )
+    got = (
+        spatial.knn_join(ray.data.from_arrow(pts), fid, flon, flat_, k=1, res=6,
+                         concurrency=1)
+        .to_pandas()
+        .set_index("image_id")
+    )
+    bi, bd = spatial.knn_brute(pts["lon"].to_numpy(), pts["lat"].to_numpy(), flon, flat_, 1)
+    for i, pid in enumerate(pts["image_id"].to_pylist()):
+        assert got.loc[pid, "feature_id"] == fid[bi[i, 0]], pid
+
+
+def test_tile_cover_counts():
+    pts = pa.table(
+        {
+            "image_id": ["a", "b"],
+            "lon": [0.0, 10.0],
+            "lat": [0.0, 45.0],
+            "w": pa.array([64, 32], pa.int32()),
+            "h": pa.array([64, 32], pa.int32()),
+        }
+    )
+    out = spatial.tile_cover(
+        ray.data.from_arrow(pts), res=12, deg_per_px=1e-3
+    ).to_pandas()
+    # every covered cell must contain part of the bbox; the center
+    # point's cell must be covered
+    for row in pts.to_pylist():
+        c = geo.cell_encode(np.array([row["lon"]]), np.array([row["lat"]]), 12)[0]
+        cells = set(out[out["image_id"] == row["image_id"]]["cell"])
+        assert c in cells
+        assert len(cells) >= 1
+    # 64px at 1e-3 deg/px = 0.064 deg; cell at res 12 = 0.0879 lon — 1-2 cells/axis
+    assert out.groupby("image_id").size().max() <= 9
+
+
+def test_add_cell_column():
+    pts = _points(100)
+    out = spatial.add_cell_column(ray.data.from_arrow(pts), 9).to_pandas()
+    exp = geo.cell_encode(pts["lon"].to_numpy(), pts["lat"].to_numpy(), 9)
+    np.testing.assert_array_equal(np.sort(out["cell"].to_numpy()), np.sort(exp))
