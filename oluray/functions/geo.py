@@ -51,7 +51,9 @@ def derive_lonlat(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """
     k = np.asarray(keys, dtype=np.uint64)
     h1 = (k * np.uint64(_HASH_MULT)) % np.uint64(_MOD32)
-    h2 = ((k + np.uint64(1)) * np.uint64(_HASH_MULT)) % np.uint64(_MOD32)
+    # quadratic mix for lat: h1^2 mod 2^32 — NONLINEAR in k, so
+    # (lon, lat) doesn't collapse onto a rank-1 lattice line
+    h2 = (h1 * h1) % np.uint64(_MOD32)
     lon_u = (h1 * np.uint64(_KNUTH)) // np.uint64(_MOD32)
     lat_u = (h2 * np.uint64(_LAT_SPAN)) // np.uint64(_MOD32)
     lon = -180.0 + lon_u.astype(np.float64) / 1e7
@@ -62,7 +64,7 @@ def derive_lonlat(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def derive_lonlat_sql(key_expr: str) -> tuple[str, str]:
     """SQL expressions computing exactly :func:`derive_lonlat`."""
     h1 = f"((({key_expr}) * {_HASH_MULT}) % {_MOD32})"
-    h2 = f"(((({key_expr}) + 1) * {_HASH_MULT}) % {_MOD32})"
+    h2 = f"(({h1}::HUGEINT * {h1}) % {_MOD32})"
     lon = f"(-180.0 + (({h1}::HUGEINT * {_KNUTH}) // {_MOD32})::DOUBLE / 10000000.0)"
     lat = f"(-85.0 + (({h2}::HUGEINT * {_LAT_SPAN}) // {_MOD32})::DOUBLE / 10000000.0)"
     return lon, lat

@@ -101,38 +101,22 @@ def assignments_pipeline(
         fn_constructor_kwargs=dict(cent_ref=cent_ref),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
     # raster->vector: explode each assigned image onto its covering tile
     # cells, then attach a coarse partition cell for the resumable sink
     def explode_tiles(batch: pa.Table) -> pa.Table:
+        from oluray.stages.spatial import bbox_cells
+
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
         h = batch["h"].to_numpy(zero_copy_only=False).astype(np.float64)
-        n = float(1 << tile_res)
         deg_per_px = 1e-3
-        halfw, halfh = w * deg_per_px / 2.0, h * deg_per_px / 2.0
-        x0 = np.clip(np.floor((lon - halfw + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
-        x1 = np.clip(np.floor((lon + halfw + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
-        y0 = np.clip(np.floor((lat - halfh + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
-        y1 = np.clip(np.floor((lat + halfh + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
-        counts = (x1 - x0 + 1) * (y1 - y0 + 1)
-        row_idx = np.repeat(np.arange(len(lon)), counts)
-        cells = np.empty(int(counts.sum()), dtype=np.int64)
-        pos = 0
-        for i in range(len(lon)):
-            xs = np.arange(x0[i], x1[i] + 1)
-            ys = np.arange(y0[i], y1[i] + 1)
-            gx, gy = np.meshgrid(xs, ys, indexing="ij")
-            m = counts[i]
-            cells[pos : pos + m] = (
-                np.int64(tile_res) * np.int64(geo.RES_SHIFT)
-                + gy.ravel() * np.int64(geo.Y_SHIFT)
-                + gx.ravel()
-            )
-            pos += m
+        row_idx, cells = bbox_cells(
+            lon, lat, w * deg_per_px / 2.0, h * deg_per_px / 2.0, tile_res
+        )
         taken = pa.array(row_idx)
         part = geo.cell_parent(cells, part_res)
         return pa.table(

@@ -1,0 +1,655 @@
+"""Driver-contract query catalog: Ray pipelines + matching DuckDB SQL.
+
+Every entry implements one operator family from SURVEY.md §2 over the
+driver's parquet tables (region nation customer supplier part orders
+lineitem events documents embeddings). Each `q_*` function takes
+`sf_dir` and returns a Dataset / DataFrame / Table; `ORACLE[name]`
+holds ANSI SQL computing the identical result in DuckDB.
+
+Exactness rules (so order-insensitive value hashes match):
+- money aggregates are scaled-integer BIGINT (cents) — float sums
+  differ across addition orders, their rounded-integer value doesn't;
+- distances rounded to 1 mm, cosine sims to 1e-6 (analysis: cross-
+  engine libm deltas are <= 1e-8 relative, far below the rounding
+  step);
+- geometry arithmetic is generated from the SAME literals with the
+  SAME operation order on both sides (see oluray.functions.geo).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from oluray.functions import geo
+from oluray.stages import ann, closure, dedup, spatial, text
+
+# ---------------------------------------------------------------------------
+# fixed literals shared by Ray + SQL sides
+# ---------------------------------------------------------------------------
+
+CELL_RES = 12
+TILE_RES = 8
+TILE_HALF_DEG = 1.0
+
+# polygons for the PIP join (irregular, incl. one concave; no
+# horizontal edges — keeps the shared ray-casting expression total)
+PIP_POLYS: dict[int, tuple[list[float], list[float]]] = {
+    1: ([-20.0, 5.0, 17.3, 8.2, -11.7], [-8.3, -14.9, 2.7, 16.1, 9.4]),
+    2: ([60.0, 95.0, 90.0, 75.0, 62.0], [10.2, 12.7, 35.3, 28.9, 30.1]),
+    3: ([-150.0, -120.0, -125.0, -145.0], [-40.1, -35.2, -10.3, -15.4]),
+    # concave chevron
+    4: ([100.0, 130.0, 128.0, 115.0, 102.0], [-55.3, -54.1, -25.2, -45.7, -24.9]),
+}
+
+KNN_FEATURES: list[tuple[int, float, float]] = [
+    (1, -120.5, 40.2), (2, -60.3, -20.1), (3, 2.7, 48.9), (4, 37.6, 55.8),
+    (5, 77.2, 28.6), (6, 116.4, 39.9), (7, 151.2, -33.9), (8, -43.2, -22.9),
+]
+
+ANN_K = 5
+ANN_QUERY_IDS = [0, 1, 2, 3]
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# O1: latest-wins merge (events as the change stream)
+# ---------------------------------------------------------------------------
+
+
+def q_latest_wins(sf_dir: str):
+    """Latest event per user — the reference's merge-dedup comparator
+    (version -> ts -> id ordering, `src/osm/OsmUpdater.cpp:119-168`)
+    on the events stream: per-batch combiner then one (user_id)
+    shuffle."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            ascending=[True, False, False], kind="mergesort")
+        return df.drop_duplicates("user_id", keep="first")
+
+    combined = ds.map_batches(lambda b: best(b), batch_format="pandas")
+    out = combined.groupby("user_id").map_groups(best, batch_format="pandas")
+    return out.select_columns(["user_id", "event_id", "event_type"])
+
+
+# A4 classify counts
+def q_change_counts(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type"])
+    out = ds.groupby("event_type").count()
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"op": df["event_type"], "n": df["count()"].astype("int64")})
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
+# J1 impact closure: orders referencing "modified" customers, anti in-change-file
+def q_impact_closure(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    modified = closure.distinct_ids(
+        cust.map_batches(
+            lambda t: t.filter(pc.less(t["c_acctbal"], 0.0)), batch_format="pyarrow"
+        ),
+        "c_custkey",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+    hit = closure.semi_join(orders, "o_custkey", closure.broadcast_keys(modified))
+    out = hit.map_batches(
+        lambda t: t.filter(pc.not_equal(t["o_orderstatus"], "F")),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["o_orderkey", "o_custkey"])
+
+
+# J3/J6 second hop: distinct suppliers of the closure orders
+def q_closure_2hop(sf_dir: str):
+    hit = q_impact_closure(sf_dir)
+    okeys = closure.distinct_ids(hit, "o_orderkey")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    sel = closure.semi_join(li, "l_orderkey", closure.broadcast_keys(okeys))
+    return sel.groupby("l_suppkey").count().select_columns(["l_suppkey"])
+
+
+# J8/A2 member collect (GROUP_CONCAT ordered by position)
+def q_member_collect(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_linenumber"])
+    def _mod_filter(t: pa.Table) -> pa.Table:
+        mask = (t["l_orderkey"].to_numpy(zero_copy_only=False) % 100) == 0
+        return t.filter(pa.array(mask))
+
+    sel = li.map_batches(_mod_filter, batch_format="pyarrow")
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        # (linenumber, partkey): linenumbers repeat per order, so a
+        # secondary key keeps tie order deterministic across engines
+        g = g.sort_values(["l_linenumber", "l_partkey"])
+        return pd.DataFrame(
+            {
+                "o_orderkey": [g["l_orderkey"].iloc[0]],
+                "members": [";".join(str(int(p)) for p in g["l_partkey"])],
+            }
+        )
+
+    return sel.groupby("l_orderkey").map_groups(collect, batch_format="pandas")
+
+
+# M5/A3 reference extraction + distinct
+def q_refs_distinct(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    sel = li.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)).select(
+            ["l_orderkey", "l_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return sel.groupby(["l_orderkey", "l_partkey"]).count().select_columns(
+        ["l_orderkey", "l_partkey"]
+    )
+
+
+# A1 / O3 global max timestamp
+def q_max_ts(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts"])
+    return pd.DataFrame({"max_ts": [ds.max("ts")]})
+
+
+# O5 set unions / dedup
+def q_delete_set(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+    a = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    modified = closure.distinct_ids(
+        cust.map_batches(
+            lambda t: t.filter(pc.less(t["c_acctbal"], 0.0)), batch_format="pyarrow"
+        ),
+        "c_custkey",
+    )
+    b = closure.semi_join(orders, "o_custkey", closure.broadcast_keys(modified)).select_columns(
+        ["o_orderkey"]
+    )
+    return a.union(b).groupby("o_orderkey").count().select_columns(["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# spatial queries (points derived from keys — SQL-exact)
+# ---------------------------------------------------------------------------
+
+
+def _with_points(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        lon, lat = geo.derive_lonlat(batch[key].to_numpy(zero_copy_only=False))
+        return batch.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_cell_encode(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    pts = _with_points(cust, "c_custkey")
+    return spatial.add_cell_column(pts, CELL_RES).select_columns(
+        ["c_custkey", "lon", "lat", "cell"]
+    )
+
+
+def q_pip_join(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    pts = _with_points(cust, "c_custkey")
+    polys = pa.Table.from_pylist(
+        [
+            {
+                "poly_id": pid,
+                "op": "modify",
+                "ring": [{"lon": x, "lat": y} for x, y in zip(rx, ry)],
+            }
+            for pid, (rx, ry) in PIP_POLYS.items()
+        ]
+    )
+    hits = spatial.pip_join(pts, polys, res=7, id_col="c_custkey", concurrency=4)
+    return hits.select_columns(["c_custkey", "poly_id"])
+
+
+def q_knn_assign(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    pts = _with_points(cust, "c_custkey")
+    fid = [f[0] for f in KNN_FEATURES]
+    flon = [f[1] for f in KNN_FEATURES]
+    flat_ = [f[2] for f in KNN_FEATURES]
+    out = spatial.knn_join(pts, fid, flon, flat_, k=1, id_col="c_custkey", concurrency=4)
+    return out.select_columns(["c_custkey", "feature_id", "dist_m"])
+
+
+def q_tile_cover(sf_dir: str):
+    sup = _read(sf_dir, "supplier", ["s_suppkey"])
+    pts = _with_points(sup, "s_suppkey")
+
+    def with_wh(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        wh = pa.array(np.full(n, int(TILE_HALF_DEG * 2 * 1000)), pa.int32())
+        return batch.append_column("w", wh).append_column("h", wh)
+
+    pts = pts.map_batches(with_wh, batch_format="pyarrow")
+    return spatial.tile_cover(
+        pts, TILE_RES, id_col="s_suppkey", deg_per_px=1e-3
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational core
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape with the skew-safe partial-aggregate pattern:
+    per-batch partial sums, then a tiny groupby over partials.
+    Money as integer cents (see module docstring)."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base=("l_extendedprice", "sum"),
+            sum_disc_price=("revenue", "sum"),
+            n=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base", alias_name="sum_base"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("n", alias_name="count_order"),
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": np.round(df["sum_qty"]).astype("int64"),
+                "sum_base_cents": np.round(df["sum_base"] * 100).astype("int64"),
+                "sum_disc_cents": np.round(df["sum_disc_price"] * 100).astype("int64"),
+                "count_order": df["count_order"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def q_topk_orders(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"],
+                "total_cents": np.round(df["o_totalprice"] * 100).astype("int64"),
+            }
+        )
+
+    return top.map_batches(finalize, batch_format="pandas")
+
+
+def q_brand_stats(sf_dir: str):
+    part = _read(sf_dir, "part", ["p_brand", "p_size"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("p_brand", as_index=False).agg(
+            n=("p_size", "size"), sum_size=("p_size", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = part.map_batches(partial, batch_format="pyarrow").groupby("p_brand").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_size", alias_name="sum_size")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": df["p_brand"],
+                "n": df["n"].astype("int64"),
+                "sum_size": df["sum_size"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def q_events_value_sum(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = ev.map_batches(partial, batch_format="pyarrow").groupby("event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n": df["n"].astype("int64"),
+                "sum_value_cents": np.round(df["sum_value"] * 100).astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# training-data ops
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.exact_dedup(docs, concurrency=4)
+
+
+def q_token_count(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(text.TokenCount, batch_format="pandas", concurrency=(1, 4))
+
+
+def q_quality(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(text.QualityCounts, batch_format="pandas", concurrency=(1, 4))
+
+
+def q_langid(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(text.LangId, batch_format="pandas", concurrency=(1, 4))
+
+
+def _ann_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", ANN_QUERY_IDS)],
+    )
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    m = np.stack(t["embedding"].to_pylist()).astype(np.float64)[order]
+    return ids[order], m
+
+
+def q_ann_topk(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, qm = _ann_queries(sf_dir)
+    return ann.brute_topk(emb, qids, qm, k=ANN_K, concurrency=4, round_digits=6)
+
+
+def q_fingerprint(sf_dir: str):
+    # rows-only check (rolling hash not expressible in SQL)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(text.Fingerprint, batch_format="pandas", concurrency=(1, 4))
+
+
+def q_simhash(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(dedup.SimHash, batch_format="pandas", concurrency=(1, 4))
+
+
+def q_minhash_pairs(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_lsh_pairs(docs, threshold=0.6, concurrency=4)
+
+
+def q_lsh_topk(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, qm = _ann_queries(sf_dir)
+    return ann.lsh_topk(emb, qids, qm, k=ANN_K, n_bits=6, n_probe_bits=2)
+
+
+def q_image_decode(sf_dir: str):
+    """Multimodal plumbing: synthesize a deterministic image per doc,
+    decode through the actor-pool stage, emit stats. Rows-only (pixel
+    decode is not expressible in SQL)."""
+    from oluray.sources import fixtures
+    from oluray.stages.image import DecodeStats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs, fmts, ws, hs, iids = [], [], [], [], []
+        for i in ids:
+            w = h = fixtures.SIZES[int(i) % len(fixtures.SIZES)]
+            fmt = fixtures.FMTS[int(i) % len(fixtures.FMTS)]
+            px = fixtures._pixels(int(i), w, h, 42)
+            from oluray.functions.imagecodec import encode
+
+            blobs.append(encode(px, fmt))
+            fmts.append(fmt)
+            ws.append(w)
+            hs.append(h)
+            iids.append(f"img{int(i):08d}")
+        return pa.table(
+            {
+                "image_id": pa.array(iids),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(fmts),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+            }
+        )
+
+    images = docs.map_batches(synth, batch_format="pyarrow", batch_size=256)
+    return images.map_batches(
+        DecodeStats, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    ).select_columns(["image_id", "w", "h", "mean_px", "phash_decoded"])
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles
+# ---------------------------------------------------------------------------
+
+
+def _pip_union_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("c_custkey")
+    parts = []
+    for pid, (rx, ry) in PIP_POLYS.items():
+        expr = geo.pip_sql_expr(rx, ry, lon, lat)
+        parts.append(
+            f"SELECT c_custkey, {pid} AS poly_id FROM customer WHERE {expr}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _knn_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("c_custkey")
+    feats = ", ".join(f"({fid}, {x!r}, {y!r})" for fid, x, y in KNN_FEATURES)
+    hav = geo.haversine_sql(lon, lat, "f.flon", "f.flat")
+    return f"""
+    SELECT c_custkey, feature_id, dist_m FROM (
+      SELECT c.c_custkey, f.feature_id,
+             round({hav}, 3) AS dist_m,
+             row_number() OVER (
+               PARTITION BY c.c_custkey
+               ORDER BY {hav} ASC, f.feature_id ASC
+             ) AS rn
+      FROM customer c CROSS JOIN (VALUES {feats}) AS f(feature_id, flon, flat)
+    ) WHERE rn = 1
+    """
+
+
+def _tile_cover_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("s_suppkey")
+    n = 1 << TILE_RES
+    h = TILE_HALF_DEG
+    x0 = f"LEAST(GREATEST(floor((({lon} - {h!r}) + 180.0) / 360.0 * {float(n)!r})::BIGINT, 0), {n - 1})"
+    x1 = f"LEAST(GREATEST(floor((({lon} + {h!r}) + 180.0) / 360.0 * {float(n)!r})::BIGINT, 0), {n - 1})"
+    y0 = f"LEAST(GREATEST(floor((({lat} - {h!r}) + 90.0) / 180.0 * {float(n)!r})::BIGINT, 0), {n - 1})"
+    y1 = f"LEAST(GREATEST(floor((({lat} + {h!r}) + 90.0) / 180.0 * {float(n)!r})::BIGINT, 0), {n - 1})"
+    return f"""
+    SELECT s_suppkey, ({TILE_RES} * {geo.RES_SHIFT} + y * {geo.Y_SHIFT} + x) AS cell
+    FROM (SELECT s_suppkey, {x0} AS xa, {x1} AS xb, {y0} AS ya, {y1} AS yb FROM supplier),
+         LATERAL (SELECT unnest(generate_series(xa, xb)) AS x) tx,
+         LATERAL (SELECT unnest(generate_series(ya, yb)) AS y) ty
+    """
+
+
+def _ann_sql() -> str:
+    q_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+    SELECT query_id, vec_id, rank, sim FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)::DOUBLE AS sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                        e.vec_id ASC
+             ) AS rank
+      FROM embeddings q CROSS JOIN embeddings e
+      WHERE q.vec_id IN ({q_ids})
+    ) WHERE rank <= {ANN_K}
+    """
+
+
+def _cell_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("c_custkey")
+    cell = geo.cell_encode_sql(lon, lat, CELL_RES)
+    return (
+        f"SELECT c_custkey, {lon} AS lon, {lat} AS lat, {cell} AS cell FROM customer"
+    )
+
+
+ORACLE: dict[str, str] = {
+    "latest_wins": """
+        SELECT user_id, event_id, event_type FROM (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) rn
+          FROM events) WHERE rn = 1
+    """,
+    "change_counts": "SELECT event_type AS op, count(*)::BIGINT AS n FROM events GROUP BY event_type",
+    "impact_closure": """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+          AND o_orderstatus <> 'F'
+    """,
+    "closure_2hop": """
+        SELECT DISTINCT l_suppkey FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+            AND o_orderstatus <> 'F')
+    """,
+    "member_collect": """
+        SELECT l_orderkey AS o_orderkey,
+               string_agg(l_partkey::VARCHAR, ';' ORDER BY l_linenumber, l_partkey) AS members
+        FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_orderkey
+    """,
+    "refs_distinct": """
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 45.0
+    """,
+    "max_ts": "SELECT max(ts) AS max_ts FROM events",
+    "delete_set": """
+        SELECT DISTINCT o_orderkey FROM orders
+        WHERE o_orderstatus = 'F'
+           OR o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+    """,
+    "cell_encode": _cell_sql(),
+    "pip_join": _pip_union_sql(),
+    "knn_assign": _knn_sql(),
+    "tile_cover": _tile_cover_sql(),
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity))::BIGINT AS sum_qty,
+               round(sum(l_extendedprice) * 100)::BIGINT AS sum_base_cents,
+               round(sum(l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT AS sum_disc_cents,
+               count(*)::BIGINT AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "topk_orders": """
+        SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS total_cents
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "brand_stats": """
+        SELECT p_brand, count(*)::BIGINT AS n, sum(p_size)::BIGINT AS sum_size
+        FROM part GROUP BY p_brand
+    """,
+    "events_value_sum": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               round(sum(value) * 100)::BIGINT AS sum_value_cents
+        FROM events GROUP BY event_type
+    """,
+    "dedup_exact": """
+        SELECT doc_id, text_hash FROM (
+          SELECT doc_id, md5(text) AS text_hash,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+          FROM documents) WHERE rn = 1
+    """,
+    "token_count": "SELECT doc_id, length(string_split(text, ' '))::BIGINT AS n_tokens FROM documents",
+    "quality": """
+        SELECT doc_id, length(text)::BIGINT AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+               length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+               (length(text) - length(replace(text, ' ', '')))::BIGINT AS n_space
+        FROM documents
+    """,
+    "langid": f"SELECT doc_id, {text.langid_sql()} FROM documents",
+    "ann_topk": _ann_sql(),
+}
+
+QUERIES = {
+    "latest_wins": q_latest_wins,
+    "change_counts": q_change_counts,
+    "impact_closure": q_impact_closure,
+    "closure_2hop": q_closure_2hop,
+    "member_collect": q_member_collect,
+    "refs_distinct": q_refs_distinct,
+    "max_ts": q_max_ts,
+    "delete_set": q_delete_set,
+    "cell_encode": q_cell_encode,
+    "pip_join": q_pip_join,
+    "knn_assign": q_knn_assign,
+    "tile_cover": q_tile_cover,
+    "pricing_summary": q_pricing_summary,
+    "topk_orders": q_topk_orders,
+    "brand_stats": q_brand_stats,
+    "events_value_sum": q_events_value_sum,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality": q_quality,
+    "langid": q_langid,
+    "ann_topk": q_ann_topk,
+    # rows-only (no SQL-expressible oracle): sketches, LSH, image decode
+    "fingerprint": q_fingerprint,
+    "simhash": q_simhash,
+    "minhash_pairs": q_minhash_pairs,
+    "lsh_topk": q_lsh_topk,
+    "image_decode": q_image_decode,
+}

@@ -74,7 +74,7 @@ def brute_topk(
         BruteTopK,
         fn_constructor_kwargs=dict(queries_ref=qref, k=k),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -129,7 +129,7 @@ def lsh_topk(
     pref = ray.put(planes)
     bucketed = embeddings.map_batches(
         LshBucketStage, fn_constructor_kwargs=dict(planes_ref=pref),
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=(1, concurrency),
     )
     qb = lsh_bucket(qm, planes)
     # probe set per query: flip up to n_probe_bits bits
@@ -182,7 +182,7 @@ def cosine_near_dup_pairs(embeddings, threshold: float = 0.95, n_bits: int = 8,
     pref = ray.put(planes)
     bucketed = embeddings.map_batches(
         LshBucketStage, fn_constructor_kwargs=dict(planes_ref=pref),
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=(1, concurrency),
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:

@@ -44,7 +44,7 @@ class AddTextHash:
 def exact_dedup(docs, id_col: str = "doc_id", concurrency: int = 4):
     """Keep the min-id row per identical text. Returns Dataset of
     (doc_id, text_hash) — one row per distinct text."""
-    hashed = docs.map_batches(AddTextHash, batch_format="pandas", concurrency=concurrency)
+    hashed = docs.map_batches(AddTextHash, batch_format="pandas", concurrency=(1, concurrency))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)
@@ -151,7 +151,7 @@ def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
         MinHashBands,
         fn_constructor_kwargs=dict(n_perm=n_perm, bands=bands, shingle_k=shingle_k),
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -226,7 +226,7 @@ def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4):
     """
     n_bands = min(max_hamming + 1, 32)
     width = 64 // n_bands
-    sigs = docs.map_batches(SimHash, batch_format="pandas", concurrency=concurrency)
+    sigs = docs.map_batches(SimHash, batch_format="pandas", concurrency=(1, concurrency))
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch["simhash"].to_numpy().view(np.uint64)

@@ -99,16 +99,24 @@ class PolygonIndexStage:
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
         cells = geo.cell_encode(lon, lat, self.res)
-        # bucket points by candidate polygon, then one vectorized PIP
-        # pass per polygon over just its candidate points
-        cand_points: dict[int, list[int]] = {}
-        for row, c in enumerate(cells.tolist()):
-            for pi in self.index.get(c, ()):
-                cand_points.setdefault(pi, []).append(row)
+        # group points by cell (one argsort), walk only the distinct
+        # cells present — no per-row Python loop
+        order = np.argsort(cells, kind="stable")
+        sc = cells[order]
+        uniq, starts = np.unique(sc, return_index=True)
+        bounds = np.append(starts, len(sc))
+        cand_points: dict[int, list[np.ndarray]] = {}
+        for i, c in enumerate(uniq.tolist()):
+            plist = self.index.get(c)
+            if not plist:
+                continue
+            rows = order[bounds[i] : bounds[i + 1]]
+            for pi in plist:
+                cand_points.setdefault(pi, []).append(rows)
         out_rows: list[np.ndarray] = []
         out_poly: list[np.ndarray] = []
-        for pi, rows in cand_points.items():
-            idx = np.asarray(rows, dtype=np.int64)
+        for pi, row_chunks in cand_points.items():
+            idx = np.concatenate(row_chunks)
             p = self.polys[pi]
             inside = geo.point_in_polygon(lon[idx], lat[idx], p["lon"], p["lat"])
             hit = idx[inside]
@@ -146,7 +154,7 @@ def pip_join(
                                    carry_cols=carry_cols),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 
@@ -314,13 +322,46 @@ def knn_join(
         fn_constructor_kwargs=dict(feats_ref=feats_ref, res=res, k=k, id_col=id_col),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 
 # ---------------------------------------------------------------------------
 # raster <-> vector tile cover
 # ---------------------------------------------------------------------------
+
+
+def bbox_cells(
+    lon: np.ndarray, lat: np.ndarray, halfw_deg: np.ndarray, halfh_deg: np.ndarray,
+    res: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized bbox -> covering cell explosion.
+
+    Returns (row_idx, cells): one entry per (input row, covered cell),
+    computed with pure integer arithmetic — no per-row Python loop.
+    """
+    n = float(1 << res)
+    x0 = np.clip(np.floor((lon - halfw_deg + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    x1 = np.clip(np.floor((lon + halfw_deg + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    y0 = np.clip(np.floor((lat - halfh_deg + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    y1 = np.clip(np.floor((lat + halfh_deg + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    nx = x1 - x0 + 1
+    ny = y1 - y0 + 1
+    counts = nx * ny
+    total = int(counts.sum())
+    row_idx = np.repeat(np.arange(len(lon)), counts)
+    # local index within each row's (nx x ny) grid
+    first = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    k = np.arange(total) - np.repeat(first, counts)
+    nyr = ny[row_idx]
+    dx = k // nyr
+    dy = k % nyr
+    cells = (
+        np.int64(res) * np.int64(geo.RES_SHIFT)
+        + (y0[row_idx] + dy) * np.int64(geo.Y_SHIFT)
+        + (x0[row_idx] + dx)
+    )
+    return row_idx, cells
 
 
 def tile_cover(
@@ -339,29 +380,9 @@ def tile_cover(
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
         w = batch[w_col].to_numpy(zero_copy_only=False).astype(np.float64)
         h = batch[h_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        n = float(1 << res)
-        halfw = w * deg_per_px / 2.0
-        halfh = h * deg_per_px / 2.0
-        x0 = np.clip(np.floor((lon - halfw + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
-        x1 = np.clip(np.floor((lon + halfw + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
-        y0 = np.clip(np.floor((lat - halfh + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
-        y1 = np.clip(np.floor((lat + halfh + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
-        counts = (x1 - x0 + 1) * (y1 - y0 + 1)
-        total = int(counts.sum())
-        row_idx = np.repeat(np.arange(len(lon)), counts)
-        cells = np.empty(total, dtype=np.int64)
-        pos = 0
-        for i in range(len(lon)):
-            xs = np.arange(x0[i], x1[i] + 1)
-            ys = np.arange(y0[i], y1[i] + 1)
-            gx, gy = np.meshgrid(xs, ys, indexing="ij")
-            m = counts[i]
-            cells[pos : pos + m] = (
-                np.int64(res) * np.int64(geo.RES_SHIFT)
-                + gy.ravel() * np.int64(geo.Y_SHIFT)
-                + gx.ravel()
-            )
-            pos += m
+        row_idx, cells = bbox_cells(
+            lon, lat, w * deg_per_px / 2.0, h * deg_per_px / 2.0, res
+        )
         return pa.table(
             {
                 id_col: pa.compute.take(batch[id_col], pa.array(row_idx)),
