@@ -45,12 +45,32 @@ def add_footprint(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-class AddCentroidDist:
+def add_centroid_dist(batch: pa.Table, cent_ref) -> pa.Table:
     """dist_m from each assigned point to its polygon's centroid —
-    broadcast centroid lookup, vectorized take, NO shuffle."""
+    broadcast centroid lookup (`ray.get` hits the local object store),
+    vectorized take, NO shuffle. A stateless task stage: cheap enough
+    that an actor pool would only steal CPUs from the PIP pool."""
+    cents = ray.get(cent_ref)  # {poly_id: (lon, lat)} — zero-copy local
+    ids = np.array(sorted(cents), dtype=np.int64)
+    clon = np.array([cents[i][0] for i in ids])
+    clat = np.array([cents[i][1] for i in ids])
+    pid = batch["poly_id"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(ids, pid)
+    d = geo.haversine_m(
+        batch["lon"].to_numpy(zero_copy_only=False),
+        batch["lat"].to_numpy(zero_copy_only=False),
+        clon[pos],
+        clat[pos],
+    )
+    return batch.append_column("dist_m", pa.array(np.round(d, 3)))
+
+
+class AddCentroidDist:
+    """Actor-pool variant of :func:`add_centroid_dist` (kept for
+    callers that prefer a pool); the function form is the default."""
 
     def __init__(self, cent_ref):
-        cents = ray.get(cent_ref)  # {poly_id: (lon, lat)}
+        cents = ray.get(cent_ref)
         ids = np.array(sorted(cents), dtype=np.int64)
         self.ids = ids
         self.clon = np.array([cents[i][0] for i in ids])
@@ -97,11 +117,10 @@ def assignments_pipeline(
     )
     cent_ref = ray.put(poly_centroids(polys))
     hits = hits.map_batches(
-        AddCentroidDist,
-        fn_constructor_kwargs=dict(cent_ref=cent_ref),
+        add_centroid_dist,
+        fn_kwargs=dict(cent_ref=cent_ref),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
     )
 
     # raster->vector: explode each assigned image onto its covering tile

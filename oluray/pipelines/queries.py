@@ -76,7 +76,10 @@ def q_latest_wins(sf_dir: str):
                             ascending=[True, False, False], kind="mergesort")
         return df.drop_duplicates("user_id", keep="first")
 
-    combined = ds.map_batches(lambda b: best(b), batch_format="pandas")
+    # large combiner batches: each block contributes <= |users| rows
+    # to the shuffle instead of |rows|
+    combined = ds.map_batches(lambda b: best(b), batch_format="pandas",
+                              batch_size=65536)
     out = combined.groupby("user_id").map_groups(best, batch_format="pandas")
     return out.select_columns(["user_id", "event_id", "event_type"])
 

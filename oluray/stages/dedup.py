@@ -152,23 +152,65 @@ def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
         fn_constructor_kwargs=dict(n_perm=n_perm, bands=bands, shingle_k=shingle_k),
         batch_format="pandas",
         concurrency=(1, concurrency),
-    )
+    ).materialize()
+    # materialize: band rows are consumed twice (bucket sizing + hot
+    # filter) and are ~24 bytes x bands per doc — far smaller than the
+    # text they derive from; pinning beats re-running the shingle pass
+    # (object store spills if needed)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # Almost every (band_id, band_hash) bucket is a singleton — a
+    # map_groups over all of them pays per-group overhead for nothing.
+    # Instead: (1) partial-aggregate bucket sizes (combiner shrinks
+    # the shuffle), (2) keep only buckets with >=2 docs (tiny), (3)
+    # semi-filter band rows to those buckets, (4) pair locally.
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["band_id", "band_hash"], as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    # partial counts per block, final merge on the driver: the partials
+    # are one row per (block, bucket) — tiny relative to the corpus.
+    # (Ray's multi-key groupby.aggregate pays ~2ms/group at this
+    # version — 80k LSH buckets made it the bottleneck, measured 145s
+    # vs <1s for this driver-side merge at sf0.1.)
+    partial_frames = [
+        b
+        for b in band_rows.map_batches(
+            partial_counts, batch_format="pandas", batch_size=65536
+        ).iter_batches(batch_format="pandas")
+    ]
+    if not partial_frames:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    sizes = (
+        pd.concat(partial_frames, ignore_index=True)
+        .groupby(["band_id", "band_hash"], as_index=False)["c"]
+        .sum()
+    )
+    hot = sizes[sizes["c"] > 1]
+    if hot.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    # composite key for the broadcast semi-filter
+    hot_keys = set((hot["band_id"].astype(np.int64) * (1 << 50) + hot["band_hash"]).tolist())
+    import ray as _ray
+
+    hot_ref = _ray.put(np.fromiter(hot_keys, dtype=np.int64))
+
+    def in_hot(t: pa.Table) -> pa.Table:
+        keys = (
+            t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64) * (1 << 50)
+            + t["band_hash"].to_numpy(zero_copy_only=False)
+        )
+        mask = np.isin(keys, _ray.get(hot_ref))
+        return t.filter(pa.array(mask))
+
+    collided = band_rows.map_batches(in_hot, batch_format="pyarrow").to_pandas()
+    out_a, out_b = [], []
+    for _, g in collided.groupby(["band_id", "band_hash"]):
         ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        out_a, out_b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 out_a.append(ids[i])
                 out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
-
-    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    cand_df = cand.to_pandas().drop_duplicates()  # candidate set is small post-LSH
+    cand_df = pd.DataFrame({"doc_a": out_a, "doc_b": out_b}).drop_duplicates()
     if cand_df.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
     need = sorted(set(cand_df["doc_a"]) | set(cand_df["doc_b"]))

@@ -69,7 +69,8 @@ def merge_latest_wins(changes: ray.data.Dataset) -> ray.data.Dataset:
             _best_per_key(batch.to_pandas()), schema=batch.schema, preserve_index=False
         )
 
-    combined = changes.map_batches(combine, batch_format="pyarrow")
+    combined = changes.map_batches(combine, batch_format="pyarrow",
+                                   batch_size=65536)
     return combined.groupby(["kind", "id"]).map_groups(
         _best_per_key, batch_format="pandas"
     )

@@ -94,29 +94,52 @@ class PolygonIndexStage:
         self.id_col, self.lon_col, self.lat_col = id_col, lon_col, lat_col
         self.carry_cols = carry_cols
         self.index = build_polygon_index(self.polys, res)
+        # CSR view of the cell->polys index for vectorized lookup:
+        # sorted cell array + offsets into a flat poly-id array
+        cells_sorted = np.array(sorted(self.index), dtype=np.int64)
+        offs = np.zeros(len(cells_sorted) + 1, dtype=np.int64)
+        flat: list[int] = []
+        for i, c in enumerate(cells_sorted.tolist()):
+            flat.extend(self.index[c])
+            offs[i + 1] = len(flat)
+        self.idx_cells = cells_sorted
+        self.idx_offs = offs
+        self.idx_polys = np.array(flat, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
         cells = geo.cell_encode(lon, lat, self.res)
-        # group points by cell (one argsort), walk only the distinct
-        # cells present — no per-row Python loop
-        order = np.argsort(cells, kind="stable")
-        sc = cells[order]
-        uniq, starts = np.unique(sc, return_index=True)
-        bounds = np.append(starts, len(sc))
-        cand_points: dict[int, list[np.ndarray]] = {}
-        for i, c in enumerate(uniq.tolist()):
-            plist = self.index.get(c)
-            if not plist:
-                continue
-            rows = order[bounds[i] : bounds[i + 1]]
-            for pi in plist:
-                cand_points.setdefault(pi, []).append(rows)
+        # fully vectorized candidate generation: binary-search each
+        # point's cell in the CSR index, expand to (row, poly) pairs
+        pos = np.searchsorted(self.idx_cells, cells)
+        pos_c = np.minimum(pos, len(self.idx_cells) - 1) if len(self.idx_cells) else pos
+        valid = (
+            (pos < len(self.idx_cells)) & (self.idx_cells[pos_c] == cells)
+            if len(self.idx_cells)
+            else np.zeros(len(cells), dtype=bool)
+        )
+        vrows = np.nonzero(valid)[0]
+        vpos = pos[vrows]
+        counts = self.idx_offs[vpos + 1] - self.idx_offs[vpos]
+        pair_rows = np.repeat(vrows, counts)
+        # flat poly indices per pair: offsets + within-cell position
+        first = np.concatenate(([0], np.cumsum(counts)[:-1])) if len(counts) else counts
+        k = (
+            np.arange(int(counts.sum())) - np.repeat(first, counts)
+            if len(counts)
+            else np.array([], dtype=np.int64)
+        )
+        pair_polys = self.idx_polys[np.repeat(self.idx_offs[vpos], counts) + k]
+        # refine per polygon (few polygons, vectorized over its points)
         out_rows: list[np.ndarray] = []
         out_poly: list[np.ndarray] = []
-        for pi, row_chunks in cand_points.items():
-            idx = np.concatenate(row_chunks)
+        order = np.argsort(pair_polys, kind="stable")
+        sp = pair_polys[order]
+        uniq, starts = np.unique(sp, return_index=True)
+        bounds = np.append(starts, len(sp))
+        for i, pi in enumerate(uniq.tolist()):
+            idx = pair_rows[order[bounds[i] : bounds[i + 1]]]
             p = self.polys[pi]
             inside = geo.point_in_polygon(lon[idx], lat[idx], p["lon"], p["lat"])
             hit = idx[inside]
@@ -141,20 +164,54 @@ class PolygonIndexStage:
         return pa.table(cols)
 
 
+# process-local index cache: Ray worker processes are long-lived and
+# run many tasks, so a stateless-task PIP join can still amortize the
+# index build (83ms for 64 polygons) across every task the worker
+# runs — without paying actor-pool cold-start (~2s x pool size) per
+# pipeline execution. Keyed by the broadcast ObjectRef hex.
+_PIP_STAGE_CACHE: dict = {}
+
+
+def _pip_task(batch: pa.Table, polys_ref, res, id_col, carry_cols) -> pa.Table:
+    key = (polys_ref.hex(), res, id_col, tuple(carry_cols))
+    stage = _PIP_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = PolygonIndexStage(
+            polys_ref, res=res, id_col=id_col, carry_cols=tuple(carry_cols)
+        )
+        _PIP_STAGE_CACHE.clear()  # hold at most one index per worker
+        _PIP_STAGE_CACHE[key] = stage
+    return stage(batch)
+
+
 def pip_join(
     points: ray.data.Dataset, polys: pa.Table, res: int = 8,
-    id_col: str = "image_id", concurrency: int = 4, batch_size: int = 32768,
-    carry_cols: tuple[str, ...] = (),
+    id_col: str = "image_id", concurrency: int | tuple | None = None,
+    batch_size: int = 32768, carry_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
-    """points x polygons containment join (cell prefilter + exact PIP)."""
+    """points x polygons containment join (cell prefilter + exact PIP).
+
+    Default: stateless tasks with a process-local memoized index
+    (cheap init, elastic, no pool cold-start). Pass `concurrency` to
+    force an actor pool instead — appropriate when the polygon set is
+    big enough that the index build must be strictly once-per-worker.
+    """
     polys_ref = ray.put(polygons_to_numpy(polys))
+    if concurrency is None:
+        return points.map_batches(
+            _pip_task,
+            fn_kwargs=dict(polys_ref=polys_ref, res=res, id_col=id_col,
+                           carry_cols=carry_cols),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return points.map_batches(
         PolygonIndexStage,
         fn_constructor_kwargs=dict(polys_ref=polys_ref, res=res, id_col=id_col,
                                    carry_cols=carry_cols),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=concurrency,
     )
 
 
@@ -217,6 +274,128 @@ class KnnStage:
         for i, c in enumerate(uniq):
             self.buckets[int(c)] = order[bounds[i] : bounds[i + 1]]
         self.brute = len(self.fid) <= 64
+        # k=1..k fast path: precompute, per GRID cell, a candidate set
+        # guaranteed to contain every point-in-cell's true k nearest
+        # (corner-distance bound), stored as CSR over flat cell index.
+        # Only for small grids (res <= 8) — coarse IVF cells.
+        # 3D unit vectors: kNN COMPARES by squared chord length
+        # (monotonic in great-circle distance — ~6 flops/pair instead
+        # of ~10 transcendentals); exact haversine only on winners
+        rl = np.radians(self.flat)
+        rg = np.radians(self.flon)
+        self.fx = np.cos(rl) * np.cos(rg)
+        self.fy = np.cos(rl) * np.sin(rg)
+        self.fz = np.sin(rl)
+        self.pre_offs = None
+        if not self.brute and res <= 8:
+            self._precompute_cell_candidates()
+
+    def _precompute_cell_candidates(self) -> None:
+        n = self.n_grid
+        offs = np.zeros(n * n + 1, dtype=np.int64)
+        cand_lists: list[np.ndarray] = []
+        total = 0
+        # cell corner lon/lat grids
+        for cy in range(n):
+            lat0 = -90.0 + 180.0 * cy / n
+            lat1 = lat0 + 180.0 / n
+            for cx in range(n):
+                lon0 = -180.0 + 360.0 * cx / n
+                lon1 = lon0 + 360.0 / n
+                ring = 0
+                S = np.array([], dtype=np.int64)
+                while len(S) < self.k and ring <= self.MAX_PROBE_RING:
+                    S = self._gather_rect(cx, cy, ring, ring)
+                    ring += 1
+                if len(S) < self.k:
+                    S = np.arange(len(self.fid))
+                # bound: k-th smallest of max-corner distances
+                clon = np.array([lon0, lon0, lon1, lon1])
+                clat = np.array([lat0, lat1, lat0, lat1])
+                dmax = np.max(
+                    geo.haversine_m(
+                        np.repeat(self.flon[S], 4), np.repeat(self.flat[S], 4),
+                        np.tile(clon, len(S)), np.tile(clat, len(S)),
+                    ).reshape(len(S), 4),
+                    axis=1,
+                )
+                D = np.partition(dmax, self.k - 1)[self.k - 1]
+                ry = int(np.ceil(D / self.cell_h_m)) + 1
+                lat_edge = min(89.0, max(abs(lat0), abs(lat1)) + ry * 180.0 / n)
+                cosl = max(np.cos(np.radians(lat_edge)), 0.02)
+                rx = int(np.ceil(D / (self.cell_w_deg * _M_PER_DEG * cosl))) + 1
+                cand = self._gather_rect(cx, cy, rx, ry)
+                if len(cand) < self.k:
+                    cand = np.arange(len(self.fid))
+                elif len(cand) > self.k:
+                    # prune: f can be in some point's top-k only if
+                    # dist(f, cell) <= D; dist(f, cell) >=
+                    # min_corner_dist(f) - diag/2 => keep f with
+                    # min_corner_dist <= D + diag/2
+                    dmin_c = np.min(
+                        geo.haversine_m(
+                            np.repeat(self.flon[cand], 4),
+                            np.repeat(self.flat[cand], 4),
+                            np.tile(clon, len(cand)), np.tile(clat, len(cand)),
+                        ).reshape(len(cand), 4),
+                        axis=1,
+                    )
+                    diag = geo.haversine_m(
+                        np.array([lon0]), np.array([lat0]),
+                        np.array([lon1]), np.array([lat1]),
+                    )[0]
+                    keep = dmin_c <= D + diag / 2.0
+                    if keep.sum() >= self.k:
+                        cand = cand[keep]
+                cand_lists.append(cand)
+                total += len(cand)
+                offs[cy * n + cx + 1] = total
+        self.pre_offs = offs
+        self.pre_cands = (
+            np.concatenate(cand_lists) if cand_lists else np.array([], dtype=np.int64)
+        )
+
+    def _knn_vectorized(self, lon: np.ndarray, lat: np.ndarray):
+        """Fully vectorized exact kNN via the precomputed per-cell CSR."""
+        n = self.n_grid
+        _, x, y = geo.cell_decode(geo.cell_encode(lon, lat, self.res))
+        flat_cell = y * n + x
+        counts = self.pre_offs[flat_cell + 1] - self.pre_offs[flat_cell]
+        npts = len(lon)
+        pair_pt = np.repeat(np.arange(npts), counts)
+        first = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        kk = np.arange(int(counts.sum())) - np.repeat(first, counts)
+        pair_f = self.pre_cands[np.repeat(self.pre_offs[flat_cell], counts) + kk]
+        # squared chord comparison metric (monotonic with distance)
+        rl = np.radians(lat)
+        rg = np.radians(lon)
+        cl = np.cos(rl)
+        px, py, pz = cl * np.cos(rg), cl * np.sin(rg), np.sin(rl)
+        dx = px[pair_pt] - self.fx[pair_f]
+        dy = py[pair_pt] - self.fy[pair_f]
+        dz = pz[pair_pt] - self.fz[pair_f]
+        d = dx * dx + dy * dy + dz * dz
+        seg_first = first
+        if self.k == 1:
+            # sort-free segmented argmin: two reduceats instead of a
+            # 3-key lexsort over the pair array
+            dmin = np.minimum.reduceat(d, seg_first)
+            dmin_rep = np.repeat(dmin, counts)
+            f_masked = np.where(d == dmin_rep, pair_f, np.iinfo(np.int64).max)
+            fbest = np.minimum.reduceat(f_masked, seg_first)
+            idx = fbest.reshape(npts, 1)
+        else:
+            order = np.lexsort((pair_f, d, pair_pt))
+            rank_in_seg = np.arange(len(order)) - np.repeat(seg_first, counts)
+            keep = rank_in_seg < self.k
+            idx = pair_f[order[keep]].reshape(npts, self.k)
+        # exact haversine only on the winners (npts x k pairs)
+        flat_idx = idx.ravel()
+        dist = geo.haversine_m(
+            np.repeat(lon, self.k), np.repeat(lat, self.k),
+            self.flon[flat_idx], self.flat[flat_idx],
+        ).reshape(npts, self.k)
+        return idx, dist
 
     def _gather_rect(self, cx: int, cy: int, rx: int, ry: int) -> np.ndarray:
         """Feature indices in the cell rectangle |dx|<=rx (lon-wrapped),
@@ -286,6 +465,8 @@ class KnnStage:
         dist = np.empty((n, self.k), dtype=np.float64)
         if self.brute:
             idx, dist = knn_brute(lon, lat, self.flon, self.flat, self.k)
+        elif self.pre_offs is not None:
+            idx, dist = self._knn_vectorized(lon, lat)
         else:
             cells = geo.cell_encode(lon, lat, self.res)
             order = np.argsort(cells, kind="stable")
@@ -308,21 +489,46 @@ class KnnStage:
         )
 
 
+_KNN_STAGE_CACHE: dict = {}
+
+
+def _knn_task(batch: pa.Table, feats_ref, res, k, id_col) -> pa.Table:
+    key = (feats_ref.hex(), res, k, id_col)
+    stage = _KNN_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = KnnStage(feats_ref, res=res, k=k, id_col=id_col)
+        _KNN_STAGE_CACHE.clear()
+        _KNN_STAGE_CACHE[key] = stage
+    return stage(batch)
+
+
 def knn_join(
     points: ray.data.Dataset, feature_ids, feat_lon, feat_lat, k: int = 1,
-    res: int = 6, id_col: str = "image_id", concurrency: int = 4,
+    res: int = 6, id_col: str = "image_id", concurrency: int | tuple | None = None,
     batch_size: int = 32768,
 ) -> ray.data.Dataset:
+    """Nearest-feature join. Default: stateless tasks with a
+    process-local memoized bucket index (see pip_join); pass
+    `concurrency` for an explicit actor pool."""
     feats_ref = ray.put(
         (np.asarray(feature_ids, np.int64), np.asarray(feat_lon, np.float64),
          np.asarray(feat_lat, np.float64))
     )
+    if concurrency is None:
+        return points.map_batches(
+            _knn_task,
+            fn_kwargs=dict(feats_ref=feats_ref, res=res, k=k, id_col=id_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return points.map_batches(
         KnnStage,
         fn_constructor_kwargs=dict(feats_ref=feats_ref, res=res, k=k, id_col=id_col),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=concurrency
+        if isinstance(concurrency, tuple)
+        else (1, concurrency),
     )
 
 
