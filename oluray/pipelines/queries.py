@@ -436,12 +436,10 @@ def q_lsh_topk(sf_dir: str):
     return ann.lsh_topk(emb, qids, qm, k=ANN_K, n_bits=6, n_probe_bits=2)
 
 
-def q_image_decode(sf_dir: str):
-    """Multimodal plumbing: synthesize a deterministic image per doc,
-    decode through the actor-pool stage, emit stats. Rows-only (pixel
-    decode is not expressible in SQL)."""
+def _synth_images(sf_dir: str):
+    """Deterministic image per documents row (the payload-table synth
+    path shared by the decode/resize multimodal queries)."""
     from oluray.sources import fixtures
-    from oluray.stages.image import DecodeStats
 
     docs = _read(sf_dir, "documents", ["doc_id"])
 
@@ -469,10 +467,138 @@ def q_image_decode(sf_dir: str):
             }
         )
 
-    images = docs.map_batches(synth, batch_format="pyarrow", batch_size=256)
+    return docs.map_batches(synth, batch_format="pyarrow", batch_size=256)
+
+
+def q_image_decode(sf_dir: str):
+    """Multimodal plumbing: synthesize a deterministic image per doc,
+    decode through the actor-pool stage, emit stats. Rows-only (pixel
+    decode is not expressible in SQL)."""
+    from oluray.stages.image import DecodeStats
+
+    images = _synth_images(sf_dir)
     return images.map_batches(
         DecodeStats, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
     ).select_columns(["image_id", "w", "h", "mean_px", "phash_decoded"])
+
+
+# ---------------------------------------------------------------------------
+# stream-shaped operators (windows / as-of / sessions) — Ray Data has
+# no event-time windowing; these follow the ordered-log pattern:
+# partition by key, order by (ts, event_id) inside the group
+# ---------------------------------------------------------------------------
+
+
+def q_window_hourly(sf_dir: str):
+    """Tumbling 1h window per user: count + sum(value) as cents."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["user_id", "hour"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = ev.map_batches(partial, batch_format="pyarrow", batch_size=65536).groupby(
+        ["user_id", "hour"]
+    ).aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "hour": df["hour"],
+                "n": df["n"].astype("int64"),
+                "sum_value_cents": np.round(df["sum_value"] * 100).astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each event matched to the latest order date of the
+    same customer at-or-before the event time (broadcast right side +
+    per-key searchsorted — no shuffle)."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).to_pandas()
+    per_cust = {
+        int(k): np.sort(g["o_orderdate"].to_numpy().astype("datetime64[us]"))
+        for k, g in orders.groupby("o_custkey")
+    }
+    import ray as _ray
+
+    ref = _ray.put(per_cust)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        df = batch.to_pandas()
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        out = np.full(len(df), np.datetime64("NaT", "us"))
+        for cust, grp_idx in df.groupby("user_id").groups.items():
+            dates = m.get(int(cust))
+            if dates is None:
+                continue
+            idx = np.asarray(grp_idx)
+            pos = np.searchsorted(dates, ts[idx], side="right") - 1
+            ok = pos >= 0
+            out[idx[ok]] = dates[pos[ok]]
+        res = pd.DataFrame(
+            {"event_id": df["event_id"], "user_id": df["user_id"], "last_order": out}
+        )
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return ev.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user: one row per
+    session with start ts + event count. Ordered-log pattern:
+    groupby(user).map_groups over (ts, event_id)-sorted events."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sess = gap.cumsum()
+        out = g.groupby(sess).agg(
+            session_start=("ts", "min"), n=("event_id", "size")
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        out["n"] = out["n"].astype("int64")
+        return out[["user_id", "session_start", "n"]].reset_index(drop=True)
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_cosine_pairs(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (rows-only; LSH-bucketed
+    with exact within-bucket verify)."""
+    # threshold 0.3: the synthetic embeddings are near-orthogonal
+    # random vectors, so a production-style 0.95 threshold matches
+    # nothing — 0.3 (~2.4 sigma for 64 dims) yields a real pair set
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.cosine_near_dup_pairs(emb, threshold=0.3, n_bits=3, concurrency=4)
+
+
+def q_thumbnails(sf_dir: str):
+    """Multimodal resize stage over synthesized images (rows-only):
+    decode -> nearest-neighbor 16x16 -> re-encode PNG."""
+    from oluray.stages.image import Resize
+
+    images = _synth_images(sf_dir)
+    return images.map_batches(
+        Resize, fn_constructor_kwargs=dict(out_w=16, out_h=16),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -625,6 +751,34 @@ ORACLE: dict[str, str] = {
     """,
     "langid": f"SELECT doc_id, {text.langid_sql()} FROM documents",
     "ann_topk": _ann_sql(),
+    "window_hourly": """
+        SELECT user_id, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n,
+               round(sum(value) * 100)::BIGINT AS sum_value_cents
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "asof_join": """
+        SELECT e.event_id, e.user_id, max(o.o_orderdate) AS last_order
+        FROM events e LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id, e.user_id
+    """,
+    "sessionize": """
+        SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n
+        FROM (
+          SELECT user_id, ts, event_id,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS sess
+          FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events))
+        GROUP BY user_id, sess
+    """,
 }
 
 QUERIES = {
@@ -649,10 +803,15 @@ QUERIES = {
     "quality": q_quality,
     "langid": q_langid,
     "ann_topk": q_ann_topk,
-    # rows-only (no SQL-expressible oracle): sketches, LSH, image decode
+    "window_hourly": q_window_hourly,
+    "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
+    # rows-only (no SQL-expressible oracle): sketches, LSH, image ops
     "fingerprint": q_fingerprint,
     "simhash": q_simhash,
     "minhash_pairs": q_minhash_pairs,
     "lsh_topk": q_lsh_topk,
+    "cosine_pairs": q_cosine_pairs,
     "image_decode": q_image_decode,
+    "thumbnails": q_thumbnails,
 }

@@ -1,0 +1,201 @@
+"""OsmChange ingestion, XML codecs, and the full update pipeline,
+mirroring the reference's unit-test layers
+(`/root/reference/tests/util/XmlReader.cpp`, `tests/util/URLHelper.cpp`,
+`tests/osm/{Node,Way,Relation}.cpp`) plus an end-to-end apply-update
+check against a brute-force oracle."""
+
+import gzip
+
+import numpy as np
+import pytest
+import ray.data
+
+from oluray.functions import xmlcodec as xc
+from oluray.pipelines import update
+from oluray.sources import fixtures, osc
+
+
+# --- XML codec (M6/M7) -----------------------------------------------------
+
+
+def test_xml_encode_decode_roundtrip():
+    s = 'a&b<c>d"e\'f\ng\rh\ti'
+    enc = xc.xml_encode(s)
+    assert "&" not in enc.replace("&amp;", "").replace("&lt;", "").replace(
+        "&gt;", ""
+    ).replace("&quot;", "").replace("&apos;", "").replace("&#10;", "").replace(
+        "&#13;", ""
+    ).replace("&#9;", "")
+    assert xc.xml_decode(enc) == s
+
+
+def test_sanitize_is_level_stable():
+    once = xc.xml_encode("a&b")
+    # already-encoded input stays single-encoded (reference behavior:
+    # decode one level, re-encode — `src/util/XmlReader.cpp:122-137`)
+    assert xc.sanitize(once) == once
+    assert xc.sanitize("a&b") == once
+
+
+# --- WKT + 7dp (M8) --------------------------------------------------------
+
+
+def test_wkt_parse_and_format():
+    lon, lat = xc.parse_wkt_point("POINT(13.3777049 52.5162746)")
+    assert (lon, lat) == (13.3777049, 52.5162746)
+    assert xc.wkt_point(13.3777049, 52.5162746) == "POINT(13.3777049 52.5162746)"
+    assert xc.format_coord(1.5) == "1.5000000"  # exactly 7 dp
+    with pytest.raises(ValueError):
+        xc.parse_wkt_point("POINT(13.377)")
+
+
+# --- canonical serializers (M9) --------------------------------------------
+
+
+def test_node_way_relation_xml():
+    n = xc.node_xml(1, 13.3777049, 52.5162746, ts_ms=1727704386000)
+    assert 'lat="52.5162746"' in n and 'lon="13.3777049"' in n
+    assert 'timestamp="2024-09-30T13:53:06Z"' in n
+    w = xc.way_xml(2, [10, 20], [("highway", "a&b")])
+    assert w.index('ref="10"') < w.index('ref="20"')  # position order
+    assert 'v="a&amp;b"' in w
+    r = xc.relation_xml(3, [{"ref": 2, "type": "way", "role": "outer"},
+                            {"ref": 1, "type": "node", "role": ""}])
+    assert r.index('ref="2"') < r.index('ref="1"')
+    assert 'role=""' in r
+
+
+# --- sequence/state helpers (M13/S2/O4) ------------------------------------
+
+
+def test_seq_path_formatting():
+    assert osc.seq_path(6291) == "000/006/291"
+    assert osc.seq_path(123456789) == "123/456/789"
+    with pytest.raises(ValueError):
+        osc.seq_path(-1)
+    with pytest.raises(ValueError):
+        osc.seq_path(1234567890)
+
+
+def test_parse_state():
+    txt = "#Sat Sep 07\nsequenceNumber=6291\ntimestamp=2024-09-07T20\\:21\\:25Z\n"
+    st = osc.parse_state(txt)
+    assert st["sequence"] == 6291
+    assert st["timestamp"] == "2024-09-07T20:21:25Z"
+    with pytest.raises(ValueError):
+        osc.parse_state("nonsense")
+
+
+def test_sequence_for_timestamp():
+    states = [
+        {"sequence": s, "timestamp": f"2024-09-0{d}T00:00:00Z"}
+        for s, d in [(1, 1), (2, 3), (3, 5), (4, 7)]
+    ]
+    assert osc.sequence_for_timestamp(states, "2024-09-04T00:00:00Z") == 2
+    assert osc.sequence_for_timestamp(states, "2024-09-07T00:00:00Z") == 4
+    with pytest.raises(ValueError):
+        osc.sequence_for_timestamp(states, "2024-08-31T00:00:00Z")
+
+
+# --- OsmChange parse (S5) + roundtrip --------------------------------------
+
+
+def _sample_rows():
+    tbl = fixtures.make_changes(8, seed=42)
+    return tbl.to_pylist()
+
+
+def test_osc_write_parse_roundtrip():
+    rows = _sample_rows()
+    xml = osc.write_osc(rows)
+    back = osc.parse_osc_bytes(xml.encode())
+    assert len(back) == len(rows)
+    key = lambda r: (r["kind"], r["id"], r["version"], r["op"])
+    for a, b in zip(sorted(rows, key=key), sorted(back, key=key)):
+        assert (a["op"], a["kind"], a["id"], a["version"]) == (
+            b["op"], b["kind"], b["id"], b["version"])
+        pa_, pb = a["payload"], b["payload"]
+        if pa_ and pa_.get("nd_refs"):
+            assert pb["nd_refs"] == pa_["nd_refs"]
+        if pa_ and pa_.get("tags"):
+            assert dict(pb["tags"]) == dict(pa_["tags"])  # incl. XML entities
+        if pa_ and pa_.get("members"):
+            assert pb["members"] == pa_["members"]
+
+
+def test_osc_gzip_and_read_osc(tmp_path):
+    rows = _sample_rows()
+    xml = osc.write_osc(rows).encode()
+    (tmp_path / "001.osc").write_bytes(xml)
+    (tmp_path / "002.osc.gz").write_bytes(gzip.compress(xml))
+    ds = osc.read_osc([str(tmp_path / "001.osc"), str(tmp_path / "002.osc.gz")])
+    assert ds.count() == 2 * len(rows)
+
+
+def test_decompress_magic():
+    assert osc.decompress(b"plain") == b"plain"
+    assert osc.decompress(gzip.compress(b"xyz")) == b"xyz"
+    import bz2
+
+    assert osc.decompress(bz2.compress(b"xyz")) == b"xyz"
+
+
+# --- full apply-update pipeline --------------------------------------------
+
+
+def test_apply_update_end_to_end():
+    nodes, ways, rels = fixtures.make_snapshot(200, seed=42)
+    changes = fixtures.make_changes(30, seed=42)
+    out = update.apply_update(
+        ray.data.from_arrow(nodes),
+        ray.data.from_arrow(ways),
+        ray.data.from_arrow(rels),
+        ray.data.from_arrow(changes),
+    )
+    # oracle: latest-wins per (kind, id)
+    rows = changes.to_pylist()
+    best: dict = {}
+    for r in rows:
+        k = (r["kind"], r["id"])
+        cand = (r["version"], r["op"] == "delete", r["ts"])
+        if k not in best or cand > (best[k]["version"], best[k]["op"] == "delete", best[k]["ts"]):
+            best[k] = r
+    node_gone = {i for (k, i), r in best.items() if k == "node" and r["op"] in ("modify", "delete")}
+    node_new = {i: r for (k, i), r in best.items() if k == "node" and r["op"] in ("create", "modify")}
+    snap_ids = set(nodes["id"].to_pylist())
+    expected_node_ids = (snap_ids - node_gone) | set(node_new)
+    got_nodes = out["nodes"].to_pandas()
+    assert set(got_nodes["id"]) == expected_node_ids
+    assert not got_nodes["id"].duplicated().any()
+
+    # modified nodes' new payload present
+    for nid, r in node_new.items():
+        row = got_nodes[got_nodes["id"] == nid].iloc[0]
+        assert row["lon"] == r["payload"]["lon"]
+
+    # impacted ways: reference-closure oracle on the NEW ways table
+    new_ways = out["ways"].to_pandas()
+    mod_nodes = {i for (k, i), r in best.items() if k == "node" and r["op"] in ("modify", "delete")}
+    way_in_cf = {i for (k, i), r in best.items() if k == "way"}
+    oracle_ways = sorted(
+        int(w["id"]) for _, w in new_ways.iterrows()
+        if any(r in mod_nodes for r in (w["nd_refs"] if w["nd_refs"] is not None else []))
+        and int(w["id"]) not in way_in_cf
+    )
+    assert out["impacted_ways"].tolist() == oracle_ways
+
+    # geo delta covers created/modified nodes and touched ways, with
+    # correct centroid for one checked way
+    gd = out["geo_delta"].to_pandas()
+    assert set(gd[gd["kind"] == "node"]["id"]) == set(node_new)
+    touched = set(oracle_ways) | {i for (k, i), r in best.items() if k == "way" and r["op"] in ("create", "modify")}
+    node_loc = {int(r["id"]): (r["lon"], r["lat"]) for _, r in got_nodes.iterrows()}
+    way_rows = gd[gd["kind"] == "way"]
+    assert set(way_rows["id"]) <= touched
+    for _, wrow in way_rows.head(5).iterrows():
+        refs = new_ways[new_ways["id"] == wrow["id"]]["nd_refs"].iloc[0]
+        pts = [node_loc[r] for r in refs if r in node_loc]
+        assert abs(np.mean([p[0] for p in pts]) - wrow["lon"]) < 1e-12
+
+    counts = out["counts"].to_pandas()
+    assert counts["count()"].sum() == len(best)
