@@ -283,9 +283,13 @@ class KnnStage:
         # of ~10 transcendentals); exact haversine only on winners
         rl = np.radians(self.flat)
         rg = np.radians(self.flon)
-        self.fx = np.cos(rl) * np.cos(rg)
-        self.fy = np.cos(rl) * np.sin(rg)
-        self.fz = np.sin(rl)
+        # float32: comparison-only precision (winner selection); a
+        # flip needs two features within ~1e-7 relative chord of a
+        # point — measure-zero for continuous inputs. Exact distances
+        # are recomputed in float64 haversine on the winners.
+        self.fx = (np.cos(rl) * np.cos(rg)).astype(np.float32)
+        self.fy = (np.cos(rl) * np.sin(rg)).astype(np.float32)
+        self.fz = np.sin(rl).astype(np.float32)
         self.pre_offs = None
         if not self.brute and res <= 8:
             self._precompute_cell_candidates()
@@ -362,15 +366,19 @@ class KnnStage:
         flat_cell = y * n + x
         counts = self.pre_offs[flat_cell + 1] - self.pre_offs[flat_cell]
         npts = len(lon)
-        pair_pt = np.repeat(np.arange(npts), counts)
+        pair_pt = np.repeat(np.arange(npts, dtype=np.int32), counts)
         first = np.concatenate(([0], np.cumsum(counts)[:-1]))
         kk = np.arange(int(counts.sum())) - np.repeat(first, counts)
-        pair_f = self.pre_cands[np.repeat(self.pre_offs[flat_cell], counts) + kk]
+        pair_f = self.pre_cands[np.repeat(self.pre_offs[flat_cell], counts) + kk].astype(
+            np.int32
+        )
         # squared chord comparison metric (monotonic with distance)
         rl = np.radians(lat)
         rg = np.radians(lon)
         cl = np.cos(rl)
-        px, py, pz = cl * np.cos(rg), cl * np.sin(rg), np.sin(rl)
+        px = (cl * np.cos(rg)).astype(np.float32)
+        py = (cl * np.sin(rg)).astype(np.float32)
+        pz = np.sin(rl).astype(np.float32)
         dx = px[pair_pt] - self.fx[pair_f]
         dy = py[pair_pt] - self.fy[pair_f]
         dz = pz[pair_pt] - self.fz[pair_f]

@@ -90,41 +90,73 @@ def write_partition(table, out_dir: str, part: str) -> str:
 def write_partitioned_resumable(
     ds, out_dir: str, window_id: str, part_col: str = "part",
 ) -> Manifest:
-    """Consume a Dataset partitioned on `part_col`, writing one atomic
-    directory per partition value and checkpointing each in the
-    manifest. Finished partitions (same window) are skipped on rerun.
+    """Distributed resumable sink: `ds.write_parquet(partition_cols=
+    [part_col])` — workers write hive-style `part=<value>/` dirs in
+    parallel (no driver-side row funnel) — plus a manifest that makes
+    the whole thing idempotent per window:
 
-    Streaming: iterates `iter_batches` and flushes per partition value;
-    assumes the dataset was hash/sort-partitioned on `part_col`
-    upstream (`ds.sort(part_col)` or `repartition`) so each partition's
-    rows arrive contiguously — the partitioning assumption this sink
-    relies on.
+    1. stale cleanup: any on-disk partition dir NOT marked done in the
+       current window's manifest is deleted (delete-then-insert — the
+       reference's idempotence, `src/osm/OsmChangeHandler.cpp:101-103`);
+    2. rows whose partition is already done are filtered out BEFORE
+       the write (broadcast key set, no shuffle);
+    3. after the write, per-partition row counts come from the parquet
+       footers and each partition is checkpointed with lineage +
+       throughput metrics.
     """
+    import glob as _glob
+
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     man = Manifest.load_or_create(out_dir, window_id)
+    man.save()
     done_parts = {p for p in man.partitions if man.is_done(p)}
-    pending: dict[str, list[pa.Table]] = {}
-    t_start: dict[str, float] = {}
 
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        if batch.num_rows == 0:
+    # 1. delete-then-insert: remove stale (not-done) partition dirs
+    for d in _glob.glob(os.path.join(out_dir, f"{part_col}=*")):
+        key = os.path.basename(d).split("=", 1)[1]
+        if key not in done_parts:
+            shutil.rmtree(d)
+
+    # 2. skip finished partitions (broadcast filter)
+    if done_parts:
+        import ray as _ray
+
+        done_ref = _ray.put(np.array(sorted(int(p) for p in done_parts), np.int64))
+
+        def not_done(t: pa.Table) -> pa.Table:
+            keys = _ray.get(done_ref)
+            mask = pc.invert(
+                pc.is_in(t[part_col], value_set=pa.array(keys, t[part_col].type))
+            )
+            return t.filter(mask)
+
+        ds = ds.map_batches(not_done, batch_format="pyarrow")
+
+    # 3. parallel write + checkpoint from the footers
+    t0 = time.perf_counter()
+    ds.write_parquet(out_dir, partition_cols=[part_col])
+    wall = max(time.perf_counter() - t0, 1e-9)
+    new_parts: dict[str, int] = {}
+    for d in _glob.glob(os.path.join(out_dir, f"{part_col}=*")):
+        key = os.path.basename(d).split("=", 1)[1]
+        if key in done_parts:
             continue
-        import pyarrow.compute as pc
-
-        for part in pc.unique(batch[part_col]).to_pylist():
-            key = str(part)
-            if key in done_parts:
-                continue
-            sub = batch.filter(pc.equal(batch[part_col], part))
-            pending.setdefault(key, []).append(sub)
-            t_start.setdefault(key, time.perf_counter())
-
-    for key, tables in pending.items():
-        tbl = pa.concat_tables(tables)
-        write_partition(tbl, out_dir, key)
+        rows = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(d, "*.parquet"))
+        )
+        new_parts[key] = rows
+    total_rows = sum(new_parts.values())
+    for key, rows in new_parts.items():
+        # wall time attributed pro-rata (partitions are written
+        # concurrently inside one distributed write)
+        frac = rows / total_rows if total_rows else 0.0
         man.mark_done(
-            key, tbl.num_rows, time.perf_counter() - t_start[key],
+            key, rows, wall * frac,
             lineage={"window_id": window_id, "partition": key},
         )
     man.save()
