@@ -113,17 +113,37 @@ class MinHashBands:
         _perm_coeffs(n_perm)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, band_ids, band_hashes = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = minhash_signature(char_shingles(text, self.k), self.n_perm)
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
-                bh = int(hashlib.md5(chunk.tobytes()).hexdigest()[:15], 16)
-                doc_ids.append(doc_id)
-                band_ids.append(bi)
-                band_hashes.append(bh)
+        # vectorized across the whole batch: one (n_perm, total_shingles)
+        # affine transform + segmented min per doc, then arithmetic band
+        # folding — the only per-doc Python is the shingle extraction
+        if len(batch) == 0:
+            return pd.DataFrame({"doc_id": [], "band_id": [], "band_hash": []})
+        shingle_sets = [char_shingles(t, self.k) for t in batch["text"]]
+        counts = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+        flat = (
+            np.concatenate(shingle_sets) if shingle_sets else np.array([], np.uint64)
+        )
+        a, b = _perm_coeffs(self.n_perm)
+        s = flat % _MERSENNE
+        with np.errstate(over="ignore"):
+            m = (a[:, None] * s[None, :] + b[:, None]) % _MERSENNE
+        seg_first = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        sigs = np.minimum.reduceat(m, seg_first, axis=1)  # (n_perm, ndocs)
+        ndocs = len(counts)
+        # fold each band's rows into one 61-bit hash (vectorized)
+        folded = np.zeros((self.bands, ndocs), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(self.rows_per_band):
+                rows = sigs[np.arange(self.bands) * self.rows_per_band + r]
+                folded = (folded * np.uint64(1099511628211) + rows) % _MERSENNE
+        doc_ids = np.tile(batch["doc_id"].to_numpy(), self.bands)
+        band_ids = np.repeat(np.arange(self.bands, dtype=np.int64), ndocs)
         return pd.DataFrame(
-            {"doc_id": doc_ids, "band_id": band_ids, "band_hash": band_hashes}
+            {
+                "doc_id": doc_ids,
+                "band_id": band_ids,
+                "band_hash": folded.reshape(-1).astype(np.int64),
+            }
         )
 
 
