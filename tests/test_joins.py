@@ -1,0 +1,137 @@
+"""Hash-partitioned joins / group ops vs pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from oluray.stages import joins
+
+
+def _ds(df: pd.DataFrame, blocks: int = 3) -> ray.data.Dataset:
+    parts = np.array_split(df, blocks)
+    return ray.data.from_pandas([p.reset_index(drop=True) for p in parts])
+
+
+def test_partition_codes_deterministic_and_bounded():
+    df = pd.DataFrame({"k": np.arange(1000), "s": [f"x{i%7}" for i in range(1000)]})
+    a = joins.partition_codes(df, ["k"], 64)
+    b = joins.partition_codes(df, ["k"], 64)
+    assert (a == b).all() and a.min() >= 0 and a.max() < 64
+    c = joins.partition_codes(df, ["k", "s"], 16)
+    assert c.min() >= 0 and c.max() < 16
+    # same key value -> same partition regardless of row position
+    df2 = pd.DataFrame({"k": [5, 5, 9], "s": ["a", "a", "b"]})
+    c2 = joins.partition_codes(df2, ["k"], 64)
+    assert c2[0] == c2[1]
+
+
+def test_distinct_matches_pandas():
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"a": rng.integers(0, 50, 500), "b": rng.integers(0, 4, 500)})
+    got = joins.distinct(_ds(df), ["a", "b"], num_partitions=8).to_pandas()
+    exp = df.drop_duplicates(["a", "b"])
+    assert len(got) == len(exp)
+    assert set(map(tuple, got.to_numpy())) == set(map(tuple, exp.to_numpy()))
+
+
+def test_grouped_agg_sum_matches_pandas():
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"k": rng.integers(0, 200, 2000), "v": rng.integers(0, 100, 2000)})
+
+    def agg(g):
+        return g.groupby("k", as_index=False)["v"].sum()
+
+    got = (
+        joins.grouped_agg(_ds(df), ["k"], agg, num_partitions=8, combine_fn=agg)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = df.groupby("k", as_index=False)["v"].sum().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_hash_join_inner_matches_pandas():
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame(
+        {"id": rng.integers(0, 100, 300), "x": rng.standard_normal(300)}
+    )
+    right = pd.DataFrame(
+        {"id": np.arange(0, 80), "name": [f"n{i}" for i in range(80)]}
+    )
+    got = (
+        joins.hash_join(_ds(left), _ds(right, 2), on="id", num_partitions=8)
+        .to_pandas().sort_values(["id", "x"]).reset_index(drop=True)
+    )
+    exp = left.merge(right, on="id").sort_values(["id", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_hash_join_right_on_and_collision_suffix():
+    left = pd.DataFrame({"a": [1, 2, 3, 4], "v": [10, 20, 30, 40]})
+    right = pd.DataFrame({"b": [2, 3, 3, 9], "v": [200, 300, 301, 900]})
+    got = (
+        joins.hash_join(_ds(left, 2), _ds(right, 2), on="a", right_on="b",
+                        num_partitions=4)
+        .to_pandas().sort_values(["a", "v_r"]).reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right.rename(columns={"v": "v_r"}), left_on="a", right_on="b")
+        .drop(columns=["b"]).sort_values(["a", "v_r"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_hash_join_large_both_sides_beyond_broadcast():
+    """Both sides 'large' (no broadcast anywhere): row-count parity
+    with DuckDB on a many-to-many key join."""
+    rng = np.random.default_rng(10)
+    left = pd.DataFrame({"k": rng.integers(0, 500, 5000), "l": np.arange(5000)})
+    right = pd.DataFrame({"k": rng.integers(0, 500, 5000), "r": np.arange(5000)})
+    got = joins.hash_join(_ds(left, 5), _ds(right, 5), on="k", num_partitions=16)
+    n = got.count()
+    exp = left.merge(right, on="k")
+    assert n == len(exp)
+
+
+def test_asof_join_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(200),
+            "user_id": rng.integers(0, 10, 200),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, 200), unit="m"),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_custkey": rng.integers(0, 8, 100),  # users 8,9 have no orders
+            "o_date": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, 100), unit="m"),
+        }
+    )
+    got = (
+        joins.asof_join(
+            _ds(ev), _ds(orders, 2), by="user_id", right_by="o_custkey",
+            on="ts", right_on="o_date", out_col="last_order", num_partitions=4,
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    exp_vals = []
+    for row in ev.itertuples():
+        sub = orders[(orders["o_custkey"] == row.user_id) & (orders["o_date"] <= row.ts)]
+        exp_vals.append(sub["o_date"].max() if len(sub) else pd.NaT)
+    exp = ev.assign(last_order=pd.Series(exp_vals, dtype="datetime64[ns]")).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    got["last_order"] = got["last_order"].astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_pair_dedup():
+    pairs = pd.DataFrame(
+        {"doc_a": [1, 1, 2, 2, 1], "doc_b": [2, 2, 3, 3, 3], "w": [0.9, 0.9, 0.8, 0.8, 0.7]}
+    )
+    got = joins.pair_dedup(_ds(pairs, 2), ("doc_a", "doc_b"), num_partitions=4).to_pandas()
+    assert len(got) == 3
+    assert set(zip(got["doc_a"], got["doc_b"])) == {(1, 2), (2, 3), (1, 3)}
