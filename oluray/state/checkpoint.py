@@ -121,17 +121,18 @@ def write_partitioned_resumable(
         if key not in done_parts:
             shutil.rmtree(d)
 
-    # 2. skip finished partitions (broadcast filter)
+    # 2. skip finished partitions (broadcast filter). Manifest keys are
+    # hive-dir strings; they are cast to the partition column's NATIVE
+    # Arrow type per batch — an earlier version int()'d them and broke
+    # on any non-integer partition value (ADVICE r1)
     if done_parts:
         import ray as _ray
 
-        done_ref = _ray.put(np.array(sorted(int(p) for p in done_parts), np.int64))
+        done_ref = _ray.put(sorted(done_parts))
 
         def not_done(t: pa.Table) -> pa.Table:
-            keys = _ray.get(done_ref)
-            mask = pc.invert(
-                pc.is_in(t[part_col], value_set=pa.array(keys, t[part_col].type))
-            )
+            keys = pa.array(_ray.get(done_ref), pa.string()).cast(t[part_col].type)
+            mask = pc.invert(pc.is_in(t[part_col], value_set=keys))
             return t.filter(mask)
 
         ds = ds.map_batches(not_done, batch_format="pyarrow")

@@ -197,5 +197,63 @@ def test_apply_update_end_to_end():
         pts = [node_loc[r] for r in refs if r in node_loc]
         assert abs(np.mean([p[0] for p in pts]) - wrow["lon"]) < 1e-12
 
+    # relation geometry recompute (r2): impacted + created/modified
+    # relations get centroid delta rows computed from member node
+    # locations and member way centroids, in member-position order,
+    # missing members skipped (J7 missing-ok / J4 rel-of-rel skipped)
+    new_rels = out["relations"].to_pandas()
+    rel_in_cf = {i for (k, i), r in best.items() if k == "relation"}
+    touched_ways_all = touched
+    oracle_rels = set()
+    for _, rr in new_rels.iterrows():
+        members = rr["members"] if rr["members"] is not None else []
+        refs_n = {m["ref"] for m in members if m["type"] == "node"}
+        refs_w = {m["ref"] for m in members if m["type"] == "way"}
+        if int(rr["id"]) in rel_in_cf:
+            continue
+        if refs_n & mod_nodes or refs_w & touched_ways_all:
+            oracle_rels.add(int(rr["id"]))
+    assert set(out["impacted_relations"].tolist()) == oracle_rels
+    rel_created_mod = {
+        i for (k, i), r in best.items() if k == "relation" and r["op"] in ("create", "modify")
+    }
+    expected_rel_delta = set()
+    way_refs_map = {
+        int(w["id"]): (w["nd_refs"] if w["nd_refs"] is not None else [])
+        for _, w in new_ways.iterrows()
+    }
+
+    def way_centroid(wid):
+        pts = [node_loc[r] for r in way_refs_map.get(wid, []) if r in node_loc]
+        if not pts:
+            return None
+        return (np.mean([p[0] for p in pts]), np.mean([p[1] for p in pts]))
+
+    rel_oracle_cent = {}
+    for _, rr in new_rels.iterrows():
+        rid = int(rr["id"])
+        if rid not in (oracle_rels | rel_created_mod):
+            continue
+        pts = []
+        mem = rr["members"] if rr["members"] is not None else []
+        for m in mem:  # already pos order
+            if m["type"] == "node" and m["ref"] in node_loc:
+                pts.append(node_loc[m["ref"]])
+            elif m["type"] == "way":
+                c = way_centroid(int(m["ref"]))
+                if c is not None:
+                    pts.append(c)
+        if pts:
+            expected_rel_delta.add(rid)
+            rel_oracle_cent[rid] = (
+                np.mean([p[0] for p in pts]), np.mean([p[1] for p in pts])
+            )
+    rel_rows = gd[gd["kind"] == "relation"]
+    assert set(rel_rows["id"]) == expected_rel_delta
+    for _, rrow in rel_rows.head(5).iterrows():
+        exp_lon, exp_lat = rel_oracle_cent[int(rrow["id"])]
+        assert abs(exp_lon - rrow["lon"]) < 1e-9
+        assert abs(exp_lat - rrow["lat"]) < 1e-9
+
     counts = out["counts"].to_pandas()
     assert counts["count()"].sum() == len(best)

@@ -1,0 +1,155 @@
+"""Replication-server fetch loop (S1 network mode): injectable
+transport, retry policy, timestamp cursor, distributed fetch, full
+network-mode update — mirroring `src/osm/OsmUpdater.cpp:38-116` and
+`src/osm/OsmDataFetcher.cpp:46-105,163-175` behavior without a
+network (local-dir mirror + fakes)."""
+
+import gzip
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pytest
+import ray.data
+
+from oluray.sources import fixtures, osc, replication as rep
+
+
+def _osc_doc(rows) -> bytes:
+    return gzip.compress(osc.write_osc(rows).encode("utf-8"))
+
+
+def _node(op, nid, lon, lat, ts):
+    return {
+        "op": op, "kind": "node", "id": nid, "version": 2,
+        "ts": ts,
+        "payload": {"lon": lon, "lat": lat, "nd_refs": None,
+                    "members": None, "tags": None},
+    }
+
+
+def _mirror(tmp_path, n_seq=6, first_seq=3):
+    """Replication-layout dir: state.txt + NNN/NNN/NNN.{osc.gz,state.txt}."""
+    root = tmp_path / "mirror"
+    for i in range(n_seq):
+        seq = first_seq + i
+        p = root / osc.seq_path(seq)
+        os.makedirs(p.parent, exist_ok=True)
+        ts = f"2024-01-01T{i:02d}\\:00\\:00Z"
+        (p.parent / (p.name + ".state.txt")).write_text(
+            f"sequenceNumber={seq}\ntimestamp={ts}\n"
+        )
+        (p.parent / (p.name + ".osc.gz")).write_bytes(
+            _osc_doc([_node("modify", 100 + seq, 1.0 + seq, 2.0, i * 3600_000)])
+        )
+    last = first_seq + n_seq - 1
+    (root / "state.txt").write_text(
+        f"sequenceNumber={last}\ntimestamp=2024-01-01T{n_seq - 1:02d}\\:00\\:00Z\n"
+    )
+    return str(root)
+
+
+def test_local_transport_states(tmp_path):
+    client = rep.ReplicationClient(rep.LocalDirTransport(_mirror(tmp_path)))
+    latest = client.latest_state()
+    assert latest["sequence"] == 8
+    st = client.state(5)
+    assert st["sequence"] == 5
+    assert st["timestamp"] == "2024-01-01T02:00:00Z"
+
+
+def test_state_for_timestamp_binary_search(tmp_path):
+    client = rep.ReplicationClient(rep.LocalDirTransport(_mirror(tmp_path)))
+    # mid-window timestamp -> largest state at-or-before it
+    st = client.state_for_timestamp("2024-01-01T03:30:00Z", min_seq=3)
+    assert st["sequence"] == 6
+    # at-or-after the newest -> latest, no per-seq probes needed
+    assert client.state_for_timestamp("2024-01-02T00:00:00Z")["sequence"] == 8
+    with pytest.raises(ValueError):
+        client.state_for_timestamp("2023-12-31T00:00:00Z", min_seq=3)
+
+
+@dataclass
+class _Flaky:
+    """Fails the first `fail_n` calls per path, then delegates."""
+
+    inner: rep.LocalDirTransport
+    fail_n: int
+    calls: dict = field(default_factory=dict)
+
+    def __call__(self, path: str) -> bytes:
+        c = self.calls.get(path, 0)
+        self.calls[path] = c + 1
+        if c < self.fail_n:
+            raise rep.FetchError(f"transient: {path}")
+        return self.inner(path)
+
+
+def test_retry_policy(tmp_path):
+    root = _mirror(tmp_path)
+    ok = rep.ReplicationClient(
+        _Flaky(rep.LocalDirTransport(root), fail_n=2), retries=3, backoff_s=0.0
+    )
+    assert ok.latest_state()["sequence"] == 8  # 2 failures absorbed
+
+    bad = rep.ReplicationClient(
+        _Flaky(rep.LocalDirTransport(root), fail_n=2), retries=1, backoff_s=0.0
+    )
+    with pytest.raises(rep.FetchError, match="exhausted"):
+        bad.latest_state()
+    # the reference performs each GET once and aborts on failure
+    # (`src/osm/OsmDataFetcher.cpp:81-105` has no retry) — retries=0
+    # reproduces that
+    once = rep.ReplicationClient(
+        _Flaky(rep.LocalDirTransport(root), fail_n=1), retries=0
+    )
+    with pytest.raises(rep.FetchError):
+        once.latest_state()
+
+
+def test_fetch_changes_distributed_parse(tmp_path):
+    client = rep.ReplicationClient(rep.LocalDirTransport(_mirror(tmp_path)))
+    ds = rep.fetch_changes(client, 4, 7, files_per_task=2, concurrency=2)
+    df = ds.to_pandas()
+    assert sorted(df["seq"].unique()) == [4, 5, 6, 7]
+    assert sorted(df["id"]) == [104, 105, 106, 107]
+    assert (df["op"] == "modify").all()
+    # empty range short-circuits with the right schema
+    empty = rep.fetch_changes(client, 9, 8)
+    assert empty.count() == 0 and "seq" in empty.schema().names
+
+
+def test_decide_start_sequence(tmp_path):
+    client = rep.ReplicationClient(rep.LocalDirTransport(_mirror(tmp_path)))
+    assert rep.decide_start_sequence(client, sequence=7) == 7
+    assert (
+        rep.decide_start_sequence(client, timestamp="2024-01-01T03:30:00Z") == 6
+    )
+    with pytest.raises(ValueError):
+        rep.decide_start_sequence(client)
+
+
+def test_update_from_replication_e2e(tmp_path):
+    client = rep.ReplicationClient(rep.LocalDirTransport(_mirror(tmp_path)))
+    nodes_t, ways_t, rels_t = fixtures.make_snapshot(200, seed=11)
+    nodes = ray.data.from_arrow(nodes_t)
+    ways = ray.data.from_arrow(ways_t)
+    rels = ray.data.from_arrow(rels_t)
+
+    out = rep.update_from_replication(
+        nodes, ways, rels, client, sequence=4, concurrency=2
+    )
+    assert out["start_sequence"] == 4 and out["latest_sequence"] == 8
+    new_nodes = out["nodes"].to_pandas()
+    # every fetched diff node (104..108) landed with its new longitude
+    for seq in range(4, 9):
+        row = new_nodes[new_nodes["id"] == 100 + seq]
+        assert len(row) == 1
+        assert float(row["lon"].iloc[0]) == pytest.approx(1.0 + seq)
+
+    # already up to date -> None (the reference's early return,
+    # `src/osm/OsmUpdater.cpp:68-75`)
+    assert (
+        rep.update_from_replication(nodes, ways, rels, client, sequence=9)
+        is None
+    )

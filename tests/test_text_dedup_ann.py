@@ -101,7 +101,7 @@ def test_minhash_lsh_finds_near_dups():
     }
     rows = [dict(doc_id=k, text=v) for k, v in texts.items()]
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
-    pairs = dedup.minhash_lsh_pairs(ds, threshold=0.5, concurrency=1)
+    pairs = dedup.minhash_lsh_pairs(ds, threshold=0.5, concurrency=1).to_pandas()
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))
     assert (1, 2) in got
     assert (3, 4) in got
@@ -121,7 +121,7 @@ def test_simhash_pairs():
         dict(doc_id=3, text="totally different words appear in this one now"),
     ]
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
-    pairs = dedup.simhash_pairs(ds, max_hamming=16, concurrency=1)
+    pairs = dedup.simhash_pairs(ds, max_hamming=16, concurrency=1).to_pandas()
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))
     assert (1, 2) in got
     sh = dedup.SimHash()(pd.DataFrame(rows))
@@ -166,7 +166,7 @@ def test_lsh_topk_recall():
     ids, m = _emb_np()
     qids = ids[:5]
     qm = m[:5]
-    approx = ann.lsh_topk(_emb_ds(), qids, qm, k=5, n_bits=6, n_probe_bits=2)
+    approx = ann.lsh_topk(_emb_ds(), qids, qm, k=5, n_bits=6, n_probe_bits=2).to_pandas()
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     sims = qn @ mn.T
@@ -187,6 +187,123 @@ def test_cosine_near_dup_pairs():
     rows.append(dict(vec_id=2, embedding=(base + 0.01 * rng.standard_normal(16)).tolist()))
     rows.append(dict(vec_id=3, embedding=rng.standard_normal(16).tolist()))
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
-    pairs = ann.cosine_near_dup_pairs(ds, threshold=0.95, n_bits=4, concurrency=1)
+    pairs = ann.cosine_near_dup_pairs(ds, threshold=0.95, n_bits=4, concurrency=1).to_pandas()
     assert (1, 2) in set(zip(pairs["vec_a"], pairs["vec_b"]))
     assert not any(3 in p for p in zip(pairs["vec_a"], pairs["vec_b"]))
+
+
+def test_cosine_pairs_exactly_once_multi_table():
+    """Pairs colliding in several LSH tables are emitted exactly once
+    (first-common-table rule) and match a brute-force verify."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    rows = [dict(vec_id=i, embedding=(base + 0.02 * rng.standard_normal(16)).tolist())
+            for i in range(10)]
+    rows += [dict(vec_id=100 + i, embedding=rng.standard_normal(16).tolist())
+             for i in range(10)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    got = ann.cosine_near_dup_pairs(
+        ds, threshold=0.9, n_bits=3, n_tables=3, concurrency=1
+    ).to_pandas()
+    keys = list(zip(got["vec_a"], got["vec_b"]))
+    assert len(keys) == len(set(keys))  # exactly-once
+    # brute-force: all near-dup pairs among the first cluster found
+    m = np.stack([np.asarray(r["embedding"]) for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    expected = {
+        (rows[i]["vec_id"], rows[j]["vec_id"])
+        for i in range(len(rows)) for j in range(i + 1, len(rows))
+        if sims[i, j] >= 0.9
+    }
+    # with 3 tables of 3 bits, near-identical vectors share a bucket
+    # in at least one table with overwhelming probability
+    assert set(keys) <= expected
+    assert len(set(keys)) >= int(0.9 * len(expected))
+
+
+def test_lsh_topk_no_driver_collect_shape():
+    """Distributed lsh_topk result schema + determinism."""
+    ids, m = _emb_np()
+    qids = ids[:2]
+    qm = m[:2]
+    a = ann.lsh_topk(_emb_ds(), qids, qm, k=3, n_bits=5, n_probe_bits=1).to_pandas()
+    b = ann.lsh_topk(_emb_ds(), qids, qm, k=3, n_bits=5, n_probe_bits=1).to_pandas()
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a.columns) == ["query_id", "vec_id", "rank", "sim"]
+
+
+def test_minhash_pairs_match_bruteforce_on_testdata():
+    """Distributed LSH pipeline returns the identical pair set as a
+    brute-force all-pairs Jaccard over the LSH candidate space."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = dedup.minhash_lsh_pairs(docs, threshold=0.6, concurrency=2).to_pandas()
+    got_set = set(zip(got["doc_a"], got["doc_b"]))
+    # brute force: every pair with true jaccard >= threshold that LSH
+    # CAN find must be found; verified pairs must have exact jaccard
+    ids = t["doc_id"].to_numpy()
+    texts = t["text"].to_pylist()
+    sh = [dedup.char_shingles(x) for x in texts]
+    for row in got.itertuples():
+        ia = int(np.where(ids == row.doc_a)[0][0])
+        ib = int(np.where(ids == row.doc_b)[0][0])
+        bf = dedup.jaccard(sh[ia], sh[ib])
+        assert abs(row.jaccard - round(bf, 6)) < 1e-12
+        assert row.jaccard >= 0.6
+    # exact duplicates in the synthetic corpus MUST all be found
+    # (identical texts share every band)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, x in enumerate(texts):
+        groups[x].append(int(ids[i]))
+    expected_exact = {
+        (a, b)
+        for g in groups.values()
+        if len(g) > 1
+        for i, a in enumerate(sorted(g))
+        for b in sorted(g)[i + 1 :]
+    }
+    assert expected_exact <= got_set
+    # no duplicate pair rows
+    assert len(got) == len(got_set)
+
+
+def test_simhash_pairs_exactly_once():
+    rows = [dict(doc_id=i, text=f"common words here plus w{i % 3}") for i in range(12)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs = dedup.simhash_pairs(ds, max_hamming=8, concurrency=1).to_pandas()
+    keys = list(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert len(keys) == len(set(keys))  # first-matching-band dedup
+    # identical texts (hamming 0) all found
+    same = [(a, b) for a in range(0, 12, 3) for b in range(a + 3, 12, 3)]
+    assert set(same) <= set(keys)
+
+
+def test_perm_coeffs_seed_cache():
+    a1, b1 = dedup._perm_coeffs(32, seed=13)
+    a2, b2 = dedup._perm_coeffs(32, seed=99)
+    assert not np.array_equal(a1, a2)
+    a3, _ = dedup._perm_coeffs(32, seed=13)
+    assert np.array_equal(a1, a3)
+
+
+def test_exact_dedup_distributed_matches_duckdb():
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = dedup.exact_dedup(docs, concurrency=2).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""select doc_id, md5(text) text_hash from (
+              select doc_id, text,
+                     row_number() over (partition by md5(text) order by doc_id) rn
+              from read_parquet('{SF}/documents.parquet')) where rn = 1
+            order by doc_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got[["doc_id", "text_hash"]], exp)
