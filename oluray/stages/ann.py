@@ -340,15 +340,16 @@ def cosine_near_dup_pairs(
 
     collided = rows.map_batches(in_hot, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_empty = pd.DataFrame(
-            {"vec_a": pd.Series([], dtype="int64"),
-             "vec_b": pd.Series([], dtype="int64"),
-             "sim": pd.Series([], dtype="float64")}
-        )
+    out_empty = pd.DataFrame(
+        {"vec_a": pd.Series([], dtype="int64"),
+         "vec_b": pd.Series([], dtype="int64"),
+         "sim": pd.Series([], dtype="float64")}
+    )
+
+    def pairs_one(g: pd.DataFrame) -> pd.DataFrame | None:
         g = g.drop_duplicates("vec_id").sort_values("vec_id")
         if len(g) < 2:
-            return out_empty
+            return None
         if len(g) > bucket_cap:
             logger.warning(
                 "cosine_near_dup: bucket of %d vecs capped to %d", len(g), bucket_cap
@@ -365,7 +366,7 @@ def cosine_near_dup_pairs(
             eb = lsh_bucket(m, planes[earlier])
             keep &= eb[ai] != eb[bi]
         if not keep.any():
-            return out_empty
+            return None
         return pd.DataFrame(
             {
                 "vec_a": ids[ai[keep]],
@@ -374,6 +375,17 @@ def cosine_near_dup_pairs(
             }
         )
 
-    return collided.groupby(["table_id", "bucket"]).map_groups(
-        pairs, batch_format="pandas"
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        # per-PARTITION task (not per-bucket Ray group — see joins.py
+        # on sort-partition collapse); per-bucket work stays vectorized
+        outs = [
+            r for _, g in df.groupby(["table_id", "bucket"], sort=False)
+            if (r := pairs_one(g)) is not None
+        ]
+        return pd.concat(outs, ignore_index=True) if outs else out_empty
+
+    from oluray.stages import joins
+
+    return joins.partitioned_map(
+        collided, ["table_id", "bucket"], emit, num_partitions=num_partitions
     )

@@ -9,14 +9,18 @@ partials anywhere in this module):
   per-block combiner + hash-partitioned min-id pick
   (`joins.grouped_agg`). The hash column (not the text) is the
   shuffle key, so the exchange moves 16-byte digests, not documents.
-- **MinHash+LSH**: shingle -> 64 minhashes via affine permutations of
-  one FNV base hash (vectorized) -> band rows (band_id, band_hash,
-  doc_id) -> DISTRIBUTED two-phase hot-bucket count (per-block
-  partials, hash-partitioned sum; only the c>=2 hot set — genuinely
-  tiny — is broadcast) -> capped per-bucket pair emission ->
-  hash-partitioned pair dedup -> DISTRIBUTED exact-Jaccard verify
-  (texts of candidate docs co-shuffled to the pairs via two hash
-  joins; only candidate ids, never texts, touch the driver).
+- **MinHash+LSH**: shingle -> 64 minhashes via odd-multiplier affine
+  mod-2^64 permutations (vectorized, no modulo in the hot loop) ->
+  packed signatures materialized ONCE (n_perm*8 B/doc) -> band rows
+  derived from signatures -> DISTRIBUTED two-phase hot-bucket count
+  (per-block partials, hash-partitioned sum; only the c>=2 hot set —
+  genuinely tiny — is broadcast) -> signatures co-shuffled onto hot
+  rows -> capped per-bucket pair emission with a signature-estimated
+  Jaccard prefilter (junk pairs from boilerplate buckets die before
+  any text moves) -> hash-partitioned pair dedup -> DISTRIBUTED
+  exact-Jaccard verify (texts of candidate docs co-shuffled to the
+  surviving pairs via two hash joins; only candidate ids, never
+  texts, touch the driver).
 - **SimHash**: batch-vectorized bit-vote over token hashes -> 64-bit
   signature; near-dups via band bucketing with the same hot-bucket
   prefilter; first-matching-band rule makes pair emission exactly-once
@@ -118,21 +122,105 @@ def _perm_coeffs(n_perm: int, seed: int = 13):
     key = (n_perm, seed)
     if key not in _PERM_CACHE:
         rng = np.random.default_rng(seed)
-        a = rng.integers(1, (1 << 61) - 1, n_perm, dtype=np.uint64)
-        b = rng.integers(0, (1 << 61) - 1, n_perm, dtype=np.uint64)
+        # ODD multipliers: x -> a*x + b (mod 2^64) is then a bijection
+        # of Z/2^64 (multiply-shift family), so min over it is a valid
+        # minhash permutation WITHOUT any modulo — uint64 % is a
+        # runtime divide and was the dominant cost of the signature
+        # stage (the transform touches n_perm x total_shingles lanes)
+        a = rng.integers(1, np.iinfo(np.uint64).max, n_perm, dtype=np.uint64) | np.uint64(1)
+        b = rng.integers(0, np.iinfo(np.uint64).max, n_perm, dtype=np.uint64)
         _PERM_CACHE[key] = (a, b)
     return _PERM_CACHE[key]
 
 
 def minhash_signature(shingles: np.ndarray, n_perm: int = 64) -> np.ndarray:
-    """n_perm minhashes via affine permutations mod a Mersenne prime."""
+    """n_perm minhashes via affine mod-2^64 permutations (odd
+    multiplier => bijection; no prime modulus needed)."""
     a, b = _perm_coeffs(n_perm)
-    s = shingles % _MERSENNE
     with np.errstate(over="ignore"):
-        # (n_perm, n_shingles) affine transform; overflow-safe because
-        # mod-2^64 wraparound is applied identically everywhere
-        m = (a[:, None] * s[None, :] + b[:, None]) % _MERSENNE
+        m = a[:, None] * shingles[None, :] + b[:, None]
     return m.min(axis=1)
+
+
+def _batch_signatures(texts, shingle_k: int, n_perm: int) -> np.ndarray:
+    """(ndocs, n_perm) uint64 signature matrix, vectorized across the
+    batch: one (n_perm, total_shingles) affine transform + segmented
+    min per doc — the only per-doc Python is the shingle extraction."""
+    shingle_sets = [char_shingles(t, shingle_k) for t in texts]
+    counts = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+    flat = (
+        np.concatenate(shingle_sets) if shingle_sets else np.array([], np.uint64)
+    )
+    a, b = _perm_coeffs(n_perm)
+    with np.errstate(over="ignore"):
+        m = a[:, None] * flat[None, :] + b[:, None]
+    seg_first = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return np.minimum.reduceat(m, seg_first, axis=1).T  # (ndocs, n_perm)
+
+
+def _fold_bands(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(ndocs, n_perm) signatures -> (ndocs, bands) band hashes
+    (vectorized FNV-style mod-2^64 fold over each band's rows,
+    masked to 61 bits so the composite hot-bucket key
+    band_id*2^50 + band_hash stays collision-checked the same way)."""
+    ndocs, n_perm = sigs.shape
+    rpb = n_perm // bands
+    folded = np.zeros((ndocs, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rpb):
+            rows = sigs[:, np.arange(bands) * rpb + r]
+            folded = folded * np.uint64(1099511628211) + rows
+    return folded & np.uint64((1 << 50) - 1)
+
+
+class MinHashSignatures:
+    """doc -> (doc_id, sig) where sig packs the n_perm uint64
+    minhashes as little-endian bytes (n_perm*8 B/doc — 512 B at the
+    default 64 perms; signatures, not texts, are what similarity
+    stages shuffle)."""
+
+    def __init__(self, n_perm: int = 64, shingle_k: int = 5):
+        self.n_perm, self.k = n_perm, shingle_k
+        _perm_coeffs(n_perm)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"doc_id": [], "sig": []})
+        sigs = _batch_signatures(batch["text"].tolist(), self.k, self.n_perm)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "sig": [row.tobytes() for row in sigs],
+            }
+        )
+
+
+def unpack_sigs(col) -> np.ndarray:
+    """Column of packed signature bytes -> (n, n_perm) uint64."""
+    rows = list(col)
+    if not rows:
+        return np.empty((0, 0), dtype=np.uint64)
+    return np.frombuffer(b"".join(rows), dtype=np.uint64).reshape(len(rows), -1)
+
+
+def bands_from_sigs(bands: int):
+    """(doc_id, sig) rows -> (doc_id, band_id, band_hash) rows."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"doc_id": [], "band_id": [], "band_hash": []})
+        sigs = unpack_sigs(batch["sig"])
+        folded = _fold_bands(sigs, bands)  # (ndocs, bands)
+        ndocs = len(batch)
+        return pd.DataFrame(
+            {
+                "doc_id": np.tile(batch["doc_id"].to_numpy(), bands),
+                "band_id": np.repeat(np.arange(bands, dtype=np.int64), ndocs),
+                "band_hash": folded.T.reshape(-1).astype(np.int64),
+            }
+        )
+
+    return fn
 
 
 class MinHashBands:
@@ -145,36 +233,16 @@ class MinHashBands:
         _perm_coeffs(n_perm)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # vectorized across the whole batch: one (n_perm, total_shingles)
-        # affine transform + segmented min per doc, then arithmetic band
-        # folding — the only per-doc Python is the shingle extraction
         if len(batch) == 0:
             return pd.DataFrame({"doc_id": [], "band_id": [], "band_hash": []})
-        shingle_sets = [char_shingles(t, self.k) for t in batch["text"]]
-        counts = np.array([len(s) for s in shingle_sets], dtype=np.int64)
-        flat = (
-            np.concatenate(shingle_sets) if shingle_sets else np.array([], np.uint64)
-        )
-        a, b = _perm_coeffs(self.n_perm)
-        s = flat % _MERSENNE
-        with np.errstate(over="ignore"):
-            m = (a[:, None] * s[None, :] + b[:, None]) % _MERSENNE
-        seg_first = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        sigs = np.minimum.reduceat(m, seg_first, axis=1)  # (n_perm, ndocs)
-        ndocs = len(counts)
-        # fold each band's rows into one 61-bit hash (vectorized)
-        folded = np.zeros((self.bands, ndocs), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for r in range(self.rows_per_band):
-                rows = sigs[np.arange(self.bands) * self.rows_per_band + r]
-                folded = (folded * np.uint64(1099511628211) + rows) % _MERSENNE
-        doc_ids = np.tile(batch["doc_id"].to_numpy(), self.bands)
-        band_ids = np.repeat(np.arange(self.bands, dtype=np.int64), ndocs)
+        sigs = _batch_signatures(batch["text"].tolist(), self.k, self.n_perm)
+        folded = _fold_bands(sigs, self.bands)  # (ndocs, bands)
+        ndocs = len(batch)
         return pd.DataFrame(
             {
-                "doc_id": doc_ids,
-                "band_id": band_ids,
-                "band_hash": folded.reshape(-1).astype(np.int64),
+                "doc_id": np.tile(batch["doc_id"].to_numpy(), self.bands),
+                "band_id": np.repeat(np.arange(self.bands, dtype=np.int64), ndocs),
+                "band_hash": folded.T.reshape(-1).astype(np.int64),
             }
         )
 
@@ -227,26 +295,55 @@ def _emit_pairs_capped(ids: np.ndarray, cap: int, label: str):
 def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
                       bands: int = 16, shingle_k: int = 5,
                       concurrency: int = 4, bucket_cap: int = DEFAULT_BUCKET_CAP,
-                      num_partitions: int = 64):
+                      num_partitions: int = 64, est_margin: float = 0.35):
     """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold),
     returned as a Dataset of (doc_a, doc_b, jaccard).
 
     Stages (all distributed; the driver only ever holds the hot-bucket
     key set and the candidate doc-id array, both LSH-pruned):
-      bands (actor pool) -> hot-bucket prefilter (two-phase count) ->
-      capped per-bucket pair emission -> hash-partitioned pair dedup ->
-      Jaccard verify with texts co-shuffled to pairs via 2 hash joins.
-    """
-    band_rows = docs.map_batches(
-        MinHashBands,
-        fn_constructor_kwargs=dict(n_perm=n_perm, bands=bands, shingle_k=shingle_k),
-        batch_format="pandas",
-        concurrency=(1, concurrency),
+      signatures (actor pool, ONE shingle pass) -> bands derived from
+      signatures -> hot-bucket prefilter (two-phase count) ->
+      signatures co-shuffled onto hot rows (hash join) -> capped
+      per-bucket pair emission WITH a signature-estimated Jaccard
+      prefilter (drop pairs whose 64-perm estimate is below
+      `threshold - est_margin`; at the default margin a true pair at
+      the threshold survives with P(miss) ~ exp(-2*n_perm*margin^2)
+      ≈ 1e-7) -> hash-partitioned pair dedup -> exact-Jaccard verify
+      with texts co-shuffled to the surviving pairs via 2 hash joins.
+
+    The estimate prefilter is the r2 scale fix: one boilerplate band
+    bucket otherwise floods the text-verify join with O(cap^2) junk
+    pairs per bucket (measured: 738k candidates -> 256 real pairs at
+    sf0.1 — the verify dominated the whole pipeline)."""
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        # plain tasks, not an actor pool: the only "state" is the
+        # 64-coefficient permutation table (microseconds to rebuild,
+        # module-cached per worker) — a pool's spawn latency would
+        # dominate at this stage's runtime. Arrow out: `sig` must be
+        # TYPED binary (a pandas object column would degrade to utf8
+        # in downstream join schemas and fail the cast)
+        texts = batch["text"].to_pylist()
+        if not texts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "sig": pa.array([], pa.binary())}
+            )
+        sigs = _batch_signatures(texts, shingle_k, n_perm)
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "sig": pa.array([row.tobytes() for row in sigs], pa.binary())}
+        )
+
+    sig_rows = docs.map_batches(
+        sig_fn, batch_format="pyarrow", batch_size=512
     ).materialize()
-    # materialize: band rows are consumed twice (hot count + filter)
-    # and are ~24 bytes x bands per doc — far smaller than the text
-    # they derive from; pinning beats re-running the shingle pass
-    # (object store spills if needed)
+    # materialize: signatures are consumed twice (band derivation +
+    # hot-row join) and are n_perm*8 B/doc — far smaller than the
+    # text they derive from; pinning beats re-running the shingle
+    # pass (object store spills if needed)
+    band_rows = sig_rows.map_batches(
+        bands_from_sigs(bands), batch_format="pandas"
+    )
 
     hot = hot_buckets(band_rows, ["band_id", "band_hash"], num_partitions)
     empty = pa.table(
@@ -272,17 +369,59 @@ def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
         return t.filter(pa.array(mask))
 
     collided = band_rows.map_batches(in_hot, batch_format="pyarrow")
+    # co-shuffle each hot row's signature onto it (hot rows are the
+    # LSH-pruned minority; sig payload is n_perm*8 B). Static schema
+    # hints: schema() on a lazy side would trigger a whole extra
+    # execution just to learn column types we already know.
+    _BAND = pa.schema(
+        [("doc_id", pa.int64()), ("band_id", pa.int64()),
+         ("band_hash", pa.int64())]
+    )
+    _SIG = pa.schema([("doc_id", pa.int64()), ("sig", pa.binary())])
+    collided = joins.hash_join(
+        collided, sig_rows, on="doc_id", num_partitions=16,
+        left_schema=_BAND, right_schema=_SIG,
+    )
 
-    # pair emission per EXACT bucket — the groupby only sees hot rows,
-    # so its group count is |hot buckets|, not |docs x bands|
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a, b = _emit_pairs_capped(
-            g["doc_id"].to_numpy(), bucket_cap, "minhash_lsh"
+    # pair emission per EXACT bucket, parallelized by hash PARTITION
+    # of the bucket key (a bare groupby().map_groups() can land every
+    # group in one sort partition — measured: one worker serially
+    # chewing 8910 buckets while 31 idled) — with the
+    # signature-estimate prefilter applied inside each bucket
+    est_floor = max(threshold - est_margin, 0.0)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        outs_a: list[np.ndarray] = []
+        outs_b: list[np.ndarray] = []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            if len(ids) > bucket_cap:
+                logger.warning(
+                    "minhash_lsh: bucket of %d docs capped to %d",
+                    len(ids), bucket_cap,
+                )
+                g = g.iloc[:bucket_cap]
+                ids = ids[:bucket_cap]
+            if len(ids) < 2:
+                continue
+            sigs = unpack_sigs(g["sig"])  # (m, n_perm)
+            ai, bi = np.triu_indices(len(ids), 1)
+            est = (sigs[ai] == sigs[bi]).mean(axis=1)
+            keep = est >= est_floor
+            outs_a.append(ids[ai[keep]])
+            outs_b.append(ids[bi[keep]])
+        if not outs_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(outs_a), "doc_b": np.concatenate(outs_b)}
         )
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
 
-    cand = collided.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    cand = joins.partitioned_map(
+        collided, ["band_id", "band_hash"], emit, num_partitions=64
     )
     cand = joins.pair_dedup(cand, ("doc_a", "doc_b"), num_partitions=32)
 
@@ -305,13 +444,20 @@ def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
     texts_small = docs.map_batches(filt, batch_format="pyarrow").select_columns(
         ["doc_id", "text"]
     )
+    _PAIRS = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    _TEXTS = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
     j1 = joins.hash_join(cand, texts_small, on="doc_a", right_on="doc_id",
-                         num_partitions=16)
+                         num_partitions=16,
+                         left_schema=_PAIRS, right_schema=_TEXTS)
     j1 = j1.map_batches(
         lambda df: df.rename(columns={"text": "text_a"}), batch_format="pandas"
     )
+    _J1 = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text_a", pa.string())]
+    )
     j2 = joins.hash_join(j1, texts_small, on="doc_b", right_on="doc_id",
-                         num_partitions=16)
+                         num_partitions=16,
+                         left_schema=_J1, right_schema=_TEXTS)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -436,15 +582,16 @@ def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4,
 
     collided = exploded.map_batches(in_hot, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_empty = pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "hamming": pd.Series([], dtype="int64")}
-        )
+    out_empty = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"),
+         "doc_b": pd.Series([], dtype="int64"),
+         "hamming": pd.Series([], dtype="int64")}
+    )
+
+    def pairs_one(g: pd.DataFrame) -> pd.DataFrame | None:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
         if len(g) < 2:
-            return out_empty
+            return None
         band = int(g["band_id"].iloc[0])
         ids = g["doc_id"].to_numpy()
         sh = g["simhash"].to_numpy()
@@ -462,12 +609,21 @@ def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4,
             bv = _band_values(sh.view(np.uint64), earlier, n_bands)
             keep &= bv[ai] != bv[bi]
         if not keep.any():
-            return out_empty
+            return None
         return pd.DataFrame(
             {"doc_a": ids[ai[keep]], "doc_b": ids[bi[keep]],
              "hamming": hd[keep].astype(np.int64)}
         )
 
-    return collided.groupby(["band_id", "band_val"]).map_groups(
-        pairs, batch_format="pandas"
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        # per-PARTITION task (not per-bucket Ray group — see joins.py
+        # on sort-partition collapse); per-bucket work stays pandas
+        outs = [
+            r for _, g in df.groupby(["band_id", "band_val"], sort=False)
+            if (r := pairs_one(g)) is not None
+        ]
+        return pd.concat(outs, ignore_index=True) if outs else out_empty
+
+    return joins.partitioned_map(
+        collided, ["band_id", "band_val"], emit, num_partitions=num_partitions
     )

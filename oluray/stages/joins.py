@@ -90,8 +90,16 @@ def partitioned_map(
     """Apply `fn` once per hash partition of `cols` (NOT once per key
     group). All rows of one key land in the same partition; `fn` must
     do the per-key work vectorized (pandas groupby / drop_duplicates /
-    merge...)."""
-    part = with_partition_col(ds, cols, num_partitions)
+    merge...).
+
+    The repartition before the groupby is load-bearing: Ray Data's
+    sort-based groupby emits as many output partitions as the INPUT
+    has blocks, and a dataset coming out of an earlier shuffle can
+    collapse to one block — which then runs every group's work in ONE
+    task (measured: 8910 buckets serially on one worker while 31
+    idled). Re-blocking to `num_partitions` keeps the per-partition
+    map parallel regardless of upstream lineage."""
+    part = with_partition_col(ds, cols, num_partitions).repartition(num_partitions)
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns=[PART_COL]))
@@ -158,6 +166,22 @@ def pair_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _typed_table(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
+    """pandas frame -> arrow table cast to the DECLARED schema.
+
+    Load-bearing: Ray's sort shuffle can round blocks through pandas,
+    where the padded typed-null int64 columns become float64 (NaN has
+    no int representation). Without re-asserting the schema here, a
+    downstream join would hash float keys on one side and int keys on
+    the other — partition codes diverge and matching rows silently
+    land in different partitions (measured: 92% of rows lost in a
+    chained join). `from_pandas=True` maps NaN/NaT back to nulls."""
+    arrays = [
+        pa.array(df[f.name], type=f.type, from_pandas=True) for f in schema
+    ]
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
 def _codes_from_table(t: pa.Table, col: str, num_partitions: int) -> pa.Array:
     arr = t[col]
     if pa.types.is_integer(arr.type):
@@ -182,13 +206,14 @@ def _tag_and_pad(side: int, key: str, full_schema: pa.Schema, num_partitions: in
 
 
 def _arrow_schema(ds: ray.data.Dataset, hint: pa.Schema | None = None) -> pa.Schema:
+    # an explicit hint short-circuits entirely: `ds.schema()` on a
+    # lazy dataset triggers a (partial) execution just to learn the
+    # types, and on a dataset that became empty after a map there is
+    # no runtime schema at all (Ray drops empty output blocks)
+    if hint is not None:
+        return hint
     sch = ds.schema()
     if sch is None:
-        # Ray Data drops empty output blocks, so a dataset that became
-        # empty after a map has no runtime schema; the caller-supplied
-        # hint keeps joins well-typed on empty sides.
-        if hint is not None:
-            return hint
         raise ValueError(
             "dataset is empty with unknown schema — pass left_schema/"
             "right_schema to join it"
@@ -279,6 +304,7 @@ def hash_join(
 
     out_cols = lcols + [c for c in rcols if c not in lcols and c != right_on]
     drop_right_key = right_on != on and right_on not in lcols
+    out_schema = pa.schema([schema.field(c) for c in out_cols])
 
     def merge(t: pa.Table) -> pa.Table:
         side = t["__side"]
@@ -287,7 +313,7 @@ def hash_join(
         out = lg.merge(rg, how=how, left_on=on, right_on=right_on)
         if drop_right_key:
             out = out.drop(columns=[right_on])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _typed_table(out, out_schema)
 
     return both.groupby(PART_COL).map_groups(merge, batch_format="pyarrow")
 
@@ -328,20 +354,24 @@ def asof_join(
     )
     both = lt.union(rt)
 
+    out_schema = pa.schema(
+        [schema.field(c) for c in lcols]
+        + [pa.field(out_col, schema.field(right_on).type)]
+    )
+
     def merge(t: pa.Table) -> pa.Table:
         side = t["__side"]
         lg = t.filter(pc.equal(side, 0)).select(lcols).to_pandas()
         rg = t.filter(pc.equal(side, 1)).select(rcols).to_pandas()
         if len(lg) == 0:
             lg[out_col] = pd.Series([], dtype="datetime64[us]")
-            return pa.Table.from_pandas(lg, preserve_index=False)
+            return _typed_table(lg, out_schema)
         lg = lg.sort_values(on, kind="mergesort")
         rg = rg.rename(columns={right_on: out_col}).sort_values(out_col, kind="mergesort")
         out = pd.merge_asof(
             lg, rg, left_on=on, right_on=out_col,
             left_by=by, right_by=right_by, direction="backward",
         )
-        out = out[lcols + [out_col]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _typed_table(out, out_schema)
 
     return both.groupby(PART_COL).map_groups(merge, batch_format="pyarrow")
