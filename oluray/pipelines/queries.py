@@ -510,6 +510,13 @@ def q_lsh_topk(sf_dir: str):
     return ann.lsh_topk(emb, qids, qm, k=ANN_K, n_bits=6, n_probe_bits=2)
 
 
+def q_ivf_topk(sf_dir: str):
+    # rows-only: iterative k-means training is not SQL-expressible
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, qm = _ann_queries(sf_dir)
+    return ann.ivf_topk(emb, qids, qm, k=ANN_K, n_centroids=32, n_probe=8)
+
+
 def _synth_images(sf_dir: str):
     """Deterministic image per documents row (the payload-table synth
     path shared by the decode/resize multimodal queries)."""
@@ -642,6 +649,70 @@ def q_cosine_pairs(sf_dir: str):
     # nothing — 0.3 (~2.4 sigma for 64 dims) yields a real pair set
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ann.cosine_near_dup_pairs(emb, threshold=0.3, n_bits=3, concurrency=4)
+
+
+def q_audio_features(sf_dir: str):
+    """Audio feature extraction over a synthesized WAV column
+    (rows-only): real RIFF/WAVE PCM16 decode -> rms/zcr/clipping."""
+    from oluray.functions import mediacodec
+    from oluray.stages.media import AudioFeatures
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = []
+        for i in ids:
+            rng = np.random.default_rng(int(i))
+            t = np.arange(1600)
+            freq = 100 + (int(i) % 37) * 20
+            s = 12000 * np.sin(2 * np.pi * freq * t / 16000)
+            s += 2000 * rng.standard_normal(1600)
+            blobs.append(
+                mediacodec.encode_wav(np.clip(s, -32768, 32767).astype(np.int16))
+            )
+        return pa.table(
+            {"audio_id": pa.array(ids.astype(np.int64)),
+             "bytes": pa.array(blobs, pa.binary())}
+        )
+
+    audio = docs.map_batches(synth, batch_format="pyarrow", batch_size=256)
+    return audio.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+def q_frame_sample(sf_dir: str):
+    """Video frame sampling over a synthesized frame-container column
+    (rows-only): probe + uniform-stride slice, 3 frames per clip."""
+    from oluray.functions import mediacodec
+    from oluray.functions.imagecodec import encode
+    from oluray.sources import fixtures
+    from oluray.stages.media import FrameSample
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = []
+        for i in ids:
+            n_frames = 4 + int(i) % 5
+            frames = [
+                encode(fixtures._pixels(int(i) * 100 + f, 8, 8, 42), "png")
+                for f in range(n_frames)
+            ]
+            blobs.append(mediacodec.encode_fakevideo(frames, fps=10))
+        return pa.table(
+            {"video_id": pa.array(ids.astype(np.int64)),
+             "bytes": pa.array(blobs, pa.binary())}
+        )
+
+    vids = docs.map_batches(synth, batch_format="pyarrow", batch_size=128)
+    return vids.map_batches(
+        FrameSample, fn_constructor_kwargs=dict(n_frames=3),
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 4),
+    )
 
 
 def q_thumbnails(sf_dir: str):
@@ -889,6 +960,9 @@ QUERIES = {
     "simhash": q_simhash,
     "minhash_pairs": q_minhash_pairs,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
+    "audio_features": q_audio_features,
+    "frame_sample": q_frame_sample,
     "cosine_pairs": q_cosine_pairs,
     "image_decode": q_image_decode,
     "thumbnails": q_thumbnails,

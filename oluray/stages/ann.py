@@ -171,12 +171,13 @@ class ProbedTopK:
     is in that query's probe set — the distributed replacement for
     r1's collect-the-probed-third-of-the-corpus."""
 
-    def __init__(self, queries_ref, probes_ref, k: int):
+    def __init__(self, queries_ref, probes_ref, k: int, bucket_col: str = "bucket"):
         qids, qm = ray.get(queries_ref)
         self.qids = np.asarray(qids, dtype=np.int64)
         self.qn = _normalize(np.asarray(qm, dtype=np.float64))
         self.probes = ray.get(probes_ref)  # {query_index: [buckets]}
         self.k = k
+        self.bucket_col = bucket_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _matrix(batch)
@@ -184,7 +185,7 @@ class ProbedTopK:
             return _EMPTY_TOPK
         m = _normalize(m)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        buckets = batch["bucket"].to_numpy(zero_copy_only=False)
+        buckets = batch[self.bucket_col].to_numpy(zero_copy_only=False)
         sims = self.qn @ m.T  # (Q, n)
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[0]):
@@ -245,6 +246,109 @@ def lsh_topk(
     cand = sub.map_batches(
         ProbedTopK,
         fn_constructor_kwargs=dict(queries_ref=qref, probes_ref=probes_ref, k=k),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+    return _final_topk(cand, k, round_digits)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file over a k-means coarse quantizer)
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    embeddings, n_centroids: int = 64, sample_size: int = 2048,
+    iters: int = 10,
+) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded sample.
+
+    Only the SAMPLE reaches the driver — O(sample_size x dim), the
+    same budget class as the broadcast query matrix; the corpus never
+    moves. Rows are ordered by vec_id before everything so the result
+    is independent of block arrival order. Lloyd iterations are fully
+    vectorized (`np.add.at` scatter for the centroid update); an empty
+    cluster is re-seeded from the currently worst-served sample point.
+    """
+    sm = embeddings.limit(sample_size).to_pandas()
+    order = np.argsort(sm["vec_id"].to_numpy())
+    m = _normalize(
+        np.stack(sm["embedding"].map(np.asarray)).astype(np.float64)
+    )[order]
+    n_centroids = min(n_centroids, len(m))
+    c = m[:: max(1, len(m) // n_centroids)][:n_centroids].copy()
+    for _ in range(iters):
+        sims = m @ c.T  # (n, C)
+        assign = np.argmax(sims, axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=len(c))
+        worst = np.argsort(sims.max(axis=1))  # worst-served first
+        wi = 0
+        for j in np.flatnonzero(counts == 0):
+            sums[j] = m[worst[wi]]
+            counts[j] = 1
+            wi += 1
+        norms = np.linalg.norm(sums, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        c = sums / norms
+    return c
+
+
+class IvfAssignStage:
+    """Adds `cell` = nearest-centroid index per vector (the inverted-
+    file key; at cluster scale it doubles as the partition key so one
+    cell's postings co-locate)."""
+
+    def __init__(self, cents_ref):
+        self.c = ray.get(cents_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        if m.shape[0] == 0:
+            return batch.append_column("cell", pa.array([], pa.int64()))
+        cell = np.argmax(_normalize(m) @ self.c.T, axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cell))
+
+
+def ivf_topk(
+    embeddings, query_ids, query_matrix, k: int = 5, n_centroids: int = 64,
+    n_probe: int = 8, sample_size: int = 2048, concurrency: int = 4,
+    round_digits: int = 6,
+):
+    """Approximate top-k via an IVF index: k-means coarse quantizer
+    (trained on a bounded sample), corpus bucketed by nearest
+    centroid, each query scanning only its `n_probe` closest cells.
+    Same distributed shape as `lsh_topk` — probed per-batch top-k +
+    tiny per-query reduce; nothing corpus-sized touches the driver.
+    Returns Dataset (query_id, vec_id, rank, sim); recall < 1 by
+    design (raise `n_probe` / `n_centroids` with corpus size — scan
+    cost ~ n_probe/n_centroids of the corpus per query)."""
+    cents = train_centroids(embeddings, n_centroids, sample_size)
+    cref = ray.put(cents)
+    assigned = embeddings.map_batches(
+        IvfAssignStage, fn_constructor_kwargs=dict(cents_ref=cref),
+        batch_format="pyarrow", concurrency=(1, concurrency),
+    )
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    n_probe = min(n_probe, len(cents))
+    probe_mat = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
+    probes = {qi: np.sort(probe_mat[qi]) for qi in range(len(qn))}
+    wanted = np.unique(probe_mat)
+    wanted_ref = ray.put(wanted)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        mask = np.isin(t["cell"].to_numpy(zero_copy_only=False), ray.get(wanted_ref))
+        return t.filter(pa.array(mask))
+
+    sub = assigned.map_batches(prefilter, batch_format="pyarrow")
+    qref = ray.put((np.asarray(query_ids, np.int64), np.asarray(query_matrix)))
+    probes_ref = ray.put(probes)
+    cand = sub.map_batches(
+        ProbedTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=qref, probes_ref=probes_ref, k=k, bucket_col="cell"
+        ),
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )

@@ -99,8 +99,9 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     if len(text) < k:
         data = text.encode("utf-8", "surrogatepass")
         h = np.uint64(14695981039346656037)
-        for b in data:
-            h = (h ^ np.uint64(b)) * np.uint64(1099511628211)
+        with np.errstate(over="ignore"):  # wraparound IS the hash
+            for b in data:
+                h = (h ^ np.uint64(b)) * np.uint64(1099511628211)
         return np.array([h], dtype=np.uint64)
     b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
     if len(b) < k:

@@ -179,6 +179,43 @@ def test_lsh_topk_recall():
     assert hits / total >= 0.5  # approximate by design, must beat random
 
 
+def test_ivf_topk_recall_and_determinism():
+    ids, m = _emb_np()
+    qids = ids[:5]
+    qm = m[:5]
+    approx = ann.ivf_topk(
+        _emb_ds(), qids, qm, k=5, n_centroids=16, n_probe=6
+    ).to_pandas()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    hits = total = 0
+    for qi, qid in enumerate(qids):
+        exact = set(ids[np.lexsort((ids, -sims[qi]))[:5]].tolist())
+        got = set(approx[approx["query_id"] == qid]["vec_id"].tolist())
+        hits += len(exact & got)
+        total += 5
+    # probing 6/16 cells; the query IS a corpus vector so its own cell
+    # is always probed — recall must decisively beat random scan
+    assert hits / total >= 0.6
+    again = ann.ivf_topk(
+        _emb_ds(), qids, qm, k=5, n_centroids=16, n_probe=6
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_ivf_train_centroids_bounded_and_deterministic():
+    c1 = ann.train_centroids(_emb_ds(), n_centroids=8, sample_size=256)
+    c2 = ann.train_centroids(_emb_ds(), n_centroids=8, sample_size=256)
+    assert c1.shape[0] == 8
+    np.testing.assert_array_equal(c1, c2)
+    # unit-norm centroids (spherical k-means)
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+
 def test_cosine_near_dup_pairs():
     rows = []
     rng = np.random.default_rng(4)
