@@ -504,6 +504,13 @@ def q_minhash_pairs(sf_dir: str):
     return dedup.minhash_lsh_pairs(docs, threshold=0.6, concurrency=4)
 
 
+def q_near_dedup(sf_dir: str):
+    """Cluster-level near-dedup (rows-only): verified minhash pairs ->
+    connected components -> keep min doc per cluster."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.near_dedup_keep(docs, threshold=0.6, concurrency=4)
+
+
 def q_lsh_topk(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qids, qm = _ann_queries(sf_dir)
@@ -963,6 +970,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
+    "near_dedup": q_near_dedup,
     "cosine_pairs": q_cosine_pairs,
     "image_decode": q_image_decode,
     "thumbnails": q_thumbnails,

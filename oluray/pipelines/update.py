@@ -126,7 +126,11 @@ def apply_update(
     """Apply one change window. Returns dict with the new snapshot
     (`nodes`, `ways`, `relations`), `geo_delta` (recomputed geometry
     rows for changed + impacted elements), and `counts` (A4)."""
-    merged = merge_latest_wins(changes)
+    # materialize: merged is DIFF-sized (one window of edits, not the
+    # snapshot) and is consumed ~10 times below (id sets, payload
+    # extracts, counts) — without pinning, every consumer re-executes
+    # the latest-wins shuffle
+    merged = merge_latest_wins(changes).materialize()
 
     # membership sets (ST1) as broadcast key arrays
     del_or_mod = ("modify", "delete")

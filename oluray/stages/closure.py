@@ -12,8 +12,9 @@ Reimplements the reference's SPARQL reverse-reference queries (J1-J10,
   (`src/osm/OsmChangeHandler.cpp:37,41-53`); we pay zero shuffles.
   Scale note: the changed-id set of one replication window is tiny
   relative to the snapshot (minutes of edits vs the planet). If it
-  ever outgrows a broadcast, swap `semi_join`'s filter for the
-  hash-bucketed join in `oluray.stages.joins`.
+  ever outgrows a broadcast, swap this module's broadcast filters for
+  `oluray.stages.joins.semi_join` (hash-partitioned both-sides semi /
+  anti join — same semantics, no broadcast assumption).
 - **collect-sorted reconstruction** (J8/J9 GROUP_CONCAT + re-sort by
   pos, `src/osm/OsmDataFetcher.cpp:281-330`) as
   `groupby(id).map_groups(sort -> list)`.
@@ -206,7 +207,8 @@ def reconstruct_ways(exploded: ray.data.Dataset) -> ray.data.Dataset:
         g = df.groupby("way_id")["node_id"].agg(list)
         return pd.DataFrame({"way_id": g.index.to_numpy(), "nd_refs": g.to_numpy()})
 
-    return joins.partitioned_map(exploded, ["way_id"], collect, num_partitions=32)
+    return joins.partitioned_map(exploded, ["way_id"], collect, num_partitions=32,
+                                 pre_repartition=False)
 
 
 def reconstruct_relations(exploded: ray.data.Dataset) -> ray.data.Dataset:
@@ -227,4 +229,5 @@ def reconstruct_relations(exploded: ray.data.Dataset) -> ray.data.Dataset:
         g = recs["m"].groupby(df["rel_id"].to_numpy()).agg(list)
         return pd.DataFrame({"rel_id": g.index.to_numpy(), "members": g.to_numpy()})
 
-    return joins.partitioned_map(exploded, ["rel_id"], collect, num_partitions=32)
+    return joins.partitioned_map(exploded, ["rel_id"], collect, num_partitions=32,
+                                 pre_repartition=False)

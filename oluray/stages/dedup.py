@@ -86,6 +86,7 @@ def exact_dedup(docs, id_col: str = "doc_id", concurrency: int = 4,
         hashed.select_columns([id_col, "text_hash"]),
         ["text_hash"], keep_min,
         num_partitions=num_partitions, combine_fn=keep_min,
+        pre_repartition=False,  # input is map-lineage hashed rows
     )
 
 
@@ -275,6 +276,7 @@ def hot_buckets(rows, key_cols: list[str], num_partitions: int = 64):
     return joins.grouped_agg(
         rows.select_columns(key_cols), key_cols, total,
         num_partitions=num_partitions, combine_fn=partial,
+        pre_repartition=False,  # input is map-lineage band rows
     ).to_pandas()
 
 
@@ -483,6 +485,57 @@ def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
         return out[out["jaccard"] >= threshold]
 
     return j2.map_batches(verify, batch_format="pandas")
+
+
+def near_dedup_keep(docs, threshold: float = 0.6, **lsh_kw):
+    """Cluster-level near-dedup: verified near-dup pairs -> connected
+    components (union-find) -> keep the min doc_id per cluster.
+    Returns Dataset (doc_id, cluster_id, keep) covering every doc that
+    appears in at least one near-dup pair; docs absent from the result
+    have no near-dup and are implicitly kept.
+
+    The union-find runs on the driver over the VERIFIED pair list —
+    already LSH-pruned, bucket-capped and Jaccard-filtered, i.e. the
+    same size class as the broadcast sets this engine ships elsewhere
+    (pairs ~ duplicates, not corpus). A corpus whose verified-pair
+    graph itself exceeds driver memory needs iterative distributed
+    label propagation (hash-join per round); the cut-over is
+    documented, not silently assumed."""
+    pairs = minhash_lsh_pairs(docs, threshold=threshold, **lsh_kw).to_pandas()
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "cluster_id": pa.array([], pa.int64()),
+         "keep": pa.array([], pa.bool_())}
+    )
+    if pairs.empty:
+        return ray.data.from_arrow(empty)
+    ids = np.unique(
+        np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])
+    )
+    idx = {int(v): i for i, v in enumerate(ids)}
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]  # path halving
+            i = parent[i]
+        return i
+
+    for a, b in zip(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()):
+        ra, rb = find(idx[int(a)]), find(idx[int(b)])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # root = min index = min id
+    roots = np.array([find(i) for i in range(len(ids))], dtype=np.int64)
+    cluster = ids[roots]  # min doc_id of the component (ids sorted)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cluster, pa.int64()),
+                "keep": pa.array(ids == cluster),
+            }
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -86,20 +86,26 @@ def partitioned_map(
     cols: Sequence[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_partitions: int = DEFAULT_PARTITIONS,
+    pre_repartition: bool = True,
 ) -> ray.data.Dataset:
     """Apply `fn` once per hash partition of `cols` (NOT once per key
     group). All rows of one key land in the same partition; `fn` must
     do the per-key work vectorized (pandas groupby / drop_duplicates /
     merge...).
 
-    The repartition before the groupby is load-bearing: Ray Data's
-    sort-based groupby emits as many output partitions as the INPUT
-    has blocks, and a dataset coming out of an earlier shuffle can
-    collapse to one block — which then runs every group's work in ONE
-    task (measured: 8910 buckets serially on one worker while 31
-    idled). Re-blocking to `num_partitions` keeps the per-partition
-    map parallel regardless of upstream lineage."""
-    part = with_partition_col(ds, cols, num_partitions).repartition(num_partitions)
+    The repartition before the groupby is load-bearing by default:
+    Ray Data's sort-based groupby emits as many output partitions as
+    the INPUT has blocks, and a dataset coming out of an earlier
+    shuffle can collapse to one block — which then runs every group's
+    work in ONE task (measured: 8910 buckets serially on one worker
+    while 31 idled). Re-blocking to `num_partitions` keeps the
+    per-partition map parallel regardless of upstream lineage. Pass
+    `pre_repartition=False` ONLY when the input lineage is
+    map/read-only (block count can't have collapsed) to save the
+    extra exchange."""
+    part = with_partition_col(ds, cols, num_partitions)
+    if pre_repartition:
+        part = part.repartition(num_partitions)
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns=[PART_COL]))
@@ -120,7 +126,11 @@ def distinct(
         return df[cols].drop_duplicates()
 
     combined = ds.map_batches(dd, batch_format="pandas", batch_size=65536)
-    return partitioned_map(combined, cols, dd, num_partitions)
+    # the per-block combiner is a map, so block count is intact;
+    # callers feeding a post-shuffle dataset still get correctness
+    # (the groupby re-gathers), just potentially fewer tasks
+    return partitioned_map(combined, cols, dd, num_partitions,
+                           pre_repartition=False)
 
 
 def grouped_agg(
@@ -130,6 +140,7 @@ def grouped_agg(
     num_partitions: int = DEFAULT_PARTITIONS,
     combine_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     batch_size: int = 65536,
+    pre_repartition: bool = True,
 ) -> ray.data.Dataset:
     """Generic many-group aggregate: optional per-block combiner (for
     algebraic aggregates — bounds the shuffle by distinct keys per
@@ -138,7 +149,79 @@ def grouped_agg(
     src = ds
     if combine_fn is not None:
         src = ds.map_batches(combine_fn, batch_format="pandas", batch_size=batch_size)
-    return partitioned_map(src, keys, agg_fn, num_partitions)
+    return partitioned_map(src, keys, agg_fn, num_partitions,
+                           pre_repartition=pre_repartition)
+
+
+def semi_join(
+    left: ray.data.Dataset,
+    keys: ray.data.Dataset,
+    on: str,
+    key_col: str | None = None,
+    anti: bool = False,
+    num_partitions: int = DEFAULT_PARTITIONS,
+    left_schema: pa.Schema | None = None,
+    keys_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Distributed semi (or anti) join: left rows whose `on` value
+    does (not) appear in the key dataset — for key sets too large to
+    broadcast (`closure.semi_join` is the broadcast fast path for a
+    minutely window; THIS is where a 100 TB backfill's changed-id set
+    goes). Both sides hash-partition on the key; each partition does
+    one vectorized `isin`. Keys are deduped per block first so the
+    shuffle moves distinct keys, not key occurrences."""
+    key_col = key_col or on
+    keys = keys.select_columns([key_col])
+
+    def dd(df: pd.DataFrame, _kc: str = key_col) -> pd.DataFrame:
+        return df.drop_duplicates(_kc)
+
+    keys = keys.map_batches(dd, batch_format="pandas", batch_size=65536)
+
+    # the key column always becomes "__key" so it can never collide
+    # with a left column of the same name in the padded union schema
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["__key"])
+
+    keys = keys.map_batches(ren, batch_format="pyarrow")
+    if keys_schema is not None:
+        keys_schema = pa.schema(
+            [pa.field("__key", keys_schema.field(key_col).type)]
+        )
+    key_col = "__key"
+    schema, lcols, rcols = _unified_schema(
+        left, keys, {}, left_hint=left_schema, right_hint=keys_schema
+    )
+    lt = left.map_batches(
+        _tag_and_pad(0, on, schema, num_partitions), batch_format="pyarrow"
+    )
+    rt = keys.map_batches(
+        _tag_and_pad(1, key_col, schema, num_partitions), batch_format="pyarrow"
+    )
+    both = lt.union(rt)
+    out_schema = pa.schema([schema.field(c) for c in lcols])
+
+    ktype = schema.field(key_col).type
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = t["__side"]
+        # re-assert declared types on BOTH sides before comparing:
+        # a pandas round-trip in the sort can float64 int keys, and
+        # isin under float promotion is inexact above 2^53
+        lg = _typed_table(
+            t.filter(pc.equal(side, 0)).select(lcols).to_pandas(), out_schema
+        )
+        kv = pa.array(
+            t.filter(pc.equal(side, 1))[key_col].to_pandas(),
+            type=ktype, from_pandas=True,
+        )
+        mask = np.isin(
+            lg[on].to_numpy(zero_copy_only=False),
+            kv.to_numpy(zero_copy_only=False),
+        )
+        return lg.filter(pa.array(~mask if anti else mask))
+
+    return both.groupby(PART_COL).map_groups(merge, batch_format="pyarrow")
 
 
 def pair_dedup(

@@ -135,3 +135,39 @@ def test_pair_dedup():
     got = joins.pair_dedup(_ds(pairs, 2), ("doc_a", "doc_b"), num_partitions=4).to_pandas()
     assert len(got) == 3
     assert set(zip(got["doc_a"], got["doc_b"])) == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_semi_join_distributed_and_anti():
+    rng = np.random.default_rng(11)
+    # keys beyond float53 exactness to pin the typed-isin contract
+    big = (1 << 60) + np.arange(0, 40, dtype=np.int64)
+    left = pd.DataFrame(
+        {"id": np.concatenate([big, big + 1_000_000]), "v": np.arange(80)}
+    )
+    keys = pd.DataFrame({"id": np.concatenate([big[::2], [123, 456]])})
+    got = (
+        joins.semi_join(_ds(left, 3), _ds(keys, 2), on="id", num_partitions=4)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    exp = left[left["id"].isin(set(keys["id"]))].sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["id"].dtype == np.int64  # no float round-trip survives
+
+    anti = (
+        joins.semi_join(_ds(left, 3), _ds(keys, 2), on="id", anti=True, num_partitions=4)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    exp_a = left[~left["id"].isin(set(keys["id"]))].sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(anti, exp_a)
+
+
+def test_semi_join_key_col_rename_and_dup_keys():
+    left = pd.DataFrame({"node_id": [1, 2, 3, 4], "x": [10.0, 20.0, 30.0, 40.0]})
+    keys = pd.DataFrame({"id": [2, 2, 2, 4, 9]})  # dup keys must not dup rows
+    got = (
+        joins.semi_join(_ds(left, 2), _ds(keys, 2), on="node_id", key_col="id",
+                        num_partitions=4)
+        .to_pandas().sort_values("node_id").reset_index(drop=True)
+    )
+    assert list(got["node_id"]) == [2, 4]
+    assert list(got.columns) == ["node_id", "x"]

@@ -153,3 +153,70 @@ def test_update_from_replication_e2e(tmp_path):
         rep.update_from_replication(nodes, ways, rels, client, sequence=9)
         is None
     )
+
+
+def test_run_replication_windows_and_resume(tmp_path):
+    """Multi-window continuous update (the reference's server loop):
+    each window writes its geo delta resumably; a re-run skips the
+    finished windows' partitions while rebuilding the snapshot."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from oluray.pipelines import stream
+
+    client = rep.ReplicationClient(rep.LocalDirTransport(_mirror(tmp_path)))
+    nodes_t, ways_t, rels_t = fixtures.make_snapshot(200, seed=11)
+    out_dir = str(tmp_path / "geo")
+
+    def snap():
+        return (
+            ray.data.from_arrow(nodes_t),
+            ray.data.from_arrow(ways_t),
+            ray.data.from_arrow(rels_t),
+        )
+
+    n, w, r = snap()
+    res = stream.run_replication_windows(
+        n, w, r, client, out_dir, sequence=3, window_size=3, concurrency=2
+    )
+    assert [wi["window_id"] for wi in res["windows"]] == [
+        "w000000003_000000005", "w000000006_000000008",
+    ]
+    assert all(wi["rows"] > 0 for wi in res["windows"])
+    # every fetched diff node landed in the final snapshot
+    final_nodes = res["nodes"].to_pandas()
+    for seq in range(3, 9):
+        assert (final_nodes["id"] == 100 + seq).sum() == 1
+
+    # window outputs on disk match the manifests
+    rows1, stamps = {}, {}
+    for wi in res["windows"]:
+        files = glob.glob(f"{out_dir}/{wi['window_id']}/part=*/*.parquet")
+        rows1[wi["window_id"]] = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        assert rows1[wi["window_id"]] == wi["rows"]
+        man = json.load(open(f"{out_dir}/{wi['window_id']}/_manifest.json"))
+        stamps[wi["window_id"]] = {
+            p: i["finished_at"] for p, i in man["partitions"].items()
+        }
+
+    # re-run same windows: snapshot rebuilt, all partitions skipped
+    n, w, r = snap()
+    res2 = stream.run_replication_windows(
+        n, w, r, client, out_dir, sequence=3, window_size=3, concurrency=2
+    )
+    assert [wi["rows"] for wi in res2["windows"]] == [
+        rows1[wi["window_id"]] for wi in res2["windows"]
+    ]
+    for wi in res2["windows"]:
+        man = json.load(open(f"{out_dir}/{wi['window_id']}/_manifest.json"))
+        got = {p: i["finished_at"] for p, i in man["partitions"].items()}
+        assert got == stamps[wi["window_id"]]  # nothing rewritten
+
+    # up to date -> None
+    n, w, r = snap()
+    assert (
+        stream.run_replication_windows(n, w, r, client, out_dir, sequence=9)
+        is None
+    )

@@ -344,3 +344,21 @@ def test_exact_dedup_distributed_matches_duckdb():
             order by doc_id"""
     ).df()
     pd.testing.assert_frame_equal(got[["doc_id", "text_hash"]], exp)
+
+
+def test_near_dedup_keep_clusters():
+    """Transitive near-dup clusters: A~B, B~C (A!~C directly) must
+    share one cluster rooted at the min doc_id."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        dict(doc_id=10, text=base),
+        dict(doc_id=11, text=base + "tail one"),
+        dict(doc_id=12, text=base + "tail one and a bit more"),
+        dict(doc_id=50, text="completely different content here " * 8),
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = dedup.near_dedup_keep(ds, threshold=0.6, concurrency=1).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert set(out.index) == {10, 11, 12}  # 50 has no near-dup
+    assert (out["cluster_id"] == 10).all()
+    assert out.loc[10, "keep"] and not out.loc[11, "keep"] and not out.loc[12, "keep"]
