@@ -160,6 +160,7 @@ def run_bench() -> dict:
         ("dedup_exact", Q.q_dedup_exact),
         ("minhash_pairs", Q.q_minhash_pairs),
         ("ann_topk", Q.q_ann_topk),
+        ("ivf_topk", Q.q_ivf_topk),
         ("impact_closure", Q.q_impact_closure),
     ]
     for name, fn in bench_queries:

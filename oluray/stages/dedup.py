@@ -57,11 +57,18 @@ def md5_hex(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest())
 
 
+def add_text_hash(batch: pd.DataFrame) -> pd.DataFrame:
+    # stateless -> plain tasks (an actor pool's spawn latency would
+    # dominate this stage's runtime; there is no per-actor setup)
+    batch = batch.copy()
+    batch["text_hash"] = md5_hex(batch["text"])
+    return batch
+
+
+# back-compat alias for external callers of the r1 class
 class AddTextHash:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["text_hash"] = md5_hex(batch["text"])
-        return batch
+        return add_text_hash(batch)
 
 
 def exact_dedup(docs, id_col: str = "doc_id", concurrency: int = 4,
@@ -75,8 +82,7 @@ def exact_dedup(docs, id_col: str = "doc_id", concurrency: int = 4,
     inside each block) + one hash-partitioned shuffle of the surviving
     (id, digest) rows + per-partition vectorized min — no per-group
     Python anywhere."""
-    hashed = docs.map_batches(AddTextHash, batch_format="pandas",
-                              concurrency=(1, concurrency))
+    hashed = docs.map_batches(add_text_hash, batch_format="pandas")
 
     def keep_min(df: pd.DataFrame) -> pd.DataFrame:
         df = df[[id_col, "text_hash"]].sort_values(id_col, kind="mergesort")
@@ -298,7 +304,7 @@ def _emit_pairs_capped(ids: np.ndarray, cap: int, label: str):
 def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
                       bands: int = 16, shingle_k: int = 5,
                       concurrency: int = 4, bucket_cap: int = DEFAULT_BUCKET_CAP,
-                      num_partitions: int = 64, est_margin: float = 0.35):
+                      num_partitions: int = 64, est_margin: float = 0.3):
     """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold),
     returned as a Dataset of (doc_a, doc_b, jaccard).
 
@@ -311,7 +317,7 @@ def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
       prefilter (drop pairs whose 64-perm estimate is below
       `threshold - est_margin`; at the default margin a true pair at
       the threshold survives with P(miss) ~ exp(-2*n_perm*margin^2)
-      ≈ 1e-7) -> hash-partitioned pair dedup -> exact-Jaccard verify
+      ≈ 1e-5, and pairs above threshold are exponentially safer) -> hash-partitioned pair dedup -> exact-Jaccard verify
       with texts co-shuffled to the surviving pairs via 2 hash joins.
 
     The estimate prefilter is the r2 scale fix: one boilerplate band
@@ -446,7 +452,8 @@ def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
 
     texts_small = docs.map_batches(filt, batch_format="pyarrow").select_columns(
         ["doc_id", "text"]
-    )
+    ).materialize()  # candidate-doc texts only (LSH-pruned); consumed
+    # by BOTH verify joins — pinning avoids re-reading the corpus twice
     _PAIRS = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     _TEXTS = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
     j1 = joins.hash_join(cand, texts_small, on="doc_a", right_on="doc_id",
