@@ -47,6 +47,11 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
         (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                # truncated fmt chunk must raise the documented
+                # ValueError, not struct.error, so quarantining
+                # callers can catch it
+                raise ValueError("truncated WAV fmt chunk")
             audio_fmt, n_channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if audio_fmt != 1:
@@ -87,10 +92,12 @@ def encode_fakevideo(frames: list[bytes], fps: int = 10) -> bytes:
 def probe_fakevideo(buf: bytes) -> tuple[int, int, np.ndarray]:
     """-> (n_frames, fps, offsets[n+1]) without touching frame bytes
     (the metadata-only read a real probe would do)."""
-    if buf[:4] != _FVID_MAGIC:
+    if len(buf) < 10 or buf[:4] != _FVID_MAGIC:
         raise ValueError("not an FVID buffer")
     (fps,) = struct.unpack("<H", buf[4:6])
     (n,) = struct.unpack("<I", buf[6:10])
+    if len(buf) < 10 + 8 * n:
+        raise ValueError("truncated FVID offset table")
     offs = np.frombuffer(buf, dtype="<u8", count=n, offset=10)
     return n, fps, np.append(offs, len(buf)).astype(np.int64)
 

@@ -96,7 +96,8 @@ def q_latest_wins(sf_dir: str):
     # pays ~2 ms per group, see joins.py)
     combined = ds.map_batches(lambda b: best(b), batch_format="pandas",
                               batch_size=65536)
-    out = joins.partitioned_map(combined, ["user_id"], best, num_partitions=32)
+    out = joins.partitioned_map(combined, ["user_id"], best, num_partitions=32,
+                                pre_repartition=False)  # map-lineage input
     return out.select_columns(["user_id", "event_id", "event_type"])
 
 
@@ -157,7 +158,8 @@ def q_member_collect(sf_dir: str):
             {"o_orderkey": g.index.to_numpy(), "members": g.to_numpy()}
         )
 
-    return joins.grouped_agg(sel, ["l_orderkey"], collect, num_partitions=32)
+    return joins.grouped_agg(sel, ["l_orderkey"], collect, num_partitions=32,
+                             pre_repartition=False)  # map-lineage input
 
 
 # M5/A3 reference extraction + distinct
@@ -180,7 +182,16 @@ def q_refs_distinct(sf_dir: str):
 def q_tag_enrich(sf_dir: str):
     impacted = q_impact_closure(sf_dir).select_columns(["o_orderkey"])
     meta = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
-    enriched = joins.hash_join(impacted, meta, on="o_orderkey", num_partitions=32)
+    enriched = joins.hash_join(
+        impacted, meta, on="o_orderkey", num_partitions=32,
+        # static hints: schema() on the lazy impact-closure side would
+        # execute its whole lineage once just for type inference
+        left_schema=pa.schema([("o_orderkey", pa.int64())]),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+             ("o_totalprice", pa.float64())]
+        ),
+    )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -225,7 +236,7 @@ def q_rel_centroid(sf_dir: str):
         return g
 
     return joins.grouped_agg(pts, ["o_orderkey"], agg, num_partitions=32,
-                             combine_fn=None)
+                             combine_fn=None, pre_repartition=False)
 
 
 # A1 / O3 global max timestamp
@@ -645,7 +656,8 @@ def q_sessionize(sf_dir: str):
         out["n"] = out["n"].astype("int64")
         return out[["user_id", "session_start", "n"]].reset_index(drop=True)
 
-    return joins.partitioned_map(ev, ["user_id"], sessions, num_partitions=32)
+    return joins.partitioned_map(ev, ["user_id"], sessions, num_partitions=32,
+                                 pre_repartition=False)  # map-lineage input
 
 
 def q_cosine_pairs(sf_dir: str):

@@ -28,6 +28,7 @@ import ray.data
 from oluray.functions import geo
 from oluray.pipelines import update as upd
 from oluray.sources import replication as rep
+from oluray.stages.diff import EmptyDiffError
 from oluray.state.checkpoint import write_partitioned_resumable
 
 
@@ -66,10 +67,21 @@ def run_replication_windows(
         e = min(s + window_size - 1, latest)
         wid = f"w{s:09d}_{e:09d}"
         changes = rep.fetch_changes(client, s, e, **fetch_kw)
-        out = upd.apply_update(
-            nodes, ways, relations, changes.drop_columns(["seq"]),
-            cell_res=cell_res,
-        )
+        try:
+            out = upd.apply_update(
+                nodes, ways, relations, changes.drop_columns(["seq"]),
+                cell_res=cell_res,
+            )
+        except EmptyDiffError:
+            # a quiet window (valid change files, zero elements —
+            # maintenance gap) must not abort the backfill; the
+            # snapshot is unchanged and there is nothing to write
+            windows.append(
+                {"window_id": wid, "first_seq": s, "last_seq": e,
+                 "partitions": 0, "rows": 0}
+            )
+            s = e + 1
+            continue
         # bound the lazy plan: each window's snapshot pins its blocks
         # (object store spills as needed) instead of stacking another
         # window of transforms onto an ever-deeper lineage

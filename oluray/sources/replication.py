@@ -114,21 +114,40 @@ class ReplicationClient:
     def state_for_timestamp(self, timestamp: str, min_seq: int = 0) -> dict:
         """Largest-sequence state with state.timestamp <= timestamp
         (the reference walks back one sequence at a time; binary
-        search gives the same answer in O(log n) probes)."""
+        search gives the same answer in O(log n) probes).
+
+        Real replication servers PRUNE old sequences, so a probe below
+        the retention horizon 404s; a missing state file is treated as
+        "older than everything retained" (search higher). If the
+        answer itself was pruned, the earliest RETAINED state is
+        returned — starting there replays at-most-extra windows, which
+        latest-wins merging makes harmless; starting later would skip
+        edits."""
         latest = self.latest_state()
         if latest["timestamp"] is not None and latest["timestamp"] <= timestamp:
             return latest
         lo, hi, best = min_seq, latest["sequence"] - 1, None
+        saw_too_new = False
         while lo <= hi:
             mid = (lo + hi) // 2
-            st = self.state(mid)
+            try:
+                st = self.state(mid)
+            except FetchError:
+                lo = mid + 1  # pruned: everything at/below mid is gone
+                continue
             if st["timestamp"] is not None and st["timestamp"] <= timestamp:
                 best, lo = st, mid + 1
             else:
+                saw_too_new = True
                 hi = mid - 1
-        if best is None:
-            raise ValueError(f"no replication state at or before {timestamp}")
-        return best
+        if best is not None:
+            return best
+        if saw_too_new:
+            # everything retained is newer than the target: `lo`
+            # converged to the first retained sequence (the pruned/
+            # retained boundary) — the earliest possible start
+            return self.state(min(lo, latest["sequence"]))
+        raise ValueError(f"no replication state at or before {timestamp}")
 
     # -- change files ------------------------------------------------------
     def change_bytes(self, seq: int) -> bytes:

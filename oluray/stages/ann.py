@@ -257,11 +257,27 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
 def train_centroids(
     embeddings, n_centroids: int = 64, sample_size: int = 2048,
     iters: int = 10,
 ) -> np.ndarray:
-    """Deterministic spherical k-means on a bounded sample.
+    """Deterministic spherical k-means on a bounded, CORPUS-WIDE
+    sample: rows are kept when a hash of vec_id falls below the
+    sampling rate, so the sample spreads over every file/domain —
+    `limit(sample_size)` would take the first rows in block order,
+    and a corpus parquet sorted by source would then train every
+    centroid on one domain's corner of embedding space (r2 review).
 
     Only the SAMPLE reaches the driver — O(sample_size x dim), the
     same budget class as the broadcast query matrix; the corpus never
@@ -270,11 +286,24 @@ def train_centroids(
     vectorized (`np.add.at` scatter for the centroid update); an empty
     cluster is re-seeded from the currently worst-served sample point.
     """
-    sm = embeddings.limit(sample_size).to_pandas()
-    order = np.argsort(sm["vec_id"].to_numpy())
+    n_total = embeddings.count()  # parquet metadata — cheap
+    # 2x oversample the rate so hash variance rarely undershoots
+    rate = min(1.0, 2.0 * sample_size / max(n_total, 1))
+    cut = np.uint64(int(rate * (1 << 32)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = _mix64(t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return t.filter(pa.array((h >> np.uint64(32)) < cut))
+
+    sm = embeddings.map_batches(keep, batch_format="pyarrow").to_pandas()
+    ids = sm["vec_id"].to_numpy()
+    # truncate by HASH rank (unbiased — ids can correlate with file
+    # order), then sort the kept rows by vec_id for determinism
+    by_hash = np.argsort(_mix64(ids.astype(np.int64)), kind="stable")[:sample_size]
+    sel = by_hash[np.argsort(ids[by_hash], kind="stable")]
     m = _normalize(
-        np.stack(sm["embedding"].map(np.asarray)).astype(np.float64)
-    )[order]
+        np.stack(sm["embedding"].iloc[sel].map(np.asarray)).astype(np.float64)
+    )
     n_centroids = min(n_centroids, len(m))
     c = m[:: max(1, len(m) // n_centroids)][:n_centroids].copy()
     for _ in range(iters):
@@ -361,10 +390,12 @@ def ivf_topk(
 
 
 class MultiLshBucketStage:
-    """(table_id, bucket, vec_id, embedding) rows for T independent
-    hyperplane tables — higher recall than one table; the embedding
-    rides along so pair groups can verify (and re-bucket for the
-    first-common-table rule) without another join."""
+    """(vec_id, table_id, bucket) KEY rows for T independent
+    hyperplane tables — 24 B/row; embeddings do NOT ride along (r2
+    review: duplicating the embedding column per table pinned
+    n_tables x the corpus in the object store before any pruning).
+    Embeddings are hash-joined onto the hot (colliding) minority
+    afterwards, the same shape the minhash path uses for signatures."""
 
     def __init__(self, planes_ref):
         self.planes = ray.get(planes_ref)  # list[T] of (n_bits, dim)
@@ -375,10 +406,9 @@ class MultiLshBucketStage:
         if n == 0:
             return pa.table(
                 {
+                    "vec_id": pa.array([], pa.int64()),
                     "table_id": pa.array([], pa.int64()),
                     "bucket": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "embedding": batch["embedding"],
                 }
             )
         mn = _normalize(m)
@@ -387,10 +417,9 @@ class MultiLshBucketStage:
             tables.append(
                 pa.table(
                     {
+                        "vec_id": batch["vec_id"],
                         "table_id": pa.array(np.full(n, t, np.int64)),
                         "bucket": pa.array(lsh_bucket(mn, planes)),
-                        "vec_id": batch["vec_id"],
-                        "embedding": batch["embedding"],
                     }
                 )
             )
@@ -406,22 +435,28 @@ def cosine_near_dup_pairs(
     buckets + exact within-bucket verify (vec_a < vec_b,
     sim >= threshold). Returns Dataset (vec_a, vec_b, sim).
 
-    Exactly-once without a dedup shuffle: a pair colliding in several
-    tables is emitted only by the FIRST table where both vectors share
-    a bucket — each group holds the embeddings, so earlier tables'
-    buckets are recomputed locally (planes broadcast once)."""
-    from oluray.stages.dedup import hot_buckets
+    Shape (mirrors the minhash path): key-only bucket rows -> hot
+    (colliding) bucket prefilter -> embeddings hash-joined onto the
+    hot minority -> capped per-bucket exact verify -> hash-partitioned
+    pair dedup. Cross-table duplicates are removed by the dedup
+    shuffle, NOT a first-common-table suppression rule — with bucket
+    caps, suppression is wrong: a pair whose earlier shared bucket was
+    capped would be suppressed by every later table and silently
+    lost."""
+    from oluray.stages import joins
+    from oluray.stages.dedup import hot_semi_filter
 
     first = embeddings.take_batch(1, batch_format="pyarrow")
     dim = len(first["embedding"][0])
     planes = [hyperplanes(dim, n_bits, seed + 7919 * t) for t in range(n_tables)]
+    if n_bits > 48:
+        raise ValueError("n_bits > 48 would collide table_id into bucket bits")
     pref = ray.put(planes)
     rows = embeddings.map_batches(
         MultiLshBucketStage, fn_constructor_kwargs=dict(planes_ref=pref),
         batch_format="pyarrow", concurrency=(1, concurrency),
     ).materialize()
 
-    hot = hot_buckets(rows, ["table_id", "bucket"], num_partitions)
     empty = pa.table(
         {
             "vec_a": pa.array([], pa.int64()),
@@ -429,20 +464,20 @@ def cosine_near_dup_pairs(
             "sim": pa.array([], pa.float64()),
         }
     )
-    if hot.empty:
+    collided = hot_semi_filter(
+        rows, ["table_id", "bucket"], shift=48, num_partitions=num_partitions
+    )
+    if collided is None:
         return ray.data.from_arrow(empty)
-    hot_keys = hot["table_id"].to_numpy(np.int64) * (1 << 48) + hot["bucket"].to_numpy()
-    hot_ref = ray.put(np.unique(hot_keys))
-
-    def in_hot(t: pa.Table) -> pa.Table:
-        keys = (
-            t["table_id"].to_numpy(zero_copy_only=False) * (1 << 48)
-            + t["bucket"].to_numpy(zero_copy_only=False)
-        )
-        mask = np.isin(keys, ray.get(hot_ref))
-        return t.filter(pa.array(mask))
-
-    collided = rows.map_batches(in_hot, batch_format="pyarrow")
+    # embeddings join the HOT rows only (the LSH-pruned minority) —
+    # key rows moved through the shuffle above, vectors move here once
+    _KEYS = pa.schema(
+        [("vec_id", pa.int64()), ("table_id", pa.int64()), ("bucket", pa.int64())]
+    )
+    collided = joins.hash_join(
+        collided, embeddings.select_columns(["vec_id", "embedding"]),
+        on="vec_id", num_partitions=16, left_schema=_KEYS,
+    )
 
     out_empty = pd.DataFrame(
         {"vec_a": pd.Series([], dtype="int64"),
@@ -459,16 +494,11 @@ def cosine_near_dup_pairs(
                 "cosine_near_dup: bucket of %d vecs capped to %d", len(g), bucket_cap
             )
             g = g.iloc[:bucket_cap]
-        table = int(g["table_id"].iloc[0])
         m = _normalize(np.stack(g["embedding"].map(np.asarray)).astype(np.float64))
         ids = g["vec_id"].to_numpy()
         sims = m @ m.T
         ai, bi = np.triu_indices(len(g), 1)
         keep = sims[ai, bi] >= threshold
-        # first-common-table rule (exactly-once across tables)
-        for earlier in range(table):
-            eb = lsh_bucket(m, planes[earlier])
-            keep &= eb[ai] != eb[bi]
         if not keep.any():
             return None
         return pd.DataFrame(
@@ -488,8 +518,7 @@ def cosine_near_dup_pairs(
         ]
         return pd.concat(outs, ignore_index=True) if outs else out_empty
 
-    from oluray.stages import joins
-
-    return joins.partitioned_map(
+    cand = joins.partitioned_map(
         collided, ["table_id", "bucket"], emit, num_partitions=num_partitions
     )
+    return joins.pair_dedup(cand, ("vec_a", "vec_b"), num_partitions=32)

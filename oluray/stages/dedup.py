@@ -286,6 +286,35 @@ def hot_buckets(rows, key_cols: list[str], num_partitions: int = 64):
     ).to_pandas()
 
 
+def hot_semi_filter(rows, key_cols: list[str], shift: int,
+                    num_partitions: int = 64):
+    """Two-phase hot-bucket count + broadcast composite-key semi
+    filter — THE shared prefilter of every LSH family here (minhash
+    bands, simhash bands, cosine tables). Returns the rows whose
+    (key_cols) bucket holds >= 2 members, or None when no bucket
+    collides at all.
+
+    `shift` reserves the low bits for the second key; a second-key
+    value overflowing the width merely admits an extra singleton row
+    into the filter output (the exact per-bucket regroup downstream
+    is keyed on the real columns, so correctness is unaffected)."""
+    hot = hot_buckets(rows, key_cols, num_partitions)
+    if hot.empty:
+        return None
+    k0, k1 = key_cols
+    hot_keys = hot[k0].to_numpy(np.int64) * (1 << shift) + hot[k1].to_numpy()
+    ref = ray.put(np.unique(hot_keys))
+
+    def in_hot(t: pa.Table) -> pa.Table:
+        keys = (
+            t[k0].to_numpy(zero_copy_only=False).astype(np.int64) * (1 << shift)
+            + t[k1].to_numpy(zero_copy_only=False)
+        )
+        return t.filter(pa.array(np.isin(keys, ray.get(ref))))
+
+    return rows.map_batches(in_hot, batch_format="pyarrow")
+
+
 def _emit_pairs_capped(ids: np.ndarray, cap: int, label: str):
     """Sorted-unique ids -> (a, b) index pairs with a size cap."""
     ids = np.unique(ids)
@@ -354,30 +383,18 @@ def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
         bands_from_sigs(bands), batch_format="pandas"
     )
 
-    hot = hot_buckets(band_rows, ["band_id", "band_hash"], num_partitions)
     empty = pa.table(
         {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
          "jaccard": pa.array([], pa.float64())}
     )
-    if hot.empty:
-        return ray.data.from_arrow(empty)
-
-    # composite key for the broadcast semi-filter (collisions merely
-    # admit an extra singleton row — the exact groupby below regroups)
-    hot_keys = (
-        hot["band_id"].to_numpy(np.int64) * (1 << 50) + hot["band_hash"].to_numpy()
+    # band_hash is masked to 50 bits at fold time, so the composite
+    # hot key is collision-free here
+    collided = hot_semi_filter(
+        band_rows, ["band_id", "band_hash"], shift=50,
+        num_partitions=num_partitions,
     )
-    hot_ref = ray.put(np.unique(hot_keys))
-
-    def in_hot(t: pa.Table) -> pa.Table:
-        keys = (
-            t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64) * (1 << 50)
-            + t["band_hash"].to_numpy(zero_copy_only=False)
-        )
-        mask = np.isin(keys, ray.get(hot_ref))
-        return t.filter(pa.array(mask))
-
-    collided = band_rows.map_batches(in_hot, batch_format="pyarrow")
+    if collided is None:
+        return ray.data.from_arrow(empty)
     # co-shuffle each hot row's signature onto it (hot rows are the
     # LSH-pruned minority; sig payload is n_perm*8 B). Static schema
     # hints: schema() on a lazy side would trigger a whole extra
@@ -607,10 +624,11 @@ def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4,
     within Hamming distance `max_hamming` agrees on at least one full
     band, so bucketing on bands has recall 1 for the target radius.
 
-    Exactly-once WITHOUT a dedup shuffle: each bucket group holds the
-    full signatures, so it can recompute every EARLIER band's values
-    and emit a pair only from the first band the two docs share
-    (first-matching-band rule)."""
+    Cross-band duplicates are removed by a hash-partitioned pair
+    dedup, NOT a first-matching-band suppression rule — with bucket
+    caps, suppression is wrong: a pair whose earlier shared bucket was
+    capped (pair never emitted there) would be suppressed by every
+    later band too and silently lost (r2 review)."""
     n_bands = min(max_hamming + 1, 32)
     sigs = docs.map_batches(SimHash, batch_format="pandas",
                             concurrency=(1, concurrency))
@@ -627,21 +645,16 @@ def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4,
 
     exploded = sigs.map_batches(explode, batch_format="pandas").materialize()
 
-    hot = hot_buckets(exploded, ["band_id", "band_val"], num_partitions)
     empty = pa.table(
         {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
          "hamming": pa.array([], pa.int64())}
     )
-    if hot.empty:
+    collided = hot_semi_filter(
+        exploded, ["band_id", "band_val"], shift=56,
+        num_partitions=num_partitions,
+    )
+    if collided is None:
         return ray.data.from_arrow(empty)
-    hot_keys = hot["band_id"].to_numpy(np.int64) * (1 << 56) + hot["band_val"].to_numpy()
-    hot_ref = ray.put(np.unique(hot_keys))
-
-    def in_hot(df: pd.DataFrame) -> pd.DataFrame:
-        keys = df["band_id"].to_numpy(np.int64) * (1 << 56) + df["band_val"].to_numpy()
-        return df[np.isin(keys, ray.get(hot_ref))]
-
-    collided = exploded.map_batches(in_hot, batch_format="pandas")
 
     out_empty = pd.DataFrame(
         {"doc_a": pd.Series([], dtype="int64"),
@@ -653,7 +666,6 @@ def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4,
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
         if len(g) < 2:
             return None
-        band = int(g["band_id"].iloc[0])
         ids = g["doc_id"].to_numpy()
         sh = g["simhash"].to_numpy()
         if len(ids) > bucket_cap:
@@ -664,11 +676,6 @@ def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4,
         ai, bi = np.triu_indices(len(ids), 1)
         hd = hamming64(sh[ai], sh[bi])
         keep = hd <= max_hamming
-        # first-matching-band: drop pairs already emitted by an
-        # earlier band (recompute earlier band values locally)
-        for earlier in range(band):
-            bv = _band_values(sh.view(np.uint64), earlier, n_bands)
-            keep &= bv[ai] != bv[bi]
         if not keep.any():
             return None
         return pd.DataFrame(
@@ -685,6 +692,7 @@ def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4,
         ]
         return pd.concat(outs, ignore_index=True) if outs else out_empty
 
-    return joins.partitioned_map(
+    cand = joins.partitioned_map(
         collided, ["band_id", "band_val"], emit, num_partitions=num_partitions
     )
+    return joins.pair_dedup(cand, ("doc_a", "doc_b"), num_partitions=32)

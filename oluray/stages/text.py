@@ -122,14 +122,28 @@ _FP_BASE = np.uint64(1099511628211)  # FNV-ish multiplier
 _FP_OFFSET = np.uint64(14695981039346656037)
 
 
+_LONG_TOKEN = 64  # padded-matrix width cap
+
+
+def _fnv1a_bytes(data: bytes) -> np.uint64:
+    h = _FP_OFFSET
+    with np.errstate(over="ignore"):
+        for b in data:
+            h = (h ^ np.uint64(b)) * _FP_BASE
+    return h
+
+
 def token_hashes_many(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """FNV-1a per ' '-token for a whole batch of texts, vectorized.
 
     Returns (flat_hashes, counts): all token hashes concatenated in
-    text order, plus tokens-per-text. The per-BYTE Python loop of the
-    r1 implementation is replaced by a padded byte matrix processed
-    column-by-column (max-token-length vectorized passes over ALL
-    tokens of the batch at once) — bit-identical output.
+    text order, plus tokens-per-text. Tokens up to 64 bytes (the vast
+    majority of natural text) go through a padded byte matrix
+    processed column-by-column; LONGER tokens (base64 blobs, minified
+    JS, megabyte URLs in web scrapes) are hashed individually — a
+    single padded matrix sized by the longest token would allocate
+    O(n_tokens x longest_token) and OOM on one degenerate row.
+    Bit-identical output either way.
     """
     counts = np.fromiter((t.count(" ") + 1 for t in texts), dtype=np.int64,
                          count=len(texts))
@@ -140,16 +154,25 @@ def token_hashes_many(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     if n == 0:
         return np.empty(0, dtype=np.uint64), counts
     lens = np.fromiter(map(len, toks), dtype=np.int64, count=n)
-    maxlen = int(lens.max()) if n else 0
     h = np.full(n, _FP_OFFSET, dtype=np.uint64)
+    long_idx = np.flatnonzero(lens > _LONG_TOKEN)
+    for i in long_idx:
+        h[i] = _fnv1a_bytes(toks[i])
+    short_mask = lens <= _LONG_TOKEN
+    short_lens = np.minimum(lens, _LONG_TOKEN)
+    maxlen = int(short_lens.max()) if short_mask.any() else 0
     if maxlen == 0:
         return h, counts
     mat = np.frombuffer(
-        b"".join(t.ljust(maxlen, b"\x00") for t in toks), dtype=np.uint8
+        b"".join(
+            (t[:maxlen] if len(t) > maxlen else t).ljust(maxlen, b"\x00")
+            for t in toks
+        ),
+        dtype=np.uint8,
     ).reshape(n, maxlen)
     with np.errstate(over="ignore"):  # uint64 wraparound is the hash
         for j in range(maxlen):
-            mask = lens > j
+            mask = short_mask & (lens > j)
             h[mask] = (h[mask] ^ mat[mask, j].astype(np.uint64)) * _FP_BASE
     return h, counts
 

@@ -138,3 +138,22 @@ def test_latest_wins_comparator_order_free(rows):
         return tuple(f.iloc[0][["version", "deleted", "ts"]])
 
     assert winner(df) == winner(df.iloc[::-1])
+
+
+def test_token_hashes_long_token_matches_reference():
+    """>64-byte tokens take the per-token path; result must equal the
+    canonical per-byte FNV-1a for every length across the boundary."""
+    from oluray.stages.text import _FP_BASE, _FP_OFFSET
+
+    def ref_fnv(data: bytes) -> int:
+        h = int(_FP_OFFSET)
+        for b in data:
+            h = ((h ^ b) * int(_FP_BASE)) & ((1 << 64) - 1)
+        return h
+
+    toks = ["x" * n for n in (1, 63, 64, 65, 200, 5000)]
+    text = " ".join(toks)
+    flat, counts = token_hashes_many([text])
+    assert counts[0] == len(toks)
+    for t, h in zip(toks, flat):
+        assert int(h) == ref_fnv(t.encode())

@@ -65,8 +65,28 @@ def test_state_for_timestamp_binary_search(tmp_path):
     assert st["sequence"] == 6
     # at-or-after the newest -> latest, no per-seq probes needed
     assert client.state_for_timestamp("2024-01-02T00:00:00Z")["sequence"] == 8
-    with pytest.raises(ValueError):
-        client.state_for_timestamp("2023-12-31T00:00:00Z", min_seq=3)
+    # older than everything retained -> earliest retained state
+    # (replaying extra windows is harmless under latest-wins; skipping
+    # edits would not be)
+    assert (
+        client.state_for_timestamp("2023-12-31T00:00:00Z", min_seq=3)["sequence"]
+        == 3
+    )
+
+
+def test_state_for_timestamp_pruned_history(tmp_path):
+    """Replication servers prune old sequences; probes below the
+    retention horizon must be treated as 'older', not abort the
+    search (default min_seq=0 probes sequence 3 on this mirror)."""
+    client = rep.ReplicationClient(
+        rep.LocalDirTransport(_mirror(tmp_path, n_seq=4, first_seq=5)),
+        retries=0,
+    )
+    # answer exists among retained states
+    st = client.state_for_timestamp("2024-01-01T01:30:00Z")
+    assert st["sequence"] == 6
+    # answer itself pruned -> earliest retained
+    assert client.state_for_timestamp("2020-01-01T00:00:00Z")["sequence"] == 5
 
 
 @dataclass
@@ -220,3 +240,35 @@ def test_run_replication_windows_and_resume(tmp_path):
         stream.run_replication_windows(n, w, r, client, out_dir, sequence=9)
         is None
     )
+
+
+def test_run_replication_windows_quiet_window(tmp_path):
+    """A valid-but-empty change file (maintenance gap) is skipped,
+    not fatal (EmptyDiffError would otherwise abort the loop)."""
+    from oluray.pipelines import stream
+
+    root = tmp_path / "mirror"
+    for seq, rows in ((3, [_node("modify", 103, 4.0, 2.0, 0)]), (4, [])):
+        p = root / osc.seq_path(seq)
+        os.makedirs(p.parent, exist_ok=True)
+        (p.parent / (p.name + ".state.txt")).write_text(
+            f"sequenceNumber={seq}\ntimestamp=2024-01-01T0{seq}\\:00\\:00Z\n"
+        )
+        (p.parent / (p.name + ".osc.gz")).write_bytes(_osc_doc(rows))
+    (root / "state.txt").write_text(
+        "sequenceNumber=4\ntimestamp=2024-01-01T04\\:00\\:00Z\n"
+    )
+    client = rep.ReplicationClient(rep.LocalDirTransport(str(root)))
+    nodes_t, ways_t, rels_t = fixtures.make_snapshot(60, seed=11)
+    res = stream.run_replication_windows(
+        ray.data.from_arrow(nodes_t), ray.data.from_arrow(ways_t),
+        ray.data.from_arrow(rels_t), client, str(tmp_path / "geo"),
+        sequence=3, window_size=1, concurrency=2,
+    )
+    assert len(res["windows"]) == 2
+    assert res["windows"][0]["rows"] > 0
+    assert res["windows"][1] == {
+        "window_id": "w000000004_000000004", "first_seq": 4, "last_seq": 4,
+        "partitions": 0, "rows": 0,
+    }
+    assert (res["nodes"].to_pandas()["id"] == 103).sum() == 1
