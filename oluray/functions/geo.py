@@ -62,8 +62,11 @@ def derive_lonlat(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def derive_lonlat_sql(key_expr: str) -> tuple[str, str]:
-    """SQL expressions computing exactly :func:`derive_lonlat`."""
-    h1 = f"((({key_expr}) * {_HASH_MULT}) % {_MOD32})"
+    """SQL expressions computing exactly :func:`derive_lonlat` for
+    non-negative keys. The inner product needs the HUGEINT cast too:
+    key * 2654435761 overflows BIGINT for keys >= ~3.5e9 (real OSM
+    node ids pass 11e9) even though the final value is mod 2^32."""
+    h1 = f"((({key_expr})::HUGEINT * {_HASH_MULT}) % {_MOD32})"
     h2 = f"(({h1}::HUGEINT * {h1}) % {_MOD32})"
     lon = f"(-180.0 + (({h1}::HUGEINT * {_KNUTH}) // {_MOD32})::DOUBLE / 10000000.0)"
     lat = f"(-85.0 + (({h2}::HUGEINT * {_LAT_SPAN}) // {_MOD32})::DOUBLE / 10000000.0)"

@@ -45,15 +45,30 @@ def add_footprint(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_CENT_ARRAYS: dict = {}
+
+
+def _centroid_arrays(cent_ref):
+    """Per-worker memo of the dict -> sorted-array conversion (the
+    Python loop over all polygons would otherwise rerun per batch)."""
+    key = cent_ref.hex()
+    hit = _CENT_ARRAYS.get(key)
+    if hit is None:
+        cents = ray.get(cent_ref)  # {poly_id: (lon, lat)} — local
+        ids = np.array(sorted(cents), dtype=np.int64)
+        clon = np.array([cents[i][0] for i in ids])
+        clat = np.array([cents[i][1] for i in ids])
+        _CENT_ARRAYS.clear()
+        hit = _CENT_ARRAYS[key] = (ids, clon, clat)
+    return hit
+
+
 def add_centroid_dist(batch: pa.Table, cent_ref) -> pa.Table:
     """dist_m from each assigned point to its polygon's centroid —
     broadcast centroid lookup (`ray.get` hits the local object store),
     vectorized take, NO shuffle. A stateless task stage: cheap enough
     that an actor pool would only steal CPUs from the PIP pool."""
-    cents = ray.get(cent_ref)  # {poly_id: (lon, lat)} — zero-copy local
-    ids = np.array(sorted(cents), dtype=np.int64)
-    clon = np.array([cents[i][0] for i in ids])
-    clat = np.array([cents[i][1] for i in ids])
+    ids, clon, clat = _centroid_arrays(cent_ref)
     pid = batch["poly_id"].to_numpy(zero_copy_only=False)
     pos = np.searchsorted(ids, pid)
     d = geo.haversine_m(
@@ -63,29 +78,6 @@ def add_centroid_dist(batch: pa.Table, cent_ref) -> pa.Table:
         clat[pos],
     )
     return batch.append_column("dist_m", pa.array(np.round(d, 3)))
-
-
-class AddCentroidDist:
-    """Actor-pool variant of :func:`add_centroid_dist` (kept for
-    callers that prefer a pool); the function form is the default."""
-
-    def __init__(self, cent_ref):
-        cents = ray.get(cent_ref)
-        ids = np.array(sorted(cents), dtype=np.int64)
-        self.ids = ids
-        self.clon = np.array([cents[i][0] for i in ids])
-        self.clat = np.array([cents[i][1] for i in ids])
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        pid = batch["poly_id"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(self.ids, pid)
-        d = geo.haversine_m(
-            batch["lon"].to_numpy(zero_copy_only=False),
-            batch["lat"].to_numpy(zero_copy_only=False),
-            self.clon[pos],
-            self.clat[pos],
-        )
-        return batch.append_column("dist_m", pa.array(np.round(d, 3)))
 
 
 def poly_centroids(polys: pa.Table) -> dict[int, tuple[float, float]]:
@@ -123,34 +115,23 @@ def assignments_pipeline(
         batch_size=batch_size,
     )
 
-    # raster->vector: explode each assigned image onto its covering tile
-    # cells, then attach a coarse partition cell for the resumable sink
-    def explode_tiles(batch: pa.Table) -> pa.Table:
-        from oluray.stages.spatial import bbox_cells
+    # raster->vector: THE tile_cover operator (single implementation,
+    # kept in lockstep with the SQL oracle) carrying the assignment
+    # payload, then a coarse partition cell for the resumable sink
+    from oluray.stages.spatial import tile_cover
 
-        lon = batch["lon"].to_numpy(zero_copy_only=False)
-        lat = batch["lat"].to_numpy(zero_copy_only=False)
-        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
-        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.float64)
-        deg_per_px = 1e-3
-        row_idx, cells = bbox_cells(
-            lon, lat, w * deg_per_px / 2.0, h * deg_per_px / 2.0, tile_res
-        )
-        taken = pa.array(row_idx)
-        part = geo.cell_parent(cells, part_res)
-        return pa.table(
-            {
-                "image_id": pa.compute.take(batch["image_id"], taken),
-                "cell": pa.array(cells),
-                "poly_id": pa.compute.take(batch["poly_id"], taken),
-                "op": pa.compute.take(batch["op"], taken),
-                "dist_m": pa.compute.take(batch["dist_m"], taken),
-                "caption": pa.compute.take(batch["caption"], taken),
-                "part": pa.array(part),
-            }
-        )
+    tiles = tile_cover(
+        hits, tile_res, id_col="image_id",
+        carry_cols=("poly_id", "op", "dist_m", "caption"),
+    )
 
-    return hits.map_batches(explode_tiles, batch_format="pyarrow", batch_size=batch_size)
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = geo.cell_parent(
+            batch["cell"].to_numpy(zero_copy_only=False), part_res
+        )
+        return batch.append_column("part", pa.array(part))
+
+    return tiles.map_batches(add_part, batch_format="pyarrow", batch_size=batch_size)
 
 
 def run_window(

@@ -109,10 +109,12 @@ def parse_osc_batch(batch: pa.Table) -> pa.Table:
 def read_osc(paths, parallelism: int = -1):
     """Directory/list of .osc[.gz|.bz2] -> changes Dataset. Ordering
     contract (oldest->newest by filename, `README.md:22-26`) is
-    irrelevant after latest-wins merge — the merge is order-free."""
+    irrelevant after latest-wins merge — the merge is order-free.
+    `parallelism` (-1 = let Ray decide) controls the read fan-out."""
     import ray.data
 
-    files = ray.data.read_binary_files(paths)
+    kw = {} if parallelism == -1 else {"override_num_blocks": parallelism}
+    files = ray.data.read_binary_files(paths, **kw)
     return files.map_batches(parse_osc_batch, batch_format="pyarrow", batch_size=4)
 
 
@@ -183,7 +185,11 @@ def parse_state(text: str) -> dict:
 def sequence_for_timestamp(states: list[dict], target_ts: str) -> int:
     """Largest sequence whose timestamp <= target (the reference walks
     backward over HTTP, `src/osm/OsmDataFetcher.cpp:163-175`; local
-    manifests allow binary search). `states` sorted by sequence."""
+    manifests allow binary search). `states` sorted by sequence.
+    States whose timestamp could not be parsed (parse_state returns
+    timestamp=None for a malformed state.txt) are skipped — one bad
+    manifest must not break cursor recovery."""
+    states = [s for s in states if s.get("timestamp") is not None]
     lo, hi, best = 0, len(states) - 1, None
     while lo <= hi:
         mid = (lo + hi) // 2

@@ -211,7 +211,11 @@ def pip_join(
                                    carry_cols=carry_cols),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # int -> autoscaling (1, c), same convention as knn_join: a
+        # fixed-size pool pays c cold-starts even for tiny inputs
+        concurrency=concurrency
+        if isinstance(concurrency, tuple)
+        else (1, concurrency),
     )
 
 
@@ -260,7 +264,11 @@ class KnnStage:
         self.fid = np.asarray(fid, dtype=np.int64)
         self.flon = np.asarray(flon, dtype=np.float64)
         self.flat = np.asarray(flat_, dtype=np.float64)
-        self.res, self.k = res, k
+        # k cannot exceed the feature count: every path (brute argsort,
+        # per-cell candidates, CSR) yields min(k, n_features) ranks and
+        # the output assembly sizes columns by self.k — an unclamped k
+        # produced mismatched column lengths (r2 review)
+        self.res, self.k = res, min(k, len(self.fid))
         self.id_col, self.lon_col, self.lat_col = id_col, lon_col, lat_col
         self.n_grid = 1 << res
         self.cell_h_m = (180.0 / self.n_grid) * _M_PER_DEG
@@ -436,8 +444,25 @@ class KnnStage:
             d = dx * dx + dy * dy + dz * dz
             order = np.lexsort((pair_f, d, pair_pt))
             rank_in_seg = np.arange(len(order)) - np.repeat(seg_first, counts)
-            keep = rank_in_seg < self.k
-            idx = pair_f[order[keep]].reshape(npts, self.k)
+            # take k+1 by chord, then FINAL-rank those winners by the
+            # exact haversine the brute-force/SQL oracle orders by —
+            # chord and haversine are monotone twins but can disagree
+            # on strict order at ~1 ulp, so the boundary member and
+            # the rank order both get the exact-metric tie-break
+            # (the k=1 path has its own ambiguity re-check)
+            keep = rank_in_seg < self.k + 1
+            kept = order[keep]
+            kept_pt = pair_pt[kept]
+            kept_f = pair_f[kept]
+            hav = geo.haversine_m(
+                lon[kept_pt], lat[kept_pt],
+                self.flon[kept_f], self.flat[kept_f],
+            )
+            counts2 = np.minimum(counts, self.k + 1)
+            first2 = np.concatenate(([0], np.cumsum(counts2)[:-1]))
+            ord2 = np.lexsort((kept_f, hav, kept_pt))
+            rank2 = np.arange(len(ord2)) - np.repeat(first2, counts2)
+            idx = kept_f[ord2[rank2 < self.k]].reshape(npts, self.k)
         # exact haversine only on the winners (npts x k pairs)
         flat_idx = idx.ravel()
         dist = geo.haversine_m(
@@ -623,11 +648,15 @@ def tile_cover(
     ds: ray.data.Dataset, res: int, id_col: str = "image_id",
     lon_col: str = "lon", lat_col: str = "lat",
     w_col: str = "w", h_col: str = "h", deg_per_px: float = 1e-3,
+    carry_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Raster->vector: map each image footprint (bbox centered on its
     point, sized w x h pixels at `deg_per_px`) onto its covering cell
     set at `res`; one output row per (image, cell). Vectorized: cells
     are enumerated with integer range arithmetic, no per-cell PIP.
+    `carry_cols` replicate onto every emitted tile row (same contract
+    as pip_join) — this is THE footprint/explode implementation; the
+    flagship pipeline reuses it so the SQL oracle stays in lockstep.
     """
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -638,11 +667,13 @@ def tile_cover(
         row_idx, cells = bbox_cells(
             lon, lat, w * deg_per_px / 2.0, h * deg_per_px / 2.0, res
         )
-        return pa.table(
-            {
-                id_col: pa.compute.take(batch[id_col], pa.array(row_idx)),
-                "cell": pa.array(cells),
-            }
-        )
+        taken = pa.array(row_idx)
+        cols = {
+            id_col: pa.compute.take(batch[id_col], taken),
+            "cell": pa.array(cells),
+        }
+        for c in carry_cols:
+            cols[c] = pa.compute.take(batch[c], taken)
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -128,3 +128,24 @@ def test_add_cell_column():
     out = spatial.add_cell_column(ray.data.from_arrow(pts), 9).to_pandas()
     exp = geo.cell_encode(pts["lon"].to_numpy(), pts["lat"].to_numpy(), 9)
     np.testing.assert_array_equal(np.sort(out["cell"].to_numpy()), np.sort(exp))
+
+
+def test_knn_k_exceeds_feature_count():
+    """k larger than the feature set must clamp (min(k, n_features)
+    ranks per point), not crash on mismatched column lengths."""
+    import pyarrow as pa
+
+    from oluray.stages import spatial
+
+    pts = ray.data.from_arrow(
+        pa.table(
+            {"image_id": pa.array([1, 2], pa.int64()),
+             "lon": pa.array([0.0, 10.0]), "lat": pa.array([0.0, 5.0])}
+        )
+    )
+    out = spatial.knn_join(
+        pts, np.array([7, 8, 9]), np.array([1.0, 2.0, 3.0]),
+        np.array([1.0, 2.0, 3.0]), k=5, res=6,
+    ).to_pandas()
+    assert len(out) == 2 * 3  # 3 ranks per point, not 5
+    assert sorted(out["rank"].unique()) == [1, 2, 3]
