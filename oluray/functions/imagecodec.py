@@ -106,8 +106,14 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            interlace = payload[12]
             if depth != 8 or ctype != 2:
                 raise NotImplementedError("only 8-bit RGB PNGs supported")
+            if interlace != 0:
+                # Adam7 streams don't have the sequential scanline
+                # layout assumed below — reject clearly instead of a
+                # reshape error or silently scrambled pixels
+                raise NotImplementedError("interlaced PNGs not supported")
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -160,3 +166,20 @@ def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash: 8x8 block-mean of gray vs median."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for r in range(8):
+        for c in range(8):
+            blocks[r, c] = gray[ys[r] : ys[r + 1], xs[c] : xs[c + 1]].mean()
+    bits = (blocks > np.median(blocks)).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - 2**63 if val >= 2**63 else val  # int64 range

@@ -98,6 +98,10 @@ def _ts_attr(ts_ms) -> str:
 
     if isinstance(ts_ms, datetime.datetime):
         dt = ts_ms if ts_ms.tzinfo else ts_ms.replace(tzinfo=datetime.timezone.utc)
+        # normalize to UTC before appending the literal 'Z' — a
+        # tz-aware non-UTC datetime would otherwise serialize its
+        # local wall time labeled as UTC (r2 review)
+        dt = dt.astimezone(datetime.timezone.utc)
     else:
         dt = datetime.datetime.fromtimestamp(ts_ms / 1000.0, tz=datetime.timezone.utc)
     return f' timestamp="{dt.strftime("%Y-%m-%dT%H:%M:%S")}Z"'

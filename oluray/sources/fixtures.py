@@ -54,21 +54,10 @@ def _pixels(i: int, w: int, h: int, seed: int) -> np.ndarray:
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
-def phash64(pixels: np.ndarray) -> int:
-    """64-bit perceptual hash: 8x8 block-mean of gray vs median."""
-    gray = pixels.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8))
-    for r in range(8):
-        for c in range(8):
-            blocks[r, c] = gray[ys[r] : ys[r + 1], xs[c] : xs[c + 1]].mean()
-    bits = (blocks > np.median(blocks)).ravel()
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
-    return val - 2**63 if val >= 2**63 else val  # int64 range
+# phash64 lives beside the codecs (oluray.functions.imagecodec) —
+# production stages must not depend on this fixtures module;
+# re-exported here for back-compat
+from oluray.functions.imagecodec import phash64  # noqa: E402,F401
 
 
 def caption_for(i: int, seed: int) -> str:
@@ -165,10 +154,11 @@ def make_changes(n: int, seed: int = 42) -> pa.Table:
     rows = []
     t0 = 1_700_000_000_000
     ops = ("create", "modify", "delete")
+    all_lon, all_lat = geo.derive_lonlat(np.arange(1000, 1000 + n, dtype=np.int64))
     for i in range(n):
         nid = 1000 + i
         op = ops[int(rng.integers(0, 3))]
-        lon, lat = geo.derive_lonlat(np.array([nid]))
+        lon, lat = all_lon[i : i + 1], all_lat[i : i + 1]
         rows.append(
             dict(
                 op=op, kind="node", id=nid, version=1 + int(rng.integers(0, 3)),
@@ -314,13 +304,21 @@ def make_change_polys(
             cx, cy, rad = -140.0, -60.0, np.full(k, 0.01)
         lons = cx + rad * np.cos(ang)
         lats = cy + rad * np.sin(ang)
-        # nudge any horizontal edges (equal consecutive lats) — keeps the
-        # ray-casting SQL free of division-by-zero edges
-        for i in range(k):
-            if lats[i] == lats[(i + 1) % k]:
-                lats[i] += 1e-6
+        # nudge any horizontal edges (equal consecutive lats) — keeps
+        # the ray-casting SQL free of division-by-zero edges. Round
+        # FIRST (rounding could re-create an equality the nudge just
+        # fixed), then sweep until stable: nudging one vertex can
+        # collide it with its other neighbor (r2 review)
         lons = np.round(lons, 7)
         lats = np.round(lats, 7)
+        for _ in range(k + 1):
+            changed = False
+            for i in range(k):
+                if lats[i] == lats[(i + 1) % k]:
+                    lats[i] = np.round(lats[i] + 1e-6, 7)
+                    changed = True
+            if not changed:
+                break
         ring = [{"lon": float(a), "lat": float(b)} for a, b in zip(lons, lats)]
         rows.append(dict(poly_id=p, op=ops[p % 3], ring=ring))
     return pa.Table.from_pylist(rows, schema=POLYS_SCHEMA)

@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from oluray.functions import imagecodec
-from oluray.sources.fixtures import phash64
+from oluray.functions.imagecodec import phash64
 
 
 class DecodeStats:
@@ -93,7 +93,13 @@ class VerifyPsnr:
             pb_img = imagecodec.decode(y, f)
             p = imagecodec.psnr_db(pa_img, pb_img)
             psnr.append(p if np.isfinite(p) else 99.0)
-            ok.append((f == "png" and np.array_equal(pa_img, pb_img)) or p >= self.threshold_db)
+            if f == "png":
+                # lossless: EXACT equality only — a high-PSNR fallback
+                # would wave through a subtly corrupted lossless image
+                # (r2 review)
+                ok.append(bool(np.array_equal(pa_img, pb_img)))
+            else:
+                ok.append(bool(p >= self.threshold_db))
         return pa.table(
             {
                 "image_id": batch["image_id"],

@@ -29,7 +29,12 @@ def preagg_cell_counts(ds: ray.data.Dataset, key: str = "cell") -> ray.data.Data
 
     def partial(batch: pa.Table) -> pa.Table:
         tbl = batch.group_by(key).aggregate([(key, "count")])
-        return tbl.rename_columns([key, "partial_n"])
+        # rename BY NAME: pyarrow's keys-vs-aggregates column order in
+        # group_by().aggregate() output is version-dependent; a
+        # positional rename would silently swap key and count
+        return tbl.select([key, f"{key}_count"]).rename_columns(
+            [key, "partial_n"]
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     out = partials.groupby(key).aggregate(Sum("partial_n", alias_name="n"))
@@ -48,9 +53,14 @@ def salted(
             h = ids.to_numpy(zero_copy_only=False).astype(np.int64)
             s = (h * 2654435761) % buckets
         else:
-            s = np.array(
-                [hash(v) % buckets for v in ids.to_pylist()], dtype=np.int64
-            )
+            # pandas' keyed siphash — NOT Python hash(), which is
+            # PYTHONHASHSEED-randomized per process and would give the
+            # same id different salts in different Ray workers
+            # (r2 review; breaks the byte-identical rerun contract)
+            s = (
+                pd.util.hash_array(np.asarray(ids.to_pylist(), dtype=object))
+                % np.uint64(buckets)
+            ).astype(np.int64)
         return batch.append_column(out_col, pa.array(np.abs(s).astype(np.int64)))
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -59,7 +59,11 @@ class Manifest:
     def is_done(self, part: str) -> bool:
         return self.partitions.get(part, {}).get("status") == "done"
 
-    def mark_done(self, part: str, rows: int, seconds: float, lineage: dict | None = None) -> None:
+    def mark_done(self, part: str, rows: int, seconds: float,
+                  lineage: dict | None = None, save: bool = True) -> None:
+        """`save=False` lets a caller marking many partitions at once
+        batch the manifest write (one atomic replace instead of O(P)
+        full-file rewrites)."""
         self.partitions[part] = {
             "status": "done",
             "rows": rows,
@@ -68,7 +72,26 @@ class Manifest:
             "lineage": lineage or {},
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        self.save()
+        if save:
+            self.save()
+
+
+def _dir_key(dirname: str) -> str:
+    """Hive partition dir basename -> the partition VALUE: pyarrow
+    URL-encodes special characters into the dir name ('a b' ->
+    'part=a%20b'), so manifest keys must be the decoded value or the
+    resume filter never matches the column (duplicate rows on resume).
+    Null partition values are rejected — a resumable sink keyed on
+    null has no usable identity."""
+    from urllib.parse import unquote
+
+    key = dirname.split("=", 1)[1]
+    if key == "__HIVE_DEFAULT_PARTITION__":
+        raise ValueError(
+            "partition column contains nulls — the resumable sink "
+            "needs a non-null partition key per row"
+        )
+    return unquote(key)
 
 
 def write_partition(table, out_dir: str, part: str) -> str:
@@ -117,7 +140,7 @@ def write_partitioned_resumable(
 
     # 1. delete-then-insert: remove stale (not-done) partition dirs
     for d in _glob.glob(os.path.join(out_dir, f"{part_col}=*")):
-        key = os.path.basename(d).split("=", 1)[1]
+        key = _dir_key(os.path.basename(d))
         if key not in done_parts:
             shutil.rmtree(d)
 
@@ -143,7 +166,7 @@ def write_partitioned_resumable(
     wall = max(time.perf_counter() - t0, 1e-9)
     new_parts: dict[str, int] = {}
     for d in _glob.glob(os.path.join(out_dir, f"{part_col}=*")):
-        key = os.path.basename(d).split("=", 1)[1]
+        key = _dir_key(os.path.basename(d))
         if key in done_parts:
             continue
         rows = sum(
@@ -159,6 +182,7 @@ def write_partitioned_resumable(
         man.mark_done(
             key, rows, wall * frac,
             lineage={"window_id": window_id, "partition": key},
+            save=False,  # one atomic manifest write below, not O(P)
         )
     man.save()
     return man

@@ -76,3 +76,32 @@ def test_partial_resume(tmp_path):
     man2 = _run(out, "w1")
     assert man2.is_done(victim)
     assert os.path.isdir(out / f"part={victim}")
+
+
+def test_resume_with_encoded_string_partition_keys(tmp_path):
+    """Hive dirs URL-encode special chars ('a b' -> part=a%20b); the
+    manifest must store DECODED keys or the resume filter misses and
+    rows get written twice."""
+    import pyarrow as pa
+    import ray
+
+    out = str(tmp_path / "enc")
+    t = pa.table(
+        {"v": pa.array([1, 2, 3, 4], pa.int64()),
+         "part": pa.array(["a b", "a b", "c/d", "c/d"])}
+    )
+    man1 = checkpoint.write_partitioned_resumable(
+        ray.data.from_arrow(t), out, "w1", part_col="part"
+    )
+    assert sorted(man1.partitions) == ["a b", "c/d"]
+    rows1 = {p: i["rows"] for p, i in man1.partitions.items()}
+    # rerun: everything must be SKIPPED (not duplicated)
+    man2 = checkpoint.write_partitioned_resumable(
+        ray.data.from_arrow(t), out, "w1", part_col="part"
+    )
+    assert {p: i["rows"] for p, i in man2.partitions.items()} == rows1
+    total = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(out, "part=*", "*.parquet"))
+    )
+    assert total == 4  # no duplicate rows after the rerun

@@ -99,3 +99,42 @@ def test_knn_fallback_path_res_gt8_matches_brute():
     ids = pts["image_id"].to_pylist()
     for i, pid in enumerate(ids):
         assert got.loc[pid, "feature_id"] == fid[bi[i, 0]]
+
+
+def test_verify_psnr_lossless_requires_exact():
+    """A subtly corrupted PNG (high PSNR but not byte-identical
+    pixels) must FAIL the lossless check."""
+    import pyarrow as pa
+    import ray.data
+
+    from oluray.functions.imagecodec import decode_png, encode_png
+    from oluray.sources import fixtures
+    from oluray.stages.image import VerifyPsnr
+
+    px = fixtures._pixels(3, 16, 16, 42)
+    px2 = px.copy()
+    px2[0, 0, 0] ^= 1  # one-bit corruption: PSNR ~ huge, still wrong
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"image_id": pa.array(["i1"]),
+             "bytes": pa.array([encode_png(px2)], pa.binary()),
+             "bytes_ref": pa.array([encode_png(px)], pa.binary()),
+             "fmt": pa.array(["png"])}
+        )
+    )
+    out = ds.map_batches(VerifyPsnr, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert not out["pixels_ok"].iloc[0]
+    assert out["psnr_db"].iloc[0] >= 40.0
+
+
+def test_salted_string_ids_deterministic():
+    import pyarrow as pa
+    import ray.data
+
+    from oluray.stages import skew
+
+    t = pa.table({"k": pa.array(["x", "y", "x", "z"])})
+    a = skew.salted(ray.data.from_arrow(t), "k", buckets=8).to_pandas()
+    b = skew.salted(ray.data.from_arrow(t), "k", buckets=8).to_pandas()
+    assert (a["salt"] == b["salt"]).all()
+    assert a["salt"].iloc[0] == a["salt"].iloc[2]  # same id, same salt
