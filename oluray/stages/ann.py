@@ -287,6 +287,12 @@ def train_centroids(
     cluster is re-seeded from the currently worst-served sample point.
     """
     n_total = embeddings.count()  # parquet metadata — cheap
+    if n_total == 0:
+        # fail with intent: np.stack on an empty sample raised an
+        # opaque numpy error here (ADVICE r2)
+        raise ValueError(
+            "embeddings dataset is empty — cannot train IVF centroids"
+        )
     # 2x oversample the rate so hash variance rarely undershoots
     rate = min(1.0, 2.0 * sample_size / max(n_total, 1))
     cut = np.uint64(int(rate * (1 << 32)))
@@ -296,6 +302,10 @@ def train_centroids(
         return t.filter(pa.array((h >> np.uint64(32)) < cut))
 
     sm = embeddings.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if len(sm) == 0:
+        # hash-rate undershoot on a tiny corpus: fall back to the
+        # first `sample_size` rows rather than crashing
+        sm = embeddings.limit(sample_size).to_pandas()
     ids = sm["vec_id"].to_numpy()
     # truncate by HASH rank (unbiased — ids can correlate with file
     # order), then sort the kept rows by vec_id for determinism
@@ -446,7 +456,20 @@ def cosine_near_dup_pairs(
     from oluray.stages import joins
     from oluray.stages.dedup import hot_semi_filter
 
-    first = embeddings.take_batch(1, batch_format="pyarrow")
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+    try:
+        first = embeddings.take_batch(1, batch_format="pyarrow")
+    except ValueError:
+        # empty input has no pairs (take_batch raises on no rows);
+        # per-batch paths are empty-hardened, entry points must be too
+        # (ADVICE r2)
+        return ray.data.from_arrow(empty)
     dim = len(first["embedding"][0])
     planes = [hyperplanes(dim, n_bits, seed + 7919 * t) for t in range(n_tables)]
     if n_bits > 48:
@@ -457,13 +480,6 @@ def cosine_near_dup_pairs(
         batch_format="pyarrow", concurrency=(1, concurrency),
     ).materialize()
 
-    empty = pa.table(
-        {
-            "vec_a": pa.array([], pa.int64()),
-            "vec_b": pa.array([], pa.int64()),
-            "sim": pa.array([], pa.float64()),
-        }
-    )
     collided = hot_semi_filter(
         rows, ["table_id", "bucket"], shift=48, num_partitions=num_partitions
     )

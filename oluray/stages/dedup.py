@@ -23,9 +23,10 @@ partials anywhere in this module):
   texts, touch the driver).
 - **SimHash**: batch-vectorized bit-vote over token hashes -> 64-bit
   signature; near-dups via band bucketing with the same hot-bucket
-  prefilter; first-matching-band rule makes pair emission exactly-once
-  WITHOUT a dedup shuffle (each group can recompute earlier bands
-  from the signatures it already holds).
+  prefilter; cross-band duplicate pairs are removed by a
+  hash-partitioned pair dedup (`joins.pair_dedup`) — NOT a
+  first-matching-band suppression rule, which silently loses pairs
+  when an earlier shared bucket is capped (see `simhash_pairs`).
 - **n-gram Jaccard**: the exact verifier, also exposed standalone.
 """
 

@@ -50,6 +50,30 @@ def _best_per_key(df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates(subset=["kind", "id"], keep="first")
 
 
+def _best_per_key_table(t: pa.Table) -> pa.Table:
+    """Arrow-native winner pick per (kind, id): one `sort_indices`
+    comparator sort + a vectorized first-per-key mask — no pandas
+    round-trip (the payload struct column rides through `take`
+    zero-copy; the earlier pandas detour converted it to Python
+    objects and back per batch, VERDICT r2 item 6)."""
+    if t.num_rows == 0:
+        return t
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("kind", "ascending"), ("id", "ascending"),
+            ("version", "descending"), ("deleted", "descending"),
+            ("ts", "descending"),
+        ],
+    )
+    t = t.take(idx)
+    ids = t["id"].to_numpy(zero_copy_only=False)
+    kinds = pc.dictionary_encode(t["kind"].combine_chunks())
+    kcodes = kinds.indices.to_numpy(zero_copy_only=False)
+    first = np.r_[True, (ids[1:] != ids[:-1]) | (kcodes[1:] != kcodes[:-1])]
+    return t.filter(pa.array(first))
+
+
 def merge_latest_wins(changes: ray.data.Dataset) -> ray.data.Dataset:
     """Many change-file rows -> one latest-wins row per (kind, id).
 
@@ -69,9 +93,7 @@ def merge_latest_wins(changes: ray.data.Dataset) -> ray.data.Dataset:
             return batch
         if "deleted" not in batch.column_names:
             batch = add_deleted_flag(batch)
-        return pa.Table.from_pandas(
-            _best_per_key(batch.to_pandas()), schema=batch.schema, preserve_index=False
-        )
+        return _best_per_key_table(batch)
 
     combined = changes.map_batches(combine, batch_format="pyarrow",
                                    batch_size=65536)
@@ -91,9 +113,7 @@ def merge_latest_wins(changes: ray.data.Dataset) -> ray.data.Dataset:
         return t.append_column(_joins.PART_COL, pa.array(code))
 
     def pick(t: pa.Table) -> pa.Table:
-        t = t.drop_columns([_joins.PART_COL])
-        best = _best_per_key(t.to_pandas())
-        return pa.Table.from_pandas(best, schema=t.schema, preserve_index=False)
+        return _best_per_key_table(t.drop_columns([_joins.PART_COL]))
 
     parted = combined.map_batches(addpart, batch_format="pyarrow")
     return parted.groupby(_joins.PART_COL).map_groups(pick, batch_format="pyarrow")

@@ -424,18 +424,23 @@ class KnnStage:
                 sub = np.repeat(amb, counts)
                 sf = pair_f[sub]
                 spt = pair_pt[sub]
-                ddx = px[spt] - self.fx[sf]
-                ddy = py[spt] - self.fy[sf]
-                ddz = pz[spt] - self.fz[sf]
-                d64 = ddx * ddx + ddy * ddy + ddz * ddz
+                # re-rank ambiguous segments by the EXACT metric the
+                # SQL oracle orders by — haversine with min feature id
+                # on ties — mirroring the k>1 path (ADVICE r2: float64
+                # chord can disagree with haversine on strict order at
+                # ~1 ulp, and an exact-distance tie must fall to the
+                # lower feature id, not the lower chord bits)
+                hav = geo.haversine_m(
+                    lon[spt], lat[spt], self.flon[sf], self.flat[sf]
+                )
                 sub_counts = counts[amb]
                 sub_first = np.concatenate(([0], np.cumsum(sub_counts)[:-1]))
-                dmin64 = np.minimum.reduceat(d64, sub_first)
-                fm64 = np.where(
-                    d64 == np.repeat(dmin64, sub_counts), sf,
+                hmin = np.minimum.reduceat(hav, sub_first)
+                fmh = np.where(
+                    hav == np.repeat(hmin, sub_counts), sf,
                     np.iinfo(np.int64).max,
                 )
-                fbest[amb] = np.minimum.reduceat(fm64, sub_first)
+                fbest[amb] = np.minimum.reduceat(fmh, sub_first)
             idx = fbest.reshape(npts, 1)
         else:
             dx = px[pair_pt] - self.fx[pair_f]

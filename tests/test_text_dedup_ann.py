@@ -316,7 +316,7 @@ def test_simhash_pairs_exactly_once():
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
     pairs = dedup.simhash_pairs(ds, max_hamming=8, concurrency=1).to_pandas()
     keys = list(zip(pairs["doc_a"], pairs["doc_b"]))
-    assert len(keys) == len(set(keys))  # first-matching-band dedup
+    assert len(keys) == len(set(keys))  # hash-partitioned pair dedup
     # identical texts (hamming 0) all found
     same = [(a, b) for a in range(0, 12, 3) for b in range(a + 3, 12, 3)]
     assert set(same) <= set(keys)
