@@ -439,7 +439,7 @@ class MultiLshBucketStage:
 def cosine_near_dup_pairs(
     embeddings, threshold: float = 0.95, n_bits: int = 8, n_tables: int = 2,
     seed: int = 101, concurrency: int = 4, bucket_cap: int = DEFAULT_BUCKET_CAP,
-    num_partitions: int = 64,
+    num_partitions: int = 64, hot_broadcast_limit: int | None = None,
 ):
     """Embedding-cosine near-duplicate pairs via multi-table LSH
     buckets + exact within-bucket verify (vec_a < vec_b,
@@ -480,16 +480,21 @@ def cosine_near_dup_pairs(
         batch_format="pyarrow", concurrency=(1, concurrency),
     ).materialize()
 
+    _KEYS = pa.schema(
+        [("vec_id", pa.int64()), ("table_id", pa.int64()), ("bucket", pa.int64())]
+    )
+    from oluray.stages.dedup import DEFAULT_HOT_BROADCAST_LIMIT
+
     collided = hot_semi_filter(
-        rows, ["table_id", "bucket"], shift=48, num_partitions=num_partitions
+        rows, ["table_id", "bucket"], shift=48, num_partitions=num_partitions,
+        broadcast_limit=(hot_broadcast_limit if hot_broadcast_limit is not None
+                         else DEFAULT_HOT_BROADCAST_LIMIT),
+        rows_schema=_KEYS,
     )
     if collided is None:
         return ray.data.from_arrow(empty)
     # embeddings join the HOT rows only (the LSH-pruned minority) —
     # key rows moved through the shuffle above, vectors move here once
-    _KEYS = pa.schema(
-        [("vec_id", pa.int64()), ("table_id", pa.int64()), ("bucket", pa.int64())]
-    )
     collided = joins.hash_join(
         collided, embeddings.select_columns(["vec_id", "embedding"]),
         on="vec_id", num_partitions=16, left_schema=_KEYS,

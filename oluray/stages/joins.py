@@ -242,6 +242,112 @@ def pair_dedup(
     return partitioned_map(combined, cols, dd, num_partitions)
 
 
+def connected_components(
+    edges: ray.data.Dataset,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    num_partitions: int = 32,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """Distributed connected components over an edge Dataset via
+    iterative min-label propagation (hash-min): every node starts
+    labeled with its own id; each round every node takes the min of
+    its own label and its neighbors' labels — ONE `hash_join`
+    (edge.dst -> label) plus one hash-partitioned grouped min — until
+    a round changes nothing. At fixpoint label = min node id of the
+    component.
+
+    This replaces the driver-side union-find for near-dup clustering
+    (VERDICT r2 item 1): the pair graph of a boilerplate-heavy crawl
+    scales with duplicate mass and can exceed driver memory; here the
+    driver only ever sees the per-round changed COUNT. Rounds ~ the
+    component diameter (near-dup clusters are shallow stars/chains in
+    practice); `max_rounds` bounds pathological chains and a
+    non-converged exit is logged, never silent.
+
+    Returns Dataset (node, label), one row per distinct endpoint.
+    """
+    import logging as _logging
+
+    _EDGE = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    _LABEL = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t[a_col].combine_chunks().cast(pa.int64())
+        b = t[b_col].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
+        )
+
+    # edges are re-read every round — pin them (pairs ~ duplicate
+    # mass, not corpus size; the object store spills if needed)
+    edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_label(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["src"], "label": df["src"]})
+
+    labels = distinct(
+        edges_sym.select_columns(["src"]), ["src"], num_partitions
+    ).map_batches(init_label, batch_format="pandas").materialize()
+
+    def as_cand(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["src"],
+                "label": t["label"],
+                "is_self": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    def as_self(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "label": t["label"],
+                "is_self": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block combiner: min label per (node, side) — bounds the
+        # exchange by distinct nodes per block, keeps the self row
+        # (old label) distinguishable for the changed count
+        return df.groupby(["node", "is_self"], as_index=False)["label"].min()
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node")["label"].min()
+        old = df[df["is_self"] == 1].groupby("node")["label"].min()
+        out = pd.DataFrame({"node": g.index.to_numpy(), "label": g.to_numpy()})
+        out["changed"] = (
+            (g < old.reindex(g.index)).fillna(True).to_numpy().astype(np.int64)
+        )
+        return out
+
+    for rnd in range(max_rounds):
+        nbr = hash_join(
+            edges_sym, labels, on="dst", right_on="node",
+            num_partitions=num_partitions,
+            left_schema=_EDGE, right_schema=_LABEL,
+        )  # (src, dst, label): each node's neighbors' current labels
+        cand = nbr.map_batches(as_cand, batch_format="pyarrow")
+        slf = labels.map_batches(as_self, batch_format="pyarrow")
+        nxt = grouped_agg(
+            slf.union(cand), ["node"], agg,
+            num_partitions=num_partitions, combine_fn=combine,
+        ).materialize()
+        labels = nxt.select_columns(["node", "label"])
+        changed = nxt.sum("changed")
+        if not changed:
+            break
+    else:
+        _logging.getLogger(__name__).warning(
+            "connected_components: no fixpoint after %d rounds — labels "
+            "are an upper approximation (component chains longer than "
+            "max_rounds hops remain split)", max_rounds,
+        )
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # two-sided joins: tag + pad in ARROW (typed nulls keep int64 columns
 # exact through the shuffle — pandas NaN-padding would upcast them to

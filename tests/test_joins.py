@@ -171,3 +171,34 @@ def test_semi_join_key_col_rename_and_dup_keys():
     )
     assert list(got["node_id"]) == [2, 4]
     assert list(got.columns) == ["node_id", "x"]
+
+
+def test_connected_components_chain_and_islands():
+    """Min-label propagation needs multiple rounds for a chain: the
+    min id travels one hop per round (a 9-edge path exceeds any
+    single round's reach), and separate components stay separate."""
+    chain = [(i, i + 1) for i in range(9)]          # component {0..9}
+    island = [(100, 101)]                            # component {100,101}
+    triangle = [(50, 51), (51, 52), (50, 52)]        # component {50,51,52}
+    edges = pd.DataFrame(chain + island + triangle, columns=["doc_a", "doc_b"])
+    got = (
+        joins.connected_components(_ds(edges, 3), num_partitions=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    exp = {**{i: 0 for i in range(10)}, 100: 100, 101: 100,
+           50: 50, 51: 50, 52: 50}
+    assert dict(zip(got["node"], got["label"])) == exp
+
+
+def test_connected_components_round_bound_logs_partial():
+    """max_rounds too small for the diameter: labels stay an upper
+    approximation (no silent wrong answer — the exit is logged)."""
+    chain = [(i, i + 1) for i in range(6)]
+    edges = pd.DataFrame(chain, columns=["doc_a", "doc_b"])
+    got = (
+        joins.connected_components(_ds(edges, 2), num_partitions=2, max_rounds=2)
+        .to_pandas()
+    )
+    labels = dict(zip(got["node"], got["label"]))
+    assert labels[0] == 0 and labels[1] == 0
+    assert labels[6] > 0  # min label has not reached the chain's end yet

@@ -362,3 +362,74 @@ def test_near_dedup_keep_clusters():
     assert set(out.index) == {10, 11, 12}  # 50 has no near-dup
     assert (out["cluster_id"] == 10).all()
     assert out.loc[10, "keep"] and not out.loc[11, "keep"] and not out.loc[12, "keep"]
+
+
+def test_hot_semi_filter_shuffle_path_matches_broadcast():
+    """broadcast_limit=0 forces the hash-partitioned semi-join path;
+    the pair set must be identical to the broadcast prefilter's."""
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog in the park",
+        2: "the quick brown fox jumps over the lazy dog in the yard",
+        3: "a completely different document about ray data pipelines",
+        4: "a completely different document about ray data pipeline",
+        5: "nothing in common with anything else whatsoever here",
+    }
+    rows = [dict(doc_id=k, text=v) for k, v in texts.items()]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    bc = dedup.minhash_lsh_pairs(ds, threshold=0.5, concurrency=1).to_pandas()
+    sh = dedup.minhash_lsh_pairs(
+        ds, threshold=0.5, concurrency=1, hot_broadcast_limit=0
+    ).to_pandas()
+    key = ["doc_a", "doc_b"]
+    pd.testing.assert_frame_equal(
+        bc.sort_values(key).reset_index(drop=True),
+        sh.sort_values(key).reset_index(drop=True),
+    )
+    # and the simhash family's shuffle path too
+    ds2 = ray.data.from_arrow(pa.Table.from_pylist(
+        [dict(doc_id=i, text=f"common words here plus w{i % 3}") for i in range(12)]
+    ))
+    p1 = dedup.simhash_pairs(ds2, max_hamming=8, concurrency=1).to_pandas()
+    p2 = dedup.simhash_pairs(
+        ds2, max_hamming=8, concurrency=1, hot_broadcast_limit=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        p1.sort_values(key).reset_index(drop=True),
+        p2.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_near_dedup_keep_matches_union_find_oracle():
+    """Distributed label propagation == a brute union-find over the
+    same verified pair list (driver-side oracle, test-only)."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        dict(doc_id=10, text=base),
+        dict(doc_id=11, text=base + "tail one"),
+        dict(doc_id=12, text=base + "tail one and a bit more"),
+        dict(doc_id=30, text="shared boilerplate sentence repeated often " * 6),
+        dict(doc_id=31, text="shared boilerplate sentence repeated often " * 6 + "x"),
+        dict(doc_id=50, text="completely different content here " * 8),
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs = dedup.minhash_lsh_pairs(ds, threshold=0.6, concurrency=1).to_pandas()
+    got = dedup.near_dedup_keep(ds, threshold=0.6, concurrency=1).to_pandas()
+    # oracle union-find (driver-side, test-only)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {n: find(n) for n in sorted(parent)}
+    got_map = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert got_map == exp
+    for _, r in got.iterrows():
+        assert r["keep"] == (r["doc_id"] == r["cluster_id"])
