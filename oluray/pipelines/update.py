@@ -12,9 +12,12 @@ as Ray Data dataflow:
          osm2rdf delegation) ─► geo delta rows
       ─► run counters (A4)
 
-All set logic is broadcast semi/anti joins (the twelve in-heap id
-sets of `include/osm/OsmChangeHandler.h:55-89` become key arrays in
-the object store); nothing materializes the snapshot on the driver.
+All set logic is size-probed semi/anti joins (the twelve in-heap id
+sets of `include/osm/OsmChangeHandler.h:55-89` become `closure.KeySet`s:
+broadcast key arrays while a window's changed-id set fits
+`broadcast_limit`, hash-partitioned `joins.semi_join` shuffles above
+it — the 100 TB backfill window switches automatically, r3); nothing
+materializes the snapshot on the driver.
 """
 
 from __future__ import annotations
@@ -31,14 +34,17 @@ from oluray.stages import closure, joins
 from oluray.stages.diff import merge_latest_wins
 
 
-def _ids_of(merged: ray.data.Dataset, kind: str, ops: tuple[str, ...]) -> np.ndarray:
+def _keys_of(
+    merged: ray.data.Dataset, kind: str, ops: tuple[str, ...],
+    limit: int = closure.DEFAULT_BROADCAST_KEY_LIMIT,
+) -> closure.KeySet:
     sel = merged.map_batches(
         lambda t, kind=kind, ops=ops: t.filter(
             pc.and_(pc.equal(t["kind"], kind), pc.is_in(t["op"], value_set=pa.array(ops)))
         ),
         batch_format="pyarrow",
     )
-    return closure.distinct_ids(sel, "id")
+    return closure.distinct_keys(sel, "id", limit=limit)
 
 
 def _payload_nodes(merged: ray.data.Dataset) -> ray.data.Dataset:
@@ -122,42 +128,78 @@ def apply_update(
     relations: ray.data.Dataset,
     changes: ray.data.Dataset,
     cell_res: int = 12,
+    broadcast_limit: int = closure.DEFAULT_BROADCAST_KEY_LIMIT,
 ) -> dict:
     """Apply one change window. Returns dict with the new snapshot
     (`nodes`, `ways`, `relations`), `geo_delta` (recomputed geometry
-    rows for changed + impacted elements), and `counts` (A4)."""
+    rows for changed + impacted elements), and `counts` (A4).
+
+    `broadcast_limit`: id sets up to this many keys ride as broadcast
+    arrays (zero shuffles — every minutely window); larger sets stay
+    distributed and every membership filter switches to a
+    hash-partitioned semi join (the backfill-window path)."""
     # materialize: merged is DIFF-sized (one window of edits, not the
     # snapshot) and is consumed ~10 times below (id sets, payload
     # extracts, counts) — without pinning, every consumer re-executes
     # the latest-wins shuffle
     merged = merge_latest_wins(changes).materialize()
+    BL = broadcast_limit
 
-    # membership sets (ST1) as broadcast key arrays
+    # snapshot schemas for the shuffle path's static hints (schema()
+    # on the INPUT datasets is metadata-cheap; nodes2/ways2/relations2
+    # below are union lineages whose schema probe would re-execute —
+    # by construction they share the input schema)
+    from oluray.stages.joins import _arrow_schema
+
+    nodes_sch = _arrow_schema(nodes)
+    ways_sch = _arrow_schema(ways)
+    rels_sch = _arrow_schema(relations)
+
+    # membership sets (ST1) as size-probed KeySets
     del_or_mod = ("modify", "delete")
-    node_in_cf = _ids_of(merged, "node", ("create", "modify", "delete"))
-    way_in_cf = _ids_of(merged, "way", ("create", "modify", "delete"))
-    rel_in_cf = _ids_of(merged, "relation", ("create", "modify", "delete"))
-    modified_nodes = _ids_of(merged, "node", del_or_mod)
+    node_in_cf = _keys_of(merged, "node", ("create", "modify", "delete"), BL)
+    way_in_cf = _keys_of(merged, "way", ("create", "modify", "delete"), BL)
+    rel_in_cf = _keys_of(merged, "relation", ("create", "modify", "delete"), BL)
+    modified_nodes = _keys_of(merged, "node", del_or_mod, BL)
 
     # delete-then-insert snapshot update (idempotent per window). The
     # anti set is ALL changed ids — a superset of the reference's
     # deleted+modified (`:444-447`) that also makes create-on-existing
     # safe instead of duplicating rows.
-    nodes2 = closure.anti_join(nodes, "id", closure.broadcast_keys(node_in_cf)).union(
+    nodes2 = closure.anti_join(nodes, "id", node_in_cf, schema=nodes_sch).union(
         _payload_nodes(merged)
     )
-    ways2 = closure.anti_join(ways, "id", closure.broadcast_keys(way_in_cf)).union(
+    ways2 = closure.anti_join(ways, "id", way_in_cf, schema=ways_sch).union(
         _payload_ways(merged)
     )
     relations2 = closure.anti_join(
-        relations, "id", closure.broadcast_keys(rel_in_cf)
+        relations, "id", rel_in_cf, schema=rels_sch
     ).union(_payload_relations(merged))
+
+    shuffle_mode = not (
+        node_in_cf.is_broadcast and way_in_cf.is_broadcast
+        and rel_in_cf.is_broadcast and modified_nodes.is_broadcast
+    )
+    if shuffle_mode:
+        # backfill windows: every membership filter below becomes a
+        # multi-stage shuffle join, and the new snapshot feeds ~4 of
+        # them — pin it once instead of replaying the delete+insert
+        # lineage per consumer (which also nests the lazy plan past
+        # serializable depth). Minutely windows keep the pure-lazy
+        # plan: their filters are single map stages and re-running a
+        # map beats paying a snapshot-sized materialize.
+        nodes2 = nodes2.materialize()
+        ways2 = ways2.materialize()
+        relations2 = relations2.materialize()
 
     # impact closure on the NEW snapshot (geometry of unchanged ways/
     # relations referencing changed nodes must be recomputed)
-    ways_geo = closure.ways_to_update_geometry(ways2, modified_nodes, way_in_cf)
+    ways_geo = closure.ways_to_update_geometry(
+        ways2, modified_nodes, way_in_cf, limit=BL
+    )
     rels_geo = closure.relations_to_update_geometry(
-        relations2, modified_nodes, np.union1d(ways_geo, way_in_cf), rel_in_cf
+        relations2, modified_nodes, ways_geo.union(way_in_cf), rel_in_cf,
+        limit=BL,
     )
 
     # context fetch + geometry recompute (replaces the osm2rdf
@@ -165,25 +207,27 @@ def apply_update(
     # driver-built {node: (lon,lat)} dict and looped per way
     # (VERDICT r1 item 6). Now: explode way refs -> hash join with
     # node locations -> segmented in-order mean (`np.add.reduceat`).
-    touched_ways = np.union1d(
-        ways_geo, _ids_of(merged, "way", ("create", "modify"))
+    touched_ways = ways_geo.union(
+        _keys_of(merged, "way", ("create", "modify"), BL)
     )
-    touched_rels = np.union1d(
-        rels_geo, _ids_of(merged, "relation", ("create", "modify"))
+    touched_rels = rels_geo.union(
+        _keys_of(merged, "relation", ("create", "modify"), BL)
     )
 
     # relation members (J5): node refs need locations, way refs need
     # centroids — so the centroid-target way set is touched ways PLUS
     # unchanged member ways of impacted relations (context only)
-    rel_node_refs, rel_way_refs = closure.relation_member_refs(relations2, touched_rels)
-    centroid_ways = np.union1d(touched_ways, rel_way_refs)
+    rel_node_refs, rel_way_refs = closure.relation_member_refs(
+        relations2, touched_rels, limit=BL
+    )
+    centroid_ways = touched_ways.union(rel_way_refs)
 
-    member_nodes = closure.way_member_nodes(ways2, centroid_ways)
-    need_nodes = np.union1d(member_nodes, rel_node_refs)
-    locs = closure.node_locations(nodes2, need_nodes)  # (id, lon, lat)
+    member_nodes = closure.way_member_nodes(ways2, centroid_ways, limit=BL)
+    need_nodes = member_nodes.union(rel_node_refs)
+    locs = closure.node_locations(nodes2, need_nodes, limit=BL)  # (id, lon, lat)
 
     exploded = closure.explode_way_refs(
-        closure.semi_join(ways2, "id", closure.broadcast_keys(centroid_ways))
+        closure.semi_join(ways2, "id", centroid_ways, schema=ways_sch)
     )  # (way_id, node_id, pos)
     # static schema hints: either side can be EMPTY (e.g. a node-only
     # diff touching no ways), and Ray drops empty map-output blocks,
@@ -240,10 +284,9 @@ def apply_update(
 
         return fn
 
-    way_delta = closure.semi_join(way_cent, "way_id",
-                                  closure.broadcast_keys(touched_ways)).map_batches(
-        _delta_rows("way", "way_id"), batch_format="pyarrow"
-    )
+    way_delta = closure.semi_join(
+        way_cent, "way_id", touched_ways, schema=_CENT
+    ).map_batches(_delta_rows("way", "way_id"), batch_format="pyarrow")
 
     # relation geometry recompute (the reference rebuilds relations
     # through J5/J9 dummy elements + osm2rdf, `src/osm/
@@ -253,7 +296,7 @@ def apply_update(
     # centroid; members of type relation are skipped (J4 disabled in
     # the reference too)
     rel_mem = closure.explode_relation_members(
-        closure.semi_join(relations2, "id", closure.broadcast_keys(touched_rels))
+        closure.semi_join(relations2, "id", touched_rels, schema=rels_sch)
     )  # (rel_id, ref, type, role, pos)
     node_mem = rel_mem.map_batches(
         lambda b: b.filter(pc.equal(b["type"], "node")), batch_format="pyarrow"
@@ -293,7 +336,8 @@ def apply_update(
         )
 
     node_delta = closure.semi_join(
-        nodes2, "id", closure.broadcast_keys(_ids_of(merged, "node", ("create", "modify")))
+        nodes2, "id", _keys_of(merged, "node", ("create", "modify"), BL),
+        schema=nodes_sch,
     ).map_batches(node_delta_fn, batch_format="pyarrow")
 
     geo_delta = node_delta.union(way_delta).union(rel_delta)
@@ -304,6 +348,8 @@ def apply_update(
         "ways": ways2,
         "relations": relations2,
         "geo_delta": geo_delta,
+        # KeySets (`.tolist()` / `.to_array()` for broadcast-sized
+        # sets; `.ds` to consume a backfill-scale set distributed)
         "impacted_ways": ways_geo,
         "impacted_relations": rels_geo,
         "counts": counts,

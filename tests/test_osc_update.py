@@ -257,3 +257,29 @@ def test_apply_update_end_to_end():
 
     counts = out["counts"].to_pandas()
     assert counts["count()"].sum() == len(best)
+
+
+def test_apply_update_shuffle_path_matches_broadcast():
+    """broadcast_limit=0 forces EVERY membership set through the
+    hash-partitioned semi-join path (the 100 TB backfill shape); the
+    result must be identical to the broadcast-path run."""
+    nodes, ways, rels = fixtures.make_snapshot(120, seed=7)
+    changes = fixtures.make_changes(20, seed=7)
+    args = (
+        ray.data.from_arrow(nodes), ray.data.from_arrow(ways),
+        ray.data.from_arrow(rels), ray.data.from_arrow(changes),
+    )
+    bc = update.apply_update(*args)
+    sh = update.apply_update(*args, broadcast_limit=0)
+    assert not sh["impacted_ways"].is_broadcast  # the probe actually flipped
+    assert bc["impacted_ways"].tolist() == sh["impacted_ways"].tolist()
+    assert bc["impacted_relations"].tolist() == sh["impacted_relations"].tolist()
+    for key in ("nodes", "ways", "relations"):
+        a = sorted(bc[key].to_pandas()["id"])
+        b = sorted(sh[key].to_pandas()["id"])
+        assert a == b, key
+    ga = bc["geo_delta"].to_pandas().sort_values(["kind", "id"]).reset_index(drop=True)
+    gb = sh["geo_delta"].to_pandas().sort_values(["kind", "id"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(ga, gb)
