@@ -308,6 +308,61 @@ def polygon_cover(ring_lon: np.ndarray, ring_lat: np.ndarray, res: int) -> np.nd
 
 
 # ---------------------------------------------------------------------------
+# multipolygon ring assembly (OSM semantics: a multipolygon relation's
+# outer boundary is stitched from member WAYS whose endpoints chain;
+# ways may appear in either direction — osm2rdf does this assembly
+# when the reference delegates area geometry to it,
+# `/root/reference/src/osm/Osm2ttl.cpp:38-109`, area tracking
+# `src/osm/OsmChangeHandler.cpp:166-197`)
+# ---------------------------------------------------------------------------
+
+
+def assemble_rings(
+    segments: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Stitch way segments into closed rings.
+
+    `segments`: per member way, (node_ids, lon, lat) arrays in way
+    order. Matching is by NODE ID (exact), not coordinates; a segment
+    is appended forward or reversed depending on which endpoint meets
+    the growing ring's tail. Closed ways (first id == last id) are
+    rings on their own. Unclosable chains (broken geometry in the
+    diff window) are dropped — the caller decides whether that is an
+    error; OSM data routinely contains them mid-edit.
+
+    Returns a list of (lon, lat) closed rings (first vertex NOT
+    repeated at the end — the implied-closing-edge convention of
+    :func:`point_in_polygon` / :func:`polygon_cover`)."""
+    open_segs = [
+        (np.asarray(i), np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
+        for i, x, y in segments
+        if len(i) >= 2
+    ]
+    rings: list[tuple[np.ndarray, np.ndarray]] = []
+    while open_segs:
+        ids, lon, lat = open_segs.pop(0)
+        while ids[0] != ids[-1]:
+            hit = None
+            for j, (si, sx, sy) in enumerate(open_segs):
+                if si[0] == ids[-1]:
+                    hit = (j, si[1:], sx[1:], sy[1:])
+                    break
+                if si[-1] == ids[-1]:
+                    hit = (j, si[::-1][1:], sx[::-1][1:], sy[::-1][1:])
+                    break
+            if hit is None:
+                break  # unclosable chain — dropped below
+            j, ai, ax, ay = hit
+            open_segs.pop(j)
+            ids = np.concatenate([ids, ai])
+            lon = np.concatenate([lon, ax])
+            lat = np.concatenate([lat, ay])
+        if ids[0] == ids[-1] and len(ids) >= 4:
+            rings.append((lon[:-1], lat[:-1]))
+    return rings
+
+
+# ---------------------------------------------------------------------------
 # haversine
 # ---------------------------------------------------------------------------
 

@@ -239,6 +239,60 @@ def q_rel_centroid(sf_dir: str):
                              combine_fn=None, pre_repartition=False)
 
 
+# Envelope derived geometry as an oracle query: per-"relation" min/max
+# extent over member points — the `_seg_stats` envelope path of
+# `pipelines/update.py` (osm2rdf emits `envelope` per element,
+# `/root/reference/tests/data/node.ttl:33-37`). Extents as exact
+# scaled-integer microdegrees so the value hash is order-free.
+def q_rel_envelope(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def member_points(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ok % 50 == 0))
+        lon, lat = geo.derive_lonlat(t["l_partkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "lon_e7": pa.array(_round_half_away(lon * 1e7)),
+                "lat_e7": pa.array(_round_half_away(lat * 1e7)),
+            }
+        )
+
+    pts = li.map_batches(member_points, batch_format="pyarrow")
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderkey", as_index=False).agg(
+            n_members=("lon_e7", "size"),
+            min_lon_e7=("lon_e7", "min"),
+            max_lon_e7=("lon_e7", "max"),
+            min_lat_e7=("lat_e7", "min"),
+            max_lat_e7=("lat_e7", "max"),
+        )
+        g["n_members"] = g["n_members"].astype("int64")
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # min/max are algebraic: per-block partials bound the shuffle
+        # by distinct keys per block; counts re-aggregate by sum
+        g = agg(df)
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderkey", as_index=False).agg(
+            n_members=("n_members", "sum"),
+            min_lon_e7=("min_lon_e7", "min"),
+            max_lon_e7=("max_lon_e7", "max"),
+            min_lat_e7=("min_lat_e7", "min"),
+            max_lat_e7=("max_lat_e7", "max"),
+        )
+        g["n_members"] = g["n_members"].astype("int64")
+        return g
+
+    return joins.grouped_agg(pts, ["o_orderkey"], final, num_partitions=32,
+                             combine_fn=combine, pre_repartition=False)
+
+
 # A1 / O3 global max timestamp
 def q_max_ts(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts"])
@@ -833,6 +887,18 @@ def _rel_centroid_sql() -> str:
 _REL_CENTROID_SQL = _rel_centroid_sql()
 
 
+def _rel_envelope_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("l_partkey")
+    return f"""
+    SELECT l_orderkey AS o_orderkey, count(*)::BIGINT AS n_members,
+           min(round({lon} * 10000000.0)::BIGINT)::BIGINT AS min_lon_e7,
+           max(round({lon} * 10000000.0)::BIGINT)::BIGINT AS max_lon_e7,
+           min(round({lat} * 10000000.0)::BIGINT)::BIGINT AS min_lat_e7,
+           max(round({lat} * 10000000.0)::BIGINT)::BIGINT AS max_lat_e7
+    FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY l_orderkey
+    """
+
+
 ORACLE: dict[str, str] = {
     "latest_wins": """
         SELECT user_id, event_id, event_type FROM (
@@ -871,6 +937,7 @@ ORACLE: dict[str, str] = {
           AND o_orderstatus <> 'F'
     """,
     "rel_centroid": _REL_CENTROID_SQL,
+    "rel_envelope": _rel_envelope_sql(),
     "delete_set": """
         SELECT DISTINCT o_orderkey FROM orders
         WHERE o_orderstatus = 'F'
@@ -957,6 +1024,7 @@ QUERIES = {
     "max_ts": q_max_ts,
     "tag_enrich": q_tag_enrich,
     "rel_centroid": q_rel_centroid,
+    "rel_envelope": q_rel_envelope,
     "delete_set": q_delete_set,
     "cell_encode": q_cell_encode,
     "pip_join": q_pip_join,

@@ -129,10 +129,14 @@ def apply_update(
     changes: ray.data.Dataset,
     cell_res: int = 12,
     broadcast_limit: int = closure.DEFAULT_BROADCAST_KEY_LIMIT,
+    area_res: int = 8,
 ) -> dict:
     """Apply one change window. Returns dict with the new snapshot
     (`nodes`, `ways`, `relations`), `geo_delta` (recomputed geometry
-    rows for changed + impacted elements), and `counts` (A4).
+    rows — centroid + cell + ENVELOPE — for changed + impacted
+    elements), `area_cover` (cell cover of touched multipolygon
+    relations' assembled outer rings at `area_res`), and `counts`
+    (A4).
 
     `broadcast_limit`: id sets up to this many keys ride as broadcast
     arrays (zero shuffles — every minutely window); larger sets stay
@@ -236,8 +240,11 @@ def apply_update(
         [("way_id", pa.int64()), ("node_id", pa.int64()), ("pos", pa.int64())]
     )
     _LOCS = pa.schema([("id", pa.int64()), ("lon", pa.float64()), ("lat", pa.float64())])
+    _EXT = [("min_lon", pa.float64()), ("min_lat", pa.float64()),
+            ("max_lon", pa.float64()), ("max_lat", pa.float64())]
     _CENT = pa.schema(
         [("way_id", pa.int64()), ("lon", pa.float64()), ("lat", pa.float64())]
+        + _EXT
     )
     _MEM = pa.schema([("rel_id", pa.int64()), ("ref", pa.int64()), ("pos", pa.int64())])
     wloc = joins.hash_join(
@@ -245,28 +252,47 @@ def apply_update(
         left_schema=_EXPLODED, right_schema=_LOCS,
     )  # inner join: missing member nodes tolerated (J7 missing-ok)
 
-    def _seg_mean(df: pd.DataFrame, key: str) -> pd.DataFrame:
-        """Per-key mean of (lon, lat) in member-position order —
-        `np.add.reduceat` sums sequentially within each segment, so
-        the result is bit-identical to the brute-force in-order mean."""
+    def _seg_stats(df: pd.DataFrame, key: str) -> pd.DataFrame:
+        """Per-key centroid AND envelope of member points in member-
+        position order — `np.add.reduceat` sums sequentially within
+        each segment, so the mean is bit-identical to the brute-force
+        in-order mean; min/max reduceats in the SAME pass give the
+        envelope (osm2rdf emits `envelope` per element,
+        `/root/reference/tests/data/node.ttl:33-37` — r3). Member
+        rows may carry their own extents (way members of a relation
+        contribute their full envelope, not just their centroid);
+        point members fall back to lon/lat."""
         if len(df) == 0:
-            return pd.DataFrame(
-                {key: pd.Series([], dtype="int64"),
-                 "lon": pd.Series([], dtype="float64"),
-                 "lat": pd.Series([], dtype="float64")}
-            )
+            cols = {key: pd.Series([], dtype="int64")}
+            for c in ("lon", "lat", "min_lon", "min_lat", "max_lon", "max_lat"):
+                cols[c] = pd.Series([], dtype="float64")
+            return pd.DataFrame(cols)
         df = df.sort_values([key, "pos"], kind="mergesort")
         keys = df[key].to_numpy()
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         counts = np.diff(np.r_[starts, len(keys)])
-        lon = np.add.reduceat(df["lon"].to_numpy(), starts) / counts
-        lat = np.add.reduceat(df["lat"].to_numpy(), starts) / counts
-        return pd.DataFrame({key: keys[starts], "lon": lon, "lat": lat})
+        lonv = df["lon"].to_numpy()
+        latv = df["lat"].to_numpy()
+        mnlo = df["min_lon"].to_numpy() if "min_lon" in df.columns else lonv
+        mnla = df["min_lat"].to_numpy() if "min_lat" in df.columns else latv
+        mxlo = df["max_lon"].to_numpy() if "max_lon" in df.columns else lonv
+        mxla = df["max_lat"].to_numpy() if "max_lat" in df.columns else latv
+        return pd.DataFrame(
+            {
+                key: keys[starts],
+                "lon": np.add.reduceat(lonv, starts) / counts,
+                "lat": np.add.reduceat(latv, starts) / counts,
+                "min_lon": np.minimum.reduceat(mnlo, starts),
+                "min_lat": np.minimum.reduceat(mnla, starts),
+                "max_lon": np.maximum.reduceat(mxlo, starts),
+                "max_lat": np.maximum.reduceat(mxla, starts),
+            }
+        )
 
     way_cent = joins.partitioned_map(
         wloc.select_columns(["way_id", "pos", "lon", "lat"]),
-        ["way_id"], lambda df: _seg_mean(df, "way_id"), num_partitions=16,
-    )  # (way_id, lon, lat) for every centroid-target way
+        ["way_id"], lambda df: _seg_stats(df, "way_id"), num_partitions=16,
+    )  # (way_id, centroid, envelope) for every centroid-target way
 
     def _delta_rows(kind: str, id_col: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -279,6 +305,10 @@ def apply_update(
                     "lon": t["lon"],
                     "lat": t["lat"],
                     "cell": pa.array(geo.cell_encode(lon, lat, cell_res)),
+                    "min_lon": t["min_lon"],
+                    "min_lat": t["min_lat"],
+                    "max_lon": t["max_lon"],
+                    "max_lat": t["max_lat"],
                 }
             )
 
@@ -304,28 +334,107 @@ def apply_update(
     way_mem = rel_mem.map_batches(
         lambda b: b.filter(pc.equal(b["type"], "way")), batch_format="pyarrow"
     )
+    def _point_extents(t: pa.Table) -> pa.Table:
+        for c_src, c_dst in (("lon", "min_lon"), ("lat", "min_lat"),
+                             ("lon", "max_lon"), ("lat", "max_lat")):
+            t = t.append_column(c_dst, t[c_src])
+        return t
+
     node_pts = joins.hash_join(
         node_mem.select_columns(["rel_id", "ref", "pos"]), locs,
         on="ref", right_on="id", num_partitions=16,
         left_schema=_MEM, right_schema=_LOCS,
-    ).select_columns(["rel_id", "pos", "lon", "lat"])
+    ).select_columns(["rel_id", "pos", "lon", "lat"]).map_batches(
+        _point_extents, batch_format="pyarrow"
+    )
     way_pts = joins.hash_join(
         way_mem.select_columns(["rel_id", "ref", "pos"]), way_cent,
         on="ref", right_on="way_id", num_partitions=16,
         left_schema=_MEM, right_schema=_CENT,
-    ).select_columns(["rel_id", "pos", "lon", "lat"])
+    ).select_columns(
+        ["rel_id", "pos", "lon", "lat",
+         "min_lon", "min_lat", "max_lon", "max_lat"]
+    )
     rel_cent = joins.partitioned_map(
         node_pts.union(way_pts), ["rel_id"],
-        lambda df: _seg_mean(df, "rel_id"), num_partitions=16,
+        lambda df: _seg_stats(df, "rel_id"), num_partitions=16,
     )
     rel_delta = rel_cent.map_batches(
         _delta_rows("relation", "rel_id"), batch_format="pyarrow"
     )
 
+    # multipolygon AREA geometry (M2 + the reference's _modifiedAreas
+    # tracking, `src/osm/OsmChangeHandler.cpp:166-197`; osm2rdf emits
+    # the assembled area, `tests/data/relation.ttl`): outer rings
+    # stitched from member-way node sequences, covered with cells —
+    # "which tiles does this changed AREA touch", not just where its
+    # centroid lands (r3)
+    mp_rels = closure.semi_join(
+        relations2, "id", touched_rels, schema=rels_sch
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["type"], "multipolygon")),
+        batch_format="pyarrow",
+    )
+    mp_keys = closure.distinct_keys(mp_rels, "id", limit=BL)
+    outer_mem = rel_mem.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(t["type"], "way"),
+                pc.is_in(t["role"], value_set=pa.array(["outer", ""])),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    outer_mem = closure.semi_join(
+        outer_mem, "rel_id", mp_keys, schema=closure.EXPLODED_MEMBERS_SCHEMA
+    )
+    _WLOC = pa.schema(
+        [("way_id", pa.int64()), ("node_id", pa.int64()), ("pos", pa.int64()),
+         ("lon", pa.float64()), ("lat", pa.float64())]
+    )
+    ring_rows = joins.hash_join(
+        outer_mem.select_columns(["rel_id", "ref", "pos"]), wloc,
+        on="ref", right_on="way_id", num_partitions=16,
+        left_schema=_MEM, right_schema=_WLOC,
+    )  # (rel_id, ref, pos [member], node_id, pos_r [within-way], lon, lat)
+
+    def area_cells(df: pd.DataFrame) -> pd.DataFrame:
+        out_rel: list[np.ndarray] = []
+        out_ring: list[np.ndarray] = []
+        out_cell: list[np.ndarray] = []
+        # per relation: member ways in member order, each way's nodes
+        # in way order -> stitch rings by endpoint NODE ID -> cover
+        for rid, g in df.groupby("rel_id", sort=False):
+            g = g.sort_values(["pos", "pos_r"], kind="mergesort")
+            segs = [
+                (gg["node_id"].to_numpy(), gg["lon"].to_numpy(), gg["lat"].to_numpy())
+                for _, gg in g.groupby("pos", sort=False)
+            ]
+            for ri, (rx, ry) in enumerate(geo.assemble_rings(segs)):
+                cells = geo.polygon_cover(rx, ry, area_res)
+                out_rel.append(np.full(len(cells), rid, dtype=np.int64))
+                out_ring.append(np.full(len(cells), ri, dtype=np.int64))
+                out_cell.append(cells)
+        if not out_rel:
+            return pd.DataFrame(
+                {"rel_id": pd.Series([], dtype="int64"),
+                 "ring_id": pd.Series([], dtype="int64"),
+                 "cell": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"rel_id": np.concatenate(out_rel),
+             "ring_id": np.concatenate(out_ring),
+             "cell": np.concatenate(out_cell)}
+        )
+
+    area_cover = joins.partitioned_map(
+        ring_rows, ["rel_id"], area_cells, num_partitions=16
+    )
+
     def node_delta_fn(t: pa.Table) -> pa.Table:
         lon = t["lon"].to_numpy(zero_copy_only=False)
         lat = t["lat"].to_numpy(zero_copy_only=False)
-        return pa.table(
+        t = pa.table(
             {
                 "kind": pa.array(["node"] * t.num_rows),
                 "id": t["id"],
@@ -334,6 +443,7 @@ def apply_update(
                 "cell": pa.array(geo.cell_encode(lon, lat, cell_res)),
             }
         )
+        return _point_extents(t)
 
     node_delta = closure.semi_join(
         nodes2, "id", _keys_of(merged, "node", ("create", "modify"), BL),
@@ -348,6 +458,8 @@ def apply_update(
         "ways": ways2,
         "relations": relations2,
         "geo_delta": geo_delta,
+        "area_cover": area_cover,  # (rel_id, ring_id, cell) for
+        # touched multipolygon relations' assembled outer rings
         # KeySets (`.tolist()` / `.to_array()` for broadcast-sized
         # sets; `.ds` to consume a backfill-scale set distributed)
         "impacted_ways": ways_geo,

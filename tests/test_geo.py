@@ -123,3 +123,31 @@ def test_haversine_known_values_and_sql(con):
         f"select {geo.haversine_sql('8.0', '47.0', ls, bs)} d from t order by k"
     ).fetchnumpy()["d"]
     np.testing.assert_array_equal(np.round(r, 3), np.round(hn, 3))
+
+
+def test_assemble_rings():
+    # two open ways forming one square, second chained tail-to-tail
+    segs = [
+        (np.array([1, 2, 3]), np.array([0.0, 1.0, 1.0]), np.array([0.0, 0.0, 1.0])),
+        (np.array([1, 4, 3]), np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 1.0])),
+    ]
+    rings = geo.assemble_rings(segs)
+    assert len(rings) == 1
+    rx, ry = rings[0]
+    assert len(rx) == 4  # closing vertex not repeated
+    assert set(zip(rx, ry)) == {(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)}
+    # an already-closed way is its own ring
+    closed = [(np.array([7, 8, 9, 7]), np.array([0.0, 1.0, 0.5, 0.0]),
+               np.array([0.0, 0.0, 1.0, 0.0]))]
+    assert len(geo.assemble_rings(closed)) == 1
+    # unclosable chain is dropped, not mis-stitched
+    broken = [(np.array([1, 2]), np.array([0.0, 1.0]), np.array([0.0, 0.0]))]
+    assert geo.assemble_rings(broken) == []
+    # two disjoint rings come out separately
+    two = [
+        (np.array([7, 8, 9, 7]), np.array([0.0, 1.0, 0.5, 0.0]),
+         np.array([0.0, 0.0, 1.0, 0.0])),
+        (np.array([20, 21, 22, 20]), np.array([5.0, 6.0, 5.5, 5.0]),
+         np.array([5.0, 5.0, 6.0, 5.0])),
+    ]
+    assert len(geo.assemble_rings(two)) == 2

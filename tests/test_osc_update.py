@@ -7,6 +7,7 @@ check against a brute-force oracle."""
 import gzip
 
 import numpy as np
+import pyarrow as pa
 import pytest
 import ray.data
 
@@ -283,3 +284,52 @@ def test_apply_update_shuffle_path_matches_broadcast():
     import pandas as pd
 
     pd.testing.assert_frame_equal(ga, gb)
+
+
+def test_multipolygon_area_cover_and_envelope():
+    """A touched multipolygon relation's outer ring is assembled from
+    member ways (one stored in reverse) and covered with cells; its
+    geo_delta row carries the full member-extent envelope."""
+    from oluray.functions import geo
+
+    coords = {101: (10.0, 10.0), 102: (20.0, 10.0), 103: (20.0, 20.0),
+              104: (10.0, 20.0)}
+    nodes = ray.data.from_arrow(pa.Table.from_pylist(
+        [dict(id=i, lon=c[0], lat=c[1], tags=None, version=1, ts=1)
+         for i, c in coords.items()]
+        + [dict(id=999, lon=0.0, lat=0.0, tags=None, version=1, ts=1)],
+        schema=fixtures.NODES_SCHEMA))
+    ways = ray.data.from_arrow(pa.Table.from_pylist(
+        [dict(id=51, nd_refs=[101, 102, 103], tags=None, version=1, ts=1),
+         dict(id=52, nd_refs=[101, 104, 103], tags=None, version=1, ts=1)],
+        schema=fixtures.WAYS_SCHEMA))
+    rels = ray.data.from_arrow(pa.Table.from_pylist(
+        [dict(id=71, members=[{"ref": 51, "type": "way", "role": "outer"},
+                              {"ref": 52, "type": "way", "role": "outer"}],
+              type="multipolygon", tags=[("type", "multipolygon")],
+              version=1, ts=1)],
+        schema=fixtures.RELATIONS_SCHEMA))
+    changes = ray.data.from_arrow(pa.Table.from_pylist(
+        [dict(op="modify", kind="node", id=101, version=2, ts=1000,
+              payload=fixtures._payload(lon=10.0, lat=10.0))],
+        schema=fixtures.CHANGES_SCHEMA))
+    out = update.apply_update(nodes, ways, rels, changes, area_res=6)
+    cover = out["area_cover"].to_pandas()
+    assert set(cover["rel_id"]) == {71}
+    got_cells = set(cover["cell"])
+    # O(n*m) oracle: every interior sample point's cell must be
+    # covered, and the cover must stay within the ring's bbox cover
+    gx, gy = np.meshgrid(np.linspace(10.5, 19.5, 12), np.linspace(10.5, 19.5, 12))
+    pts_cells = set(geo.cell_encode(gx.ravel(), gy.ravel(), 6).tolist())
+    assert pts_cells <= got_cells
+    bbox_cells = set(geo.bbox_cover(10.0, 10.0, 20.0, 20.0, 6).tolist())
+    assert got_cells <= bbox_cells
+    # envelope: the relation row spans the full member extent; a way
+    # row spans its own members
+    gd = out["geo_delta"].to_pandas()
+    rrow = gd[(gd["kind"] == "relation") & (gd["id"] == 71)].iloc[0]
+    assert (rrow["min_lon"], rrow["max_lon"]) == (10.0, 20.0)
+    assert (rrow["min_lat"], rrow["max_lat"]) == (10.0, 20.0)
+    wrow = gd[(gd["kind"] == "way") & (gd["id"] == 51)].iloc[0]
+    assert (wrow["min_lon"], wrow["max_lon"]) == (10.0, 20.0)
+    assert (wrow["min_lat"], wrow["max_lat"]) == (10.0, 20.0)
