@@ -63,9 +63,21 @@ def entry() -> Any:
         )
 
     images = docs.map_batches(synth, batch_format="pyarrow", batch_size=256)
-    # anchor polygons on the image footprint cluster so the window has hits
-    probe = images.take_batch(64, batch_format="pyarrow")
-    lon, lat = fixtures.footprint_from_phash(probe["phash"].to_numpy())
+    # anchor polygons on the image footprint cluster so the window has
+    # hits — probe phashes synthesized directly for ids 0..63 (a
+    # take_batch here read whichever block finished first, so the
+    # polygon window, and the row count, varied run to run)
+    ph = np.array(
+        [
+            fixtures.phash64(
+                fixtures._pixels(i, fixtures.SIZES[i % len(fixtures.SIZES)],
+                                 fixtures.SIZES[i % len(fixtures.SIZES)], 42)
+            )
+            for i in range(64)
+        ],
+        dtype=np.int64,
+    )
+    lon, lat = fixtures.footprint_from_phash(ph)
     centers = [(float(lon[i]), float(lat[i])) for i in range(0, len(lon), 8)]
     polys = fixtures.make_change_polys(8, seed=42, span_deg=20.0, centers=centers[:6])
     return flagship.assignments_pipeline(images, polys, pip_res=7, concurrency=4)

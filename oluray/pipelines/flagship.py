@@ -18,7 +18,7 @@ op, dist_m, caption).
 Scale contract: image `bytes` never enter this pipeline — only the
 (image_id, phash, w, h, caption) projection streams through the
 joins; bytes re-join (by image_id, within the already-partitioned
-output cell) only in tile materialization.
+output cell) only in tile materialization (`materialize_tiles`).
 """
 
 from __future__ import annotations
@@ -146,3 +146,52 @@ def run_window(
 
     ds = assignments_pipeline(images, polys, **kw)
     return write_partitioned_resumable(ds, out_dir, window_id, part_col="part")
+
+
+def materialize_tiles(
+    images: ray.data.Dataset,
+    assignments,
+    out_dir: str,
+    window_id: str,
+    num_partitions: int = 64,
+):
+    """Tile materialization: the bytes re-join this module's header
+    promises. Joins image `bytes` onto the window's assignments and
+    writes a `part=<cell>/` blobs sidecar through the same resumable
+    sink, so a consumer of one output partition has metadata rows AND
+    pixel payloads locally.
+
+    The scale contract, made concrete rather than honored by omission:
+
+    - bytes are keyed per DISTINCT (image_id, part) — an image whose
+      footprint covers k tiles inside one coarse partition is stored
+      once, not k times (the tile-cover explode multiplies metadata
+      rows, never payloads);
+    - each blob crosses the wire exactly once: object store -> the
+      hash partition of its image_id (`joins.hash_join` moves every
+      row once, neither side broadcast) -> its `part=` dir;
+    - bytes never enter the upstream PIP / distance / tile-cover
+      stages — `assignments` here is typically the READ-BACK of
+      `run_window`'s pruned-column output (pass the output dir), so
+      materialization is independently resumable and re-runs touch no
+      geometry at all.
+
+    `assignments`: a Dataset with (image_id, part) columns, or the
+    path of a `run_window` output directory to read back (pruned to
+    exactly those two columns)."""
+    from oluray.stages import joins
+    from oluray.state.checkpoint import write_partitioned_resumable
+
+    if isinstance(assignments, str):
+        assignments = ray.data.read_parquet(
+            assignments, columns=["image_id", "part"]
+        )
+    pairs = joins.distinct(
+        assignments.select_columns(["image_id", "part"]),
+        ["image_id", "part"], num_partitions=num_partitions,
+    )
+    blobs = joins.hash_join(
+        images.select_columns(["image_id", "bytes", "fmt", "w", "h"]),
+        pairs, on="image_id", num_partitions=num_partitions,
+    )
+    return write_partitioned_resumable(blobs, out_dir, window_id, part_col="part")

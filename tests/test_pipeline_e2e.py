@@ -91,3 +91,43 @@ def test_flagship_caption_and_pixels_roundtrip():
             np.testing.assert_array_equal(px, src)
         else:
             assert imagecodec.psnr_db(px, src) >= 40.0
+
+
+def test_materialize_tiles_bytes_rejoin(tmp_path):
+    """Tile materialization: blobs sidecar carries one bytes row per
+    distinct (image_id, part) of the window's assignments; pixels
+    decode from the MATERIALIZED partition (PSNR gate for the lossy
+    format); a rerun skips every finished partition."""
+    images = fixtures.make_images(80, seed=3)
+    polys = _anchored_polys(images, 6, span_deg=15.0)
+    ds = ray.data.from_arrow(images)
+    adir = str(tmp_path / "assign")
+    bdir = str(tmp_path / "blobs")
+    flagship.run_window(ds, polys, adir, "w1", pip_res=6, concurrency=1)
+    man = flagship.materialize_tiles(ds, adir, bdir, "w1", num_partitions=8)
+
+    assigns = ray.data.read_parquet(adir, columns=["image_id", "part"]).to_pandas()
+    expect_pairs = set(
+        assigns.drop_duplicates().itertuples(index=False, name=None)
+    )
+    blobs = ray.data.read_parquet(bdir).to_pandas()
+    got_pairs = set(zip(blobs["image_id"], blobs["part"]))
+    assert got_pairs == expect_pairs
+    assert len(blobs) == len(got_pairs)  # bytes once per (image, part)
+
+    # pixels decode from the materialized output itself
+    src_fmt = dict(zip(images["image_id"].to_pylist(), images["fmt"].to_pylist()))
+    for row in blobs.head(12).itertuples():
+        px = imagecodec.decode(row.bytes, row.fmt)
+        assert row.fmt == src_fmt[row.image_id]
+        i = int(row.image_id[3:])
+        src = fixtures._pixels(i, px.shape[1], px.shape[0], 3)
+        if row.fmt == "png":
+            np.testing.assert_array_equal(px, src)
+        else:
+            assert imagecodec.psnr_db(px, src) >= 40.0
+
+    # resume: a second materialization run skips all finished partitions
+    fins = {k: p["finished_at"] for k, p in man.partitions.items()}
+    man2 = flagship.materialize_tiles(ds, adir, bdir, "w1", num_partitions=8)
+    assert {k: p["finished_at"] for k, p in man2.partitions.items()} == fins
