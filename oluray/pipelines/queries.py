@@ -519,6 +519,15 @@ def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(docs, concurrency=4)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard pairs — the non-sketch member of the dedup
+    family, oracle-matchable because grams are literal substrings and
+    jaccard_e6 is integer division (no rounded floats)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.ngram_jaccard_pairs(docs, n=6, threshold_e6=150000,
+                                     num_partitions=16)
+
+
 def q_token_count(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(text.TokenCount, batch_format="pandas", concurrency=(1, 4))
@@ -974,6 +983,26 @@ ORACLE: dict[str, str] = {
                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
           FROM documents) WHERE rn = 1
     """,
+    "ngram_jaccard": """
+        WITH g AS (
+          SELECT DISTINCT doc_id,
+                 substr(text, CAST(unnest(range(1, greatest(length(text) - 4, 1))) AS INT), 6) AS gram
+          FROM documents
+        ),
+        n AS (SELECT doc_id, count(*) AS cnt FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_inter::BIGINT AS n_inter,
+               (na.cnt + nb.cnt - n_inter)::BIGINT AS n_union,
+               ((n_inter * 1000000) // (na.cnt + nb.cnt - n_inter))::BIGINT AS jaccard_e6
+        FROM inter
+        JOIN n na ON na.doc_id = doc_a
+        JOIN n nb ON nb.doc_id = doc_b
+        WHERE n_inter * 1000000 >= 150000 * (na.cnt + nb.cnt - n_inter)
+    """,
     "token_count": "SELECT doc_id, length(string_split(text, ' '))::BIGINT AS n_tokens FROM documents",
     "quality": """
         SELECT doc_id, length(text)::BIGINT AS n_chars,
@@ -1035,6 +1064,7 @@ QUERIES = {
     "brand_stats": q_brand_stats,
     "events_value_sum": q_events_value_sum,
     "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
     "token_count": q_token_count,
     "quality": q_quality,
     "langid": q_langid,

@@ -764,3 +764,116 @@ def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4,
         collided, ["band_id", "band_val"], emit, num_partitions=num_partitions
     )
     return joins.pair_dedup(cand, ("doc_a", "doc_b"), num_partitions=32)
+
+
+def ngram_jaccard_pairs(docs, n: int = 6, threshold_e6: int = 150000,
+                        num_partitions: int = 64):
+    """EXACT n-gram Jaccard near-dup pairs over literal character
+    n-grams — the exact member of the dedup family (the module
+    docstring's standalone verifier), fully distributed and
+    SQL-oracle-matchable because nothing is hashed:
+
+      explode distinct n-gram substrings per doc -> gram rows
+      hash-partitioned by gram -> per-partition pair emission +
+      partial pair counts (every occurrence of one gram lives in one
+      partition, so the merge is local) -> grouped sum = |A∩B| ->
+      two hash joins against the per-doc gram counts -> integer
+      jaccard_e6 = |A∩B| * 1e6 // |A∪B| (scaled-int division, never a
+      rounded float, so DuckDB and numpy agree bit-for-bit).
+
+    Scale note: work is quadratic in per-gram doc frequency (a gram
+    shared by d docs emits d*(d-1)/2 partial rows) — this is inherent
+    to the EXACT operator; the MinHash/SimHash members are the 100 TB
+    path and use this only pair-wise as a verifier. Returns Dataset
+    (doc_a, doc_b, n_inter, n_union, jaccard_e6) with doc_a < doc_b
+    and jaccard_e6 >= threshold_e6."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out: list[np.ndarray] = []
+        grams_out: list[list[str]] = []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"]):
+            t = txt or ""
+            gs = list({t[i:i + n] for i in range(max(len(t) - n + 1, 0))})
+            if gs:
+                ids_out.append(np.full(len(gs), did, dtype=np.int64))
+                grams_out.append(gs)
+        if not ids_out:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "gram": pd.Series([], dtype="object")}
+            )
+        return pd.DataFrame(
+            {"doc_id": np.concatenate(ids_out),
+             "gram": np.concatenate([np.asarray(g, dtype=object) for g in grams_out])}
+        )
+
+    gram_rows = docs.map_batches(explode, batch_format="pandas", batch_size=512)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def count_total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False)["cnt"].sum()
+
+    counts = joins.grouped_agg(
+        gram_rows, ["doc_id"], count_total, num_partitions=num_partitions,
+        combine_fn=count_partial, pre_repartition=False,
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="gram")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        g = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+        return g.rename(
+            columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b", "size": "c"}
+        )
+
+    partials = joins.partitioned_map(
+        gram_rows, ["gram"], pair_partial, num_partitions=num_partitions,
+        pre_repartition=False,
+    )
+
+    def inter_total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False)["c"].sum()
+        return g.rename(columns={"c": "n_inter"})
+
+    inter = joins.grouped_agg(
+        partials, ["doc_a", "doc_b"], inter_total,
+        num_partitions=num_partitions, combine_fn=None, pre_repartition=False,
+    )
+
+    _INTER = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_inter", pa.int64())]
+    )
+    _CNT = pa.schema([("doc_id", pa.int64()), ("cnt", pa.int64())])
+    j1 = joins.hash_join(
+        inter, counts, on="doc_a", right_on="doc_id",
+        num_partitions=num_partitions, left_schema=_INTER, right_schema=_CNT,
+    )
+    _J1 = pa.schema(list(_INTER) + [pa.field("cnt", pa.int64())])
+    j2 = joins.hash_join(
+        j1, counts, on="doc_b", right_on="doc_id",
+        num_partitions=num_partitions, left_schema=_J1, right_schema=_CNT,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ia = t["n_inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["cnt_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = ca + cb - ia
+        keep = ia * 1000000 >= threshold_e6 * union
+        jac = np.zeros(len(ia), dtype=np.int64)
+        nz = union > 0
+        jac[nz] = (ia[nz] * 1000000) // union[nz]
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "n_inter": pa.array(ia),
+                "n_union": pa.array(union),
+                "jaccard_e6": pa.array(jac),
+            }
+        ).filter(pa.array(keep))
+
+    return j2.map_batches(finish, batch_format="pyarrow")

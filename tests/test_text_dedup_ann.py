@@ -433,3 +433,86 @@ def test_near_dedup_keep_matches_union_find_oracle():
     assert got_map == exp
     for _, r in got.iterrows():
         assert r["keep"] == (r["doc_id"] == r["cluster_id"])
+
+
+def test_probed_topk_q512_exact_and_bounded():
+    """r3 vectorized ProbedTopK: at Q=512 the result still matches the
+    per-query exact semantics (top-k by (sim desc, id asc) over each
+    query's probe buckets) and the stage finishes in bounded time —
+    the r2 per-query np.isin loop made large query fan-in quadratic."""
+    import time
+
+    ids, m = _emb_np()
+    rng = np.random.default_rng(5)
+    Q = 512
+    pick = rng.integers(0, len(ids), Q)
+    qm = m[pick] + rng.normal(0, 0.01, (Q, m.shape[1]))
+    qids = np.arange(Q, dtype=np.int64)
+    t0 = time.perf_counter()
+    got = ann.lsh_topk(_emb_ds(), qids, qm, k=3, n_bits=6, n_probe_bits=1).to_pandas()
+    dt = time.perf_counter() - t0
+    assert dt < 90.0
+
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    planes = ann.hyperplanes(m.shape[1], 6, 101)
+    cb = ann.lsh_bucket(mn, planes)
+    qb = ann.lsh_bucket(qn, planes)
+    probes = ann._probe_sets(qb, 6, 1)
+    sims = qn @ mn.T
+    by_q = {q: g for q, g in got.groupby("query_id")}
+    for qi in range(Q):
+        mask = np.isin(cb, probes[qi])
+        sub = by_q.get(qids[qi])
+        if not mask.any():
+            assert sub is None
+            continue
+        s = sims[qi][mask]
+        si = ids[mask]
+        order = np.lexsort((si, -s))[:3]
+        want = si[order].tolist()
+        gotl = sub.sort_values("rank")["vec_id"].tolist()
+        assert gotl == want, (qi, gotl, want)
+        np.testing.assert_allclose(
+            sub.sort_values("rank")["sim"].to_numpy(), np.round(s[order], 6)
+        )
+
+
+def test_ngram_jaccard_pairs_matches_bruteforce():
+    """Exact n-gram Jaccard operator vs an O(n^2) set oracle,
+    including the integer jaccard_e6 floor-division contract."""
+    rng = np.random.default_rng(11)
+    base = "the quick brown fox jumps over the lazy dog while rain falls"
+    texts = []
+    for i in range(24):
+        t = base
+        for _ in range(rng.integers(0, 6)):
+            j = int(rng.integers(0, len(t) - 1))
+            t = t[:j] + chr(97 + int(rng.integers(0, 26))) + t[j + 1:]
+        texts.append(t + f" tail{i % 4}")
+    texts.append("zz")   # shorter than n: zero grams, must not appear
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                      "text": texts})
+    )
+    got = dedup.ngram_jaccard_pairs(
+        docs, n=4, threshold_e6=300000, num_partitions=4
+    ).to_pandas()
+    gsets = [
+        {t[i:i + 4] for i in range(max(len(t) - 3, 0))} for t in texts
+    ]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if not gsets[a] or not gsets[b]:
+                continue
+            inter = len(gsets[a] & gsets[b])
+            union = len(gsets[a] | gsets[b])
+            if inter * 1000000 >= 300000 * union:
+                want[(a, b)] = (inter, union, inter * 1000000 // union)
+    gotd = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_union, r.jaccard_e6)
+        for r in got.itertuples()
+    }
+    assert gotd == want
+    assert len(want) > 0
