@@ -363,6 +363,63 @@ def assemble_rings(
 
 
 # ---------------------------------------------------------------------------
+# derived geometry: convex hull + minimum-area oriented bounding box
+# (osm2rdf emits `convex_hull`, `envelope` and `obb` per element,
+# `/root/reference/tests/data/node.ttl:33-37`; envelope lives in the
+# update path's segmented min/max — these two cover the rest)
+# ---------------------------------------------------------------------------
+
+
+def convex_hull(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Convex hull via Andrew's monotone chain, CCW, first vertex not
+    repeated. Degenerate inputs (<=2 distinct points, collinear sets)
+    return the distinct extreme points. The per-point loop is fine at
+    this call's granularity: one ELEMENT's members (a way/relation has
+    tens to thousands of points), never a corpus."""
+    pts = np.unique(np.stack([np.asarray(lon, np.float64),
+                              np.asarray(lat, np.float64)], axis=1), axis=0)
+    if len(pts) <= 2:
+        return pts[:, 0], pts[:, 1]
+
+    def chain(pp):
+        h: list[np.ndarray] = []
+        for p in pp:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h[:-1]
+
+    hull = np.array(chain(pts) + chain(pts[::-1]))
+    return hull[:, 0], hull[:, 1]
+
+
+def min_area_obb(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Minimum-area oriented bounding box (planar, on lon/lat degrees
+    like osm2rdf's): rotating-calipers over hull edge angles, all
+    angles evaluated in ONE vectorized rotate/minmax. Returns the 4
+    corners CCW (degenerate inputs collapse corners). Ties on area
+    break toward the smallest angle so the result is deterministic."""
+    hx, hy = convex_hull(lon, lat)
+    if len(hx) == 1:
+        return np.repeat(hx, 4), np.repeat(hy, 4)
+    if len(hx) == 2:
+        return hx[[0, 1, 1, 0]], hy[[0, 1, 1, 0]]
+    pts = np.stack([hx, hy], axis=1)
+    edges = np.diff(pts, axis=0, append=pts[:1])
+    ang = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2))
+    cos, sin = np.cos(ang), np.sin(ang)
+    # rotate points by -ang for every candidate angle at once: (k, n)
+    rx = cos[:, None] * pts[:, 0] + sin[:, None] * pts[:, 1]
+    ry = -sin[:, None] * pts[:, 0] + cos[:, None] * pts[:, 1]
+    x0, x1 = rx.min(axis=1), rx.max(axis=1)
+    y0, y1 = ry.min(axis=1), ry.max(axis=1)
+    k = int(np.argmin((x1 - x0) * (y1 - y0)))
+    cx = np.array([x0[k], x1[k], x1[k], x0[k]])
+    cy = np.array([y0[k], y0[k], y1[k], y1[k]])
+    return cos[k] * cx - sin[k] * cy, sin[k] * cx + cos[k] * cy
+
+
+# ---------------------------------------------------------------------------
 # haversine
 # ---------------------------------------------------------------------------
 

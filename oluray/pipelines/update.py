@@ -104,15 +104,14 @@ def _payload_relations(merged: ray.data.Dataset) -> ray.data.Dataset:
         )
         p = t.column("payload").combine_chunks()
         tags = p.field("tags")
-        # relation `type` comes from its tags (multipolygon predicate M2)
-        types = []
-        for row in tags.to_pylist():
-            types.append(dict(row).get("type") if row else None)
+        # relation `type` comes from its tags (multipolygon predicate
+        # M2) — vectorized map lookup, not a to_pylist() row loop
+        types = pc.map_lookup(tags, query_key="type", occurrence="first")
         return pa.table(
             {
                 "id": t["id"],
                 "members": p.field("members"),
-                "type": pa.array(types, pa.string()),
+                "type": types,
                 "tags": tags,
                 "version": t["version"],
                 "ts": t["ts"],
@@ -135,8 +134,9 @@ def apply_update(
     (`nodes`, `ways`, `relations`), `geo_delta` (recomputed geometry
     rows — centroid + cell + ENVELOPE — for changed + impacted
     elements), `area_cover` (cell cover of touched multipolygon
-    relations' assembled outer rings at `area_res`), and `counts`
-    (A4).
+    relations' assembled outer rings at `area_res`), `hull_delta`
+    (convex hull + min-area OBB vertex lists per touched
+    way/relation), and `counts` (A4).
 
     `broadcast_limit`: id sets up to this many keys ride as broadcast
     arrays (zero shuffles — every minutely window); larger sets stay
@@ -250,7 +250,12 @@ def apply_update(
     wloc = joins.hash_join(
         exploded, locs, on="node_id", right_on="id", num_partitions=16,
         left_schema=_EXPLODED, right_schema=_LOCS,
-    )  # inner join: missing member nodes tolerated (J7 missing-ok)
+    ).materialize()
+    # inner join: missing member nodes tolerated (J7 missing-ok).
+    # materialize: wloc is DIFF-scale (member nodes of touched ways)
+    # and now has four consumers (way centroids, ring assembly, way
+    # hulls, relation member points) — pinning beats re-running the
+    # explode+join lineage per consumer
 
     def _seg_stats(df: pd.DataFrame, key: str) -> pd.DataFrame:
         """Per-key centroid AND envelope of member points in member-
@@ -431,6 +436,65 @@ def apply_update(
         ring_rows, ["rel_id"], area_cells, num_partitions=16
     )
 
+    # convex hull + minimum-area OBB per touched way/relation (the
+    # rest of osm2rdf's derived geometry, `tests/data/node.ttl:33-37`
+    # — envelope already rides in geo_delta; a node's hull/obb
+    # degenerate to its point so nodes are not emitted). Relation
+    # hulls use FULL member geometry: node members' locations plus
+    # every node of member ways (not just way centroids)
+    def _hull_rows(key: str):
+        _H = pa.schema(
+            [("kind", pa.string()), ("id", pa.int64()),
+             ("hull_lon", pa.list_(pa.float64())),
+             ("hull_lat", pa.list_(pa.float64())),
+             ("obb_lon", pa.list_(pa.float64())),
+             ("obb_lat", pa.list_(pa.float64()))]
+        )
+        kind = "way" if key == "way_id" else "relation"
+
+        def fn(df: pd.DataFrame) -> pa.Table:
+            ids, hlo, hla, olo, ola = [], [], [], [], []
+            for kid, g in df.groupby(key, sort=False):
+                hx, hy = geo.convex_hull(g["lon"].to_numpy(), g["lat"].to_numpy())
+                ox, oy = geo.min_area_obb(hx, hy)
+                ids.append(kid)
+                hlo.append(hx)
+                hla.append(hy)
+                olo.append(ox)
+                ola.append(oy)
+            return pa.table(
+                {
+                    "kind": pa.array([kind] * len(ids), pa.string()),
+                    "id": pa.array(np.asarray(ids, dtype=np.int64)),
+                    "hull_lon": pa.array(hlo, pa.list_(pa.float64())),
+                    "hull_lat": pa.array(hla, pa.list_(pa.float64())),
+                    "obb_lon": pa.array(olo, pa.list_(pa.float64())),
+                    "obb_lat": pa.array(ola, pa.list_(pa.float64())),
+                },
+                schema=_H,
+            )
+
+        return fn
+
+    way_hull_src = closure.semi_join(
+        wloc, "way_id", touched_ways, schema=_WLOC
+    ).select_columns(["way_id", "lon", "lat"])
+    way_hulls = joins.partitioned_map(
+        way_hull_src, ["way_id"], _hull_rows("way_id"), num_partitions=16
+    )
+    rel_way_pts_full = joins.hash_join(
+        way_mem.select_columns(["rel_id", "ref", "pos"]), wloc,
+        on="ref", right_on="way_id", num_partitions=16,
+        left_schema=_MEM, right_schema=_WLOC,
+    ).select_columns(["rel_id", "lon", "lat"])
+    rel_hull_src = node_pts.select_columns(["rel_id", "lon", "lat"]).union(
+        rel_way_pts_full
+    )
+    rel_hulls = joins.partitioned_map(
+        rel_hull_src, ["rel_id"], _hull_rows("rel_id"), num_partitions=16
+    )
+    hull_delta = way_hulls.union(rel_hulls)
+
     def node_delta_fn(t: pa.Table) -> pa.Table:
         lon = t["lon"].to_numpy(zero_copy_only=False)
         lat = t["lat"].to_numpy(zero_copy_only=False)
@@ -460,6 +524,8 @@ def apply_update(
         "geo_delta": geo_delta,
         "area_cover": area_cover,  # (rel_id, ring_id, cell) for
         # touched multipolygon relations' assembled outer rings
+        "hull_delta": hull_delta,  # (kind, id, hull/obb vertex lists)
+        # per touched way/relation — full member geometry
         # KeySets (`.tolist()` / `.to_array()` for broadcast-sized
         # sets; `.ds` to consume a backfill-scale set distributed)
         "impacted_ways": ways_geo,

@@ -151,3 +151,50 @@ def test_assemble_rings():
          np.array([5.0, 5.0, 6.0, 5.0])),
     ]
     assert len(geo.assemble_rings(two)) == 2
+
+
+def test_convex_hull_properties():
+    rng = np.random.default_rng(9)
+    pts = rng.uniform(-10, 10, (200, 2))
+    hx, hy = geo.convex_hull(pts[:, 0], pts[:, 1])
+    # every input point inside or on the hull (cross-product test, CCW)
+    h = np.stack([hx, hy], axis=1)
+    for p in pts:
+        for i in range(len(h)):
+            a, b = h[i], h[(i + 1) % len(h)]
+            assert np.cross(b - a, p - a) >= -1e-9
+    # hull vertices are input points and strictly convex (no collinear)
+    in_set = {tuple(q) for q in pts.round(12)}
+    for v in h.round(12):
+        assert tuple(v) in in_set
+    for i in range(len(h)):
+        a, b, c = h[i - 1], h[i], h[(i + 1) % len(h)]
+        assert np.cross(b - a, c - b) > 0
+    # degenerate: collinear and tiny inputs
+    cx, cy = geo.convex_hull(np.array([0.0, 1.0, 2.0]), np.array([0.0, 1.0, 2.0]))
+    assert len(cx) == 2
+    sx, sy = geo.convex_hull(np.array([3.0]), np.array([4.0]))
+    assert (sx.tolist(), sy.tolist()) == ([3.0], [4.0])
+
+
+def test_min_area_obb():
+    rng = np.random.default_rng(10)
+    # a rotated rectangle's OBB recovers (close to) its own area
+    base = np.array([[0, 0], [4, 0], [4, 1], [0, 1]], dtype=float)
+    th = 0.7
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    quad = base @ R.T + np.array([2.0, -3.0])
+    ox, oy = geo.min_area_obb(quad[:, 0], quad[:, 1])
+    area = 0.5 * abs(np.dot(ox, np.roll(oy, -1)) - np.dot(oy, np.roll(ox, -1)))
+    assert abs(area - 4.0) < 1e-9
+    # random cloud: obb contains all points and beats the axis bbox
+    pts = rng.uniform(0, 5, (120, 2)) @ R.T
+    ox, oy = geo.min_area_obb(pts[:, 0], pts[:, 1])
+    obb = np.stack([ox, oy], axis=1)
+    for p in pts:
+        for i in range(4):
+            a, b = obb[i], obb[(i + 1) % 4]
+            assert np.cross(b - a, p - a) >= -1e-9
+    oarea = 0.5 * abs(np.dot(ox, np.roll(oy, -1)) - np.dot(oy, np.roll(ox, -1)))
+    barea = np.ptp(pts[:, 0]) * np.ptp(pts[:, 1])
+    assert oarea <= barea + 1e-9

@@ -333,3 +333,45 @@ def test_multipolygon_area_cover_and_envelope():
     wrow = gd[(gd["kind"] == "way") & (gd["id"] == 51)].iloc[0]
     assert (wrow["min_lon"], wrow["max_lon"]) == (10.0, 20.0)
     assert (wrow["min_lat"], wrow["max_lat"]) == (10.0, 20.0)
+
+
+def test_hull_delta_way_and_relation():
+    """hull_delta: a way's hull is its member-node hull; a relation's
+    hull spans FULL member-way geometry (all way nodes, not just way
+    centroids)."""
+    from oluray.functions import geo
+
+    coords = {101: (10.0, 10.0), 102: (20.0, 10.0), 103: (20.0, 20.0),
+              104: (10.0, 20.0), 105: (15.0, 14.0)}  # 105 interior
+    nodes = ray.data.from_arrow(pa.Table.from_pylist(
+        [dict(id=i, lon=c[0], lat=c[1], tags=None, version=1, ts=1)
+         for i, c in coords.items()],
+        schema=fixtures.NODES_SCHEMA))
+    ways = ray.data.from_arrow(pa.Table.from_pylist(
+        [dict(id=51, nd_refs=[101, 102, 105], tags=None, version=1, ts=1),
+         dict(id=52, nd_refs=[103, 104], tags=None, version=1, ts=1)],
+        schema=fixtures.WAYS_SCHEMA))
+    rels = ray.data.from_arrow(pa.Table.from_pylist(
+        [dict(id=71, members=[{"ref": 51, "type": "way", "role": ""},
+                              {"ref": 52, "type": "way", "role": ""}],
+              type=None, tags=None, version=1, ts=1)],
+        schema=fixtures.RELATIONS_SCHEMA))
+    changes = ray.data.from_arrow(pa.Table.from_pylist(
+        [dict(op="modify", kind="node", id=101, version=2, ts=1000,
+              payload=fixtures._payload(lon=10.0, lat=10.0))],
+        schema=fixtures.CHANGES_SCHEMA))
+    out = update.apply_update(nodes, ways, rels, changes)
+    hd = out["hull_delta"].to_pandas().set_index(["kind", "id"])
+    w = hd.loc[("way", 51)]
+    assert set(zip(w["hull_lon"], w["hull_lat"])) == {
+        (10.0, 10.0), (20.0, 10.0), (15.0, 14.0)
+    }
+    r = hd.loc[("relation", 71)]
+    # interior node 105 must NOT be a hull vertex; all 4 corners are
+    assert set(zip(r["hull_lon"], r["hull_lat"])) == {
+        (10.0, 10.0), (20.0, 10.0), (20.0, 20.0), (10.0, 20.0)
+    }
+    # obb of the square is the square itself (area 100)
+    ox, oy = np.asarray(r["obb_lon"]), np.asarray(r["obb_lat"])
+    area = 0.5 * abs(np.dot(ox, np.roll(oy, -1)) - np.dot(oy, np.roll(ox, -1)))
+    assert abs(area - 100.0) < 1e-9
