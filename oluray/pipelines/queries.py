@@ -632,6 +632,40 @@ def _synth_images(sf_dir: str):
     return docs.map_batches(synth, batch_format="pyarrow", batch_size=256)
 
 
+def q_phash_near_dup(sf_dir: str):
+    """Image near-duplicate pairs: banded Hamming over the 64-bit
+    perceptual hash — `dedup.hamming_band_pairs` applied to the image
+    axis (same sketch machinery as simhash over text; bytes never
+    move, only (id, phash) rows). Rows-only (phash is not expressible
+    in SQL); brute-force-verified in pytest."""
+    from oluray.sources import fixtures
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth_phash(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ph = [
+            fixtures.phash64(
+                fixtures._pixels(
+                    int(i),
+                    fixtures.SIZES[int(i) % len(fixtures.SIZES)],
+                    fixtures.SIZES[int(i) % len(fixtures.SIZES)], 42,
+                )
+            )
+            for i in ids
+        ]
+        return pa.table(
+            {"image_id": pa.array(ids.astype("int64")),
+             "phash": pa.array(ph, pa.int64())}
+        )
+
+    sigs = docs.map_batches(synth_phash, batch_format="pyarrow", batch_size=256)
+    return dedup.hamming_band_pairs(
+        sigs, id_col="image_id", sig_col="phash", max_hamming=2,
+        bucket_cap=1024, out_prefix="image",
+    )
+
+
 def q_image_decode(sf_dir: str):
     """Multimodal plumbing: synthesize a deterministic image per doc,
     decode through the actor-pool stage, emit stats. Rows-only (pixel
@@ -1065,6 +1099,7 @@ QUERIES = {
     "events_value_sum": q_events_value_sum,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "phash_near_dup": q_phash_near_dup,
     "token_count": q_token_count,
     "quality": q_quality,
     "langid": q_langid,

@@ -516,3 +516,51 @@ def test_ngram_jaccard_pairs_matches_bruteforce():
     }
     assert gotd == want
     assert len(want) > 0
+
+
+def test_phash_near_dup_matches_bruteforce():
+    """Image-axis banded Hamming: q_phash_near_dup's pair set equals
+    the O(n^2) brute force at the same radius (pigeonhole recall 1,
+    caps not hit at this scale)."""
+    from oluray.pipelines import queries as Q
+    from oluray.sources import fixtures
+
+    import pyarrow.parquet as pq
+
+    got = Q.q_phash_near_dup(SF).to_pandas()
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = t["doc_id"].to_numpy()
+    ph = np.array(
+        [fixtures.phash64(fixtures._pixels(
+            int(i), fixtures.SIZES[int(i) % len(fixtures.SIZES)],
+            fixtures.SIZES[int(i) % len(fixtures.SIZES)], 42))
+         for i in ids], dtype=np.int64)
+    u = ph.view(np.uint64)
+    order = np.argsort(ids)
+    ids, u = ids[order], u[order]
+    ai, bi = np.triu_indices(len(u), 1)
+    hd = dedup.hamming64(u[ai], u[bi])
+    keep = hd <= 2
+    want = {
+        (int(ids[a]), int(ids[b])): int(h)
+        for a, b, h in zip(ai[keep], bi[keep], hd[keep])
+    }
+    gotd = {(r.image_a, r.image_b): r.hamming for r in got.itertuples()}
+    assert gotd == want
+    assert len(want) > 0
+
+
+def test_hamming_band_pairs_string_ids():
+    """The generic banding machinery works with string ids (the image
+    table's native id type)."""
+    sig = pd.DataFrame(
+        {"image_id": ["imgA", "imgB", "imgC", "imgD"],
+         "phash": np.array([0, 1, 0b1111 << 40, (0b1111 << 40) | 3],
+                            dtype=np.int64)}
+    )
+    got = dedup.hamming_band_pairs(
+        ray.data.from_pandas(sig), id_col="image_id", sig_col="phash",
+        max_hamming=2, out_prefix="image", id_type=pa.string(),
+    ).to_pandas()
+    pairs = {(r.image_a, r.image_b): r.hamming for r in got.itertuples()}
+    assert pairs == {("imgA", "imgB"): 1, ("imgC", "imgD"): 2}
