@@ -182,16 +182,33 @@ def materialize_tiles(
     from oluray.stages import joins
     from oluray.state.checkpoint import write_partitioned_resumable
 
+    # the `part` type differs by input kind: run_window's in-memory
+    # output carries int64 cells, but the hive-partitioned READ-BACK
+    # decodes `part=` directory names as string — take the true type
+    # from parquet metadata (free) in the path case
+    part_type = pa.int64()
     if isinstance(assignments, str):
         assignments = ray.data.read_parquet(
             assignments, columns=["image_id", "part"]
         )
+        sch = assignments.schema()
+        part_type = dict(zip(sch.names, sch.types))["part"]
     pairs = joins.distinct(
         assignments.select_columns(["image_id", "part"]),
         ["image_id", "part"], num_partitions=num_partitions,
     )
+    # static schema hints: both sides are lazy (images a synth/read
+    # lineage, pairs a distinct-shuffle output) and hash_join would
+    # otherwise ds.schema()-probe each — an extra partial execution
+    # just to learn types that the run_window contract fixes
+    _IMAGES = pa.schema(
+        [("image_id", pa.string()), ("bytes", pa.binary()),
+         ("fmt", pa.string()), ("w", pa.int32()), ("h", pa.int32())]
+    )
+    _PAIRS = pa.schema([("image_id", pa.string()), ("part", part_type)])
     blobs = joins.hash_join(
         images.select_columns(["image_id", "bytes", "fmt", "w", "h"]),
         pairs, on="image_id", num_partitions=num_partitions,
+        left_schema=_IMAGES, right_schema=_PAIRS,
     )
     return write_partitioned_resumable(blobs, out_dir, window_id, part_col="part")

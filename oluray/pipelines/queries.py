@@ -272,12 +272,6 @@ def q_rel_envelope(sf_dir: str):
         g["n_members"] = g["n_members"].astype("int64")
         return g
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        # min/max are algebraic: per-block partials bound the shuffle
-        # by distinct keys per block; counts re-aggregate by sum
-        g = agg(df)
-        return g
-
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("o_orderkey", as_index=False).agg(
             n_members=("n_members", "sum"),
@@ -289,8 +283,10 @@ def q_rel_envelope(sf_dir: str):
         g["n_members"] = g["n_members"].astype("int64")
         return g
 
+    # min/max/count are algebraic: `agg` doubles as the per-block
+    # combiner, bounding the shuffle by distinct keys per block
     return joins.grouped_agg(pts, ["o_orderkey"], final, num_partitions=32,
-                             combine_fn=combine, pre_repartition=False)
+                             combine_fn=agg, pre_repartition=False)
 
 
 # A1 / O3 global max timestamp

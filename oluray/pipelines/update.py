@@ -180,27 +180,45 @@ def apply_update(
         relations, "id", rel_in_cf, schema=rels_sch
     ).union(_payload_relations(merged))
 
+    # backfill windows: every membership filter below becomes a
+    # multi-stage shuffle join, and the new snapshot feeds ~4 of
+    # them — pin it once instead of replaying the delete+insert
+    # lineage per consumer (which also nests the lazy plan past
+    # serializable depth). Minutely windows keep the pure-lazy
+    # plan: their filters are single map stages and re-running a
+    # map beats paying a snapshot-sized materialize. The decision is
+    # RE-PROBED after each impact-closure set is computed: a small
+    # diff touching a high-degree node can push ways_geo/touched_*/
+    # need_nodes past the broadcast limit even when the change-file
+    # sets themselves are tiny, and from that point on the snapshots
+    # must be pinned before more shuffle-join lineage stacks on them.
+    snapshots_pinned = False
+
+    def _pin_snapshots():
+        nonlocal nodes2, ways2, relations2, snapshots_pinned
+        if not snapshots_pinned:
+            nodes2 = nodes2.materialize()
+            ways2 = ways2.materialize()
+            relations2 = relations2.materialize()
+            snapshots_pinned = True
+
+    def _ensure_pinned_for(*keysets):
+        if any(not k.is_broadcast for k in keysets):
+            _pin_snapshots()
+
     shuffle_mode = not (
         node_in_cf.is_broadcast and way_in_cf.is_broadcast
         and rel_in_cf.is_broadcast and modified_nodes.is_broadcast
     )
     if shuffle_mode:
-        # backfill windows: every membership filter below becomes a
-        # multi-stage shuffle join, and the new snapshot feeds ~4 of
-        # them — pin it once instead of replaying the delete+insert
-        # lineage per consumer (which also nests the lazy plan past
-        # serializable depth). Minutely windows keep the pure-lazy
-        # plan: their filters are single map stages and re-running a
-        # map beats paying a snapshot-sized materialize.
-        nodes2 = nodes2.materialize()
-        ways2 = ways2.materialize()
-        relations2 = relations2.materialize()
+        _pin_snapshots()
 
     # impact closure on the NEW snapshot (geometry of unchanged ways/
     # relations referencing changed nodes must be recomputed)
     ways_geo = closure.ways_to_update_geometry(
         ways2, modified_nodes, way_in_cf, limit=BL
     )
+    _ensure_pinned_for(ways_geo)
     rels_geo = closure.relations_to_update_geometry(
         relations2, modified_nodes, ways_geo.union(way_in_cf), rel_in_cf,
         limit=BL,
@@ -217,6 +235,7 @@ def apply_update(
     touched_rels = rels_geo.union(
         _keys_of(merged, "relation", ("create", "modify"), BL)
     )
+    _ensure_pinned_for(touched_ways, touched_rels)
 
     # relation members (J5): node refs need locations, way refs need
     # centroids — so the centroid-target way set is touched ways PLUS
@@ -225,10 +244,16 @@ def apply_update(
         relations2, touched_rels, limit=BL
     )
     centroid_ways = touched_ways.union(rel_way_refs)
+    _ensure_pinned_for(centroid_ways)
 
     member_nodes = closure.way_member_nodes(ways2, centroid_ways, limit=BL)
     need_nodes = member_nodes.union(rel_node_refs)
-    locs = closure.node_locations(nodes2, need_nodes, limit=BL)  # (id, lon, lat)
+    _ensure_pinned_for(need_nodes)
+    # pin: locs feeds the way-point join AND the relation node-member
+    # join — diff-scale (member nodes of touched ways + rel node refs)
+    locs = closure.node_locations(
+        nodes2, need_nodes, limit=BL
+    ).materialize()  # (id, lon, lat)
 
     exploded = closure.explode_way_refs(
         closure.semi_join(ways2, "id", centroid_ways, schema=ways_sch)
@@ -297,7 +322,9 @@ def apply_update(
     way_cent = joins.partitioned_map(
         wloc.select_columns(["way_id", "pos", "lon", "lat"]),
         ["way_id"], lambda df: _seg_stats(df, "way_id"), num_partitions=16,
-    )  # (way_id, centroid, envelope) for every centroid-target way
+    ).materialize()
+    # (way_id, centroid, envelope) for every centroid-target way —
+    # pinned: consumed by way_delta AND the relation way-member join
 
     def _delta_rows(kind: str, id_col: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -330,9 +357,18 @@ def apply_update(
     # node member contributes its location and a way member its
     # centroid; members of type relation are skipped (J4 disabled in
     # the reference too)
+    # the touched-relations slice and its member explode are both
+    # multi-consumer (rel_touched: member explode + multipolygon
+    # filter; rel_mem: node/way/outer member splits) — pin them so
+    # the snapshot-scale relations2 filter lineage executes once,
+    # not once per consumer (both are diff-scale, so the pin is cheap
+    # even for minutely windows)
+    rel_touched = closure.semi_join(
+        relations2, "id", touched_rels, schema=rels_sch
+    ).materialize()
     rel_mem = closure.explode_relation_members(
-        closure.semi_join(relations2, "id", touched_rels, schema=rels_sch)
-    )  # (rel_id, ref, type, role, pos)
+        rel_touched
+    ).materialize()  # (rel_id, ref, type, role, pos)
     node_mem = rel_mem.map_batches(
         lambda b: b.filter(pc.equal(b["type"], "node")), batch_format="pyarrow"
     )
@@ -351,7 +387,9 @@ def apply_update(
         left_schema=_MEM, right_schema=_LOCS,
     ).select_columns(["rel_id", "pos", "lon", "lat"]).map_batches(
         _point_extents, batch_format="pyarrow"
-    )
+    ).materialize()
+    # pinned: feeds the relation centroid pass AND the hull source —
+    # without the pin the node-member x locations shuffle runs twice
     way_pts = joins.hash_join(
         way_mem.select_columns(["rel_id", "ref", "pos"]), way_cent,
         on="ref", right_on="way_id", num_partitions=16,
@@ -374,9 +412,7 @@ def apply_update(
     # stitched from member-way node sequences, covered with cells —
     # "which tiles does this changed AREA touch", not just where its
     # centroid lands (r3)
-    mp_rels = closure.semi_join(
-        relations2, "id", touched_rels, schema=rels_sch
-    ).map_batches(
+    mp_rels = rel_touched.map_batches(
         lambda t: t.filter(pc.equal(t["type"], "multipolygon")),
         batch_format="pyarrow",
     )

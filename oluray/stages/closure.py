@@ -159,7 +159,17 @@ class KeySet:
     def union(self, other: "KeySet") -> "KeySet":
         limit = max(self.limit, other.limit)
         if self.is_broadcast and other.is_broadcast:
-            return KeySet(arr=np.union1d(self.arr, other.arr), limit=limit)
+            merged = np.union1d(self.arr, other.arr)
+            if len(merged) <= limit:
+                return KeySet(arr=merged, limit=limit)
+            # re-probe: two just-under-limit operands can merge to ~2x
+            # the broadcast budget — demote to a dataset-backed set so
+            # downstream filters take the shuffle path instead of
+            # ray.put-ing an oversized driver array per filter
+            ds = ray.data.from_arrow(
+                pa.table({"__key": pa.array(merged, pa.int64())})
+            )
+            return KeySet(ds=ds, col="__key", count=len(merged), limit=limit)
         merged = self.key_dataset().union(other.key_dataset())
         return distinct_keys(merged, "__key", limit=limit)
 

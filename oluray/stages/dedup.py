@@ -186,8 +186,9 @@ def _batch_signatures(texts, shingle_k: int, n_perm: int) -> np.ndarray:
 def _fold_bands(sigs: np.ndarray, bands: int) -> np.ndarray:
     """(ndocs, n_perm) signatures -> (ndocs, bands) band hashes
     (vectorized FNV-style mod-2^64 fold over each band's rows,
-    masked to 61 bits so the composite hot-bucket key
-    band_id*2^50 + band_hash stays collision-checked the same way)."""
+    masked to 50 bits — load-bearing: the composite hot-bucket key
+    band_id*2^50 + band_hash is collision-free across bands ONLY
+    while band_hash < 2^50)."""
     ndocs, n_perm = sigs.shape
     rpb = n_perm // bands
     folded = np.zeros((ndocs, bands), dtype=np.uint64)
@@ -854,7 +855,13 @@ def ngram_jaccard_pairs(docs, n: int = 6, threshold_e6: int = 150000,
              "gram": np.concatenate([np.asarray(g, dtype=object) for g in grams_out])}
         )
 
-    gram_rows = docs.map_batches(explode, batch_format="pandas", batch_size=512)
+    # pin: gram_rows feeds BOTH the per-doc counts and the pair
+    # partials, and counts is itself joined twice (j1/j2) — without
+    # the pins each consumer replays the corpus-wide gram explode
+    # (the dominant cost), ~4x total
+    gram_rows = docs.map_batches(
+        explode, batch_format="pandas", batch_size=512
+    ).materialize()
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("doc_id", as_index=False).size()
@@ -866,7 +873,7 @@ def ngram_jaccard_pairs(docs, n: int = 6, threshold_e6: int = 150000,
     counts = joins.grouped_agg(
         gram_rows, ["doc_id"], count_total, num_partitions=num_partitions,
         combine_fn=count_partial, pre_repartition=False,
-    )
+    ).materialize()  # one row per doc; consumed by both hash joins
 
     def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
         m = df.merge(df, on="gram")
@@ -885,9 +892,12 @@ def ngram_jaccard_pairs(docs, n: int = 6, threshold_e6: int = 150000,
         g = df.groupby(["doc_a", "doc_b"], as_index=False)["c"].sum()
         return g.rename(columns={"c": "n_inter"})
 
+    # partials is a groupby/shuffle output whose block count may have
+    # collapsed — keep the default pre-repartition (partitioned_map's
+    # documented rule: False is only safe for map/read-only lineages)
     inter = joins.grouped_agg(
         partials, ["doc_a", "doc_b"], inter_total,
-        num_partitions=num_partitions, combine_fn=None, pre_repartition=False,
+        num_partitions=num_partitions, combine_fn=None,
     )
 
     _INTER = pa.schema(
