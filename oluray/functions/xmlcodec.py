@@ -59,6 +59,14 @@ def xml_encode_series(s):
     return s
 
 
+def xml_decode_series(s):
+    """Vectorized pandas variant of `xml_decode` (same entity order:
+    `&amp;` last, so double-encoded input decodes exactly one layer)."""
+    for ent, ch in _DECODE:
+        s = s.str.replace(ent, ch, regex=False)
+    return s
+
+
 # ---------------------------------------------------------------------------
 # WKT point (the reference's geometry literal format)
 # ---------------------------------------------------------------------------

@@ -753,6 +753,55 @@ def q_sessionize(sf_dir: str):
                                  pre_repartition=False)  # map-lineage input
 
 
+def q_ttl_filter(sf_dir: str):
+    """S8/M10-M12/ST2 (the reference's TTL triple layer,
+    `src/util/TtlHelper.cpp` + `filterRelevantTriples` in
+    `src/osm/OsmChangeHandler.cpp:595-656`): synthesize an
+    osm2rdf-shaped TTL line stream from the documents table, genuinely
+    parse it back with the vectorized triple splitter, and run the
+    order-free relevant-triple filter against modulo-derived insert id
+    sets. The oracle constructs the kept (s, p, o) set directly in
+    SQL, so the Ray side must round-trip every line through
+    emit -> regex parse -> classify -> semi-filter (incl. the XML
+    encode/decode of osmkey: literals) to agree."""
+    from oluray.functions import ttl as ttlf
+    from oluray.functions.xmlcodec import xml_encode_series
+    from oluray.stages import ttl as ttls
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = xml_encode_series(t["source"].to_pandas()).to_numpy(dtype=object)
+        lon = (ids % 360).astype(np.float64) - 180.0 + 0.25
+        lat = (ids % 170).astype(np.float64) - 85.0 + 0.25
+        arrs = ttlf.element_lines("node", ids, lon=lon, lat=lat,
+                                  tags={"source": enc})
+        way = ids[ids % 10 == 0]
+        if len(way):
+            arrs.extend(ttlf.element_lines("way", way))
+            arrs.append(ttlf.way_member_lines(way, way))
+        arrs = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                for a in arrs]
+        return pa.table({"line": pa.concat_arrays(arrs)})
+
+    lines = docs.map_batches(emit, batch_format="pyarrow")
+    triples = ttls.parse_triples(lines)
+
+    def pick(mod: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({"doc_id": pa.array(ids[ids % mod == 0], pa.int64())})
+        return fn
+
+    node_keys = closure.distinct_keys(
+        docs.map_batches(pick(3), batch_format="pyarrow"), "doc_id")
+    way_keys = closure.distinct_keys(
+        docs.map_batches(pick(30), batch_format="pyarrow"), "doc_id")
+    return ttls.filter_relevant_triples(
+        triples, node_keys, way_keys, np.array([], dtype=np.int64))
+
+
 def q_cosine_pairs(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (rows-only; LSH-bucketed
     with exact within-bucket verify)."""
@@ -1071,6 +1120,31 @@ ORACLE: dict[str, str] = {
             FROM events))
         GROUP BY user_id, sess
     """,
+    # the SQL side builds the kept triple set directly; the Ray side
+    # must emit, regex-parse and semi-filter the full TTL line stream
+    "ttl_filter": """
+        WITH ins AS (
+          SELECT doc_id, source,
+                 (doc_id % 360) - 180 + 0.25 AS lon,
+                 (doc_id % 170) - 85 + 0.25 AS lat
+          FROM documents WHERE doc_id % 3 = 0)
+        SELECT 'osmnode:' || doc_id AS s, 'rdf:type' AS p, 'osm:node' AS o FROM ins
+        UNION ALL
+        SELECT 'osmnode:' || doc_id, 'osmkey:source', '"' || source || '"' FROM ins
+        UNION ALL
+        SELECT 'osmnode:' || doc_id, 'geo:hasGeometry',
+               'osm2rdfgeom:osm_node_' || doc_id FROM ins
+        UNION ALL
+        SELECT 'osm2rdfgeom:osm_node_' || doc_id, 'geo:asWKT',
+               '"POINT(' || printf('%.7f', lon) || ' ' || printf('%.7f', lat)
+               || ')"^^geo:wktLiteral' FROM ins
+        UNION ALL
+        SELECT 'osmway:' || doc_id, 'rdf:type', 'osm:way'
+        FROM documents WHERE doc_id % 30 = 0
+        UNION ALL
+        SELECT 'osmway:' || doc_id, 'osmway:node', 'osmnode:' || doc_id
+        FROM documents WHERE doc_id % 30 = 0
+    """,
 }
 
 QUERIES = {
@@ -1103,6 +1177,7 @@ QUERIES = {
     "window_hourly": q_window_hourly,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
+    "ttl_filter": q_ttl_filter,
     # rows-only (no SQL-expressible oracle): sketches, LSH, image ops
     "fingerprint": q_fingerprint,
     "simhash": q_simhash,
