@@ -987,6 +987,109 @@ def _rel_envelope_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Corpus graph / sampling / vocabulary operators (round 3 wave)
+# ---------------------------------------------------------------------------
+
+
+def q_cc_labels(sf_dir: str):
+    """Distributed connected components, oracle-verified: build a
+    user-interaction graph (consecutive events on the same `props`
+    stream within 3600 s link their users) and label every endpoint
+    with its component's minimum user id via `joins.
+    connected_components` — the hash-min label-propagation loop that
+    replaced round 2's driver union-find. The DuckDB oracle computes
+    the same labels with a recursive reachability CTE, upgrading the
+    CC machinery from rows-only to hash-exact verification."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "props"])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["props", "ts", "event_id"], kind="mergesort")
+        nxt_user = df["user_id"].shift(-1)
+        same = df["props"].eq(df["props"].shift(-1))
+        gap_ok = (df["ts"].shift(-1) - df["ts"]) <= pd.Timedelta(seconds=3600)
+        keep = same & gap_ok & df["user_id"].ne(nxt_user)
+        return pd.DataFrame(
+            {"a": df["user_id"][keep].astype("int64"),
+             "b": nxt_user[keep].astype("int64")}
+        ).reset_index(drop=True)
+
+    e = joins.partitioned_map(ev, ["props"], edges, num_partitions=32,
+                              pre_repartition=False)
+    return joins.connected_components(e, "a", "b", num_partitions=32)
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (q25/q50/q75 picked at index
+    floor(q*(n-1)) of the sorted values) over events.value by
+    event_type. Holistic aggregate: one hash partition per group key,
+    one vectorized sort per group — the same one-group-fits-a-worker
+    assumption DuckDB's list() oracle makes. For group values beyond
+    worker memory the scale path is a distributed select
+    (histogram-refine), not implemented here."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def quant(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy(np.float64))
+            n = len(v)
+            idx = [int(np.floor(q * (n - 1))) for q in (0.25, 0.5, 0.75)]
+            rows.append((et, n, v[idx[0]], v[idx[1]], v[idx[2]]))
+        return pd.DataFrame(rows, columns=["event_type", "n", "q25", "q50", "q75"])
+
+    return joins.grouped_agg(ev, ["event_type"], quant, num_partitions=8,
+                             pre_repartition=False)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: the 10 documents per `lang`
+    stratum with the smallest multiplicative hash h = (doc_id *
+    2654435761) mod 2^32 (Knuth) — a reproducible uniform sample both
+    engines can rank identically. Per-block top-10 combiner bounds the
+    shuffle at 10 rows per (block, lang)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    K = 10
+
+    def with_h(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["h"] = (df["doc_id"].to_numpy(np.int64) * 2654435761) % 4294967296
+        return df
+
+    def topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return part.groupby("lang", sort=False).head(K).reset_index(drop=True)
+
+    return joins.grouped_agg(docs.map_batches(with_h, batch_format="pandas"),
+                             ["lang"], topk, num_partitions=8,
+                             combine_fn=topk, pre_repartition=False)
+
+
+def q_vocab_df(sf_dir: str):
+    """Corpus vocabulary with document + collection frequency
+    (`text.vocab_stats`): per-block (term, df, cf) combiner, term-hash
+    shuffle of count rows only."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.vocab_stats(docs, num_partitions=32)
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 terms per document by tf/df (monotone tf-idf surrogate
+    with bit-reproducible float ordering), term tie-break
+    (`text.tfidf_topk`): map-side tf ⋈ hash-partitioned df, then a
+    doc-partitioned top-k."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.tfidf_topk(docs, k=3, num_partitions=32)
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark-contamination scan (`text.contamination`): distinct
+    word-trigram shingles of train docs semi-joined against the eval
+    split's shingle set (doc_id % 97 == 0), counted per train doc."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.contamination(docs, eval_mod=97, num_partitions=32)
+
+
 ORACLE: dict[str, str] = {
     "latest_wins": """
         SELECT user_id, event_id, event_type FROM (
@@ -1145,6 +1248,82 @@ ORACLE: dict[str, str] = {
         SELECT 'osmway:' || doc_id, 'osmway:node', 'osmnode:' || doc_id
         FROM documents WHERE doc_id % 30 = 0
     """,
+    # recursive reachability closure; label = min node id per component
+    "cc_labels": """
+        WITH RECURSIVE raw AS (
+          SELECT user_id AS a,
+                 lead(user_id) OVER (PARTITION BY props
+                                     ORDER BY ts, event_id) AS b,
+                 lead(ts) OVER (PARTITION BY props ORDER BY ts, event_id)
+                   - ts AS gap
+          FROM events),
+        edges AS (
+          SELECT a, b FROM raw
+          WHERE b IS NOT NULL AND gap <= INTERVAL 3600 SECOND AND a <> b),
+        sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        walk AS (
+          SELECT a AS node, b AS reach FROM sym
+          UNION
+          SELECT w.node, s.b FROM walk w JOIN sym s ON s.a = w.reach
+          WHERE s.b <> w.node)
+        SELECT node, least(node, min(reach)) AS label
+        FROM walk GROUP BY node
+    """,
+    "group_quantiles": """
+        SELECT event_type, count(*)::BIGINT AS n,
+          list_extract(list(value ORDER BY value),
+            CAST(floor(0.25*(count(*)-1)) AS BIGINT)+1) AS q25,
+          list_extract(list(value ORDER BY value),
+            CAST(floor(0.50*(count(*)-1)) AS BIGINT)+1) AS q50,
+          list_extract(list(value ORDER BY value),
+            CAST(floor(0.75*(count(*)-1)) AS BIGINT)+1) AS q75
+        FROM events GROUP BY event_type
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 10
+    """,
+    "vocab_df": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+          FROM documents)
+        SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+               count(*)::BIGINT AS cf
+        FROM tok WHERE term <> '' GROUP BY term
+    """,
+    "tfidf_topk": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM tok WHERE term <> '' GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+               FROM tok WHERE term <> '' GROUP BY term)
+        SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)
+        QUALIFY row_number() OVER (PARTITION BY tf.doc_id
+                                   ORDER BY tf.tf::DOUBLE / df.df DESC,
+                                            tf.term) <= 3
+    """,
+    "contamination": """
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             x -> x <> '') AS ts
+          FROM documents),
+        tri AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(ts)-2, 0)),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS tri
+          FROM tok),
+        ev AS (SELECT DISTINCT tri FROM tri WHERE doc_id % 97 = 0)
+        SELECT t.doc_id, count(DISTINCT t.tri)::BIGINT AS n_shared
+        FROM tri t JOIN ev USING (tri) WHERE t.doc_id % 97 <> 0
+        GROUP BY t.doc_id
+    """,
 }
 
 QUERIES = {
@@ -1178,6 +1357,12 @@ QUERIES = {
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "ttl_filter": q_ttl_filter,
+    "cc_labels": q_cc_labels,
+    "group_quantiles": q_group_quantiles,
+    "stratified_sample": q_stratified_sample,
+    "vocab_df": q_vocab_df,
+    "tfidf_topk": q_tfidf_topk,
+    "contamination": q_contamination,
     # rows-only (no SQL-expressible oracle): sketches, LSH, image ops
     "fingerprint": q_fingerprint,
     "simhash": q_simhash,

@@ -212,3 +212,177 @@ class Fingerprint:
             fps[i] = acc
             pos += c
         return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fps})
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale vocabulary / TF-IDF / contamination operators
+# ---------------------------------------------------------------------------
+#
+# Tokenization convention shared with the SQL oracles: lowercase, then
+# split on runs of non-[a-z]; empty fields dropped. Identical to
+# DuckDB's `string_split_regex(lower(text), '[^a-z]+')` + empty filter.
+#
+# Scale assumption (documented, load-bearing): `docs` is one row per
+# document with map/read lineage, so a document's tokens never straddle
+# a block boundary — per-block tf / per-doc distinct are globally
+# correct WITHOUT a doc_id shuffle. Only term-keyed aggregates
+# (df/cf) and the term join shuffle, and they move (term, count)
+# pairs, never text.
+
+_TERM_SPLIT = r"[^a-z]+"
+
+
+def _explode_terms(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, term) rows, one per token occurrence, order preserved
+    (C-level split + explode — no Python loop over rows)."""
+    s = batch["text"].str.lower().str.split(_TERM_SPLIT, regex=True)
+    out = pd.DataFrame({"doc_id": batch["doc_id"], "term": s}).explode(
+        "term", ignore_index=True
+    )
+    out = out[(out["term"].notna()) & (out["term"] != "")]
+    return out.reset_index(drop=True)
+
+
+def explode_terms(docs) -> "ray.data.Dataset":
+    """Token stream Dataset (doc_id, term) — the shared front of the
+    vocabulary / tf-idf / contamination family."""
+    return docs.map_batches(_explode_terms, batch_format="pandas")
+
+
+def vocab_stats(docs, num_partitions: int = 64) -> "ray.data.Dataset":
+    """(term, df, cf): document frequency + collection frequency.
+
+    Per-block combiner emits (term, df_partial, cf_partial) — correct
+    because whole documents live in one block (see module note) — so
+    the term shuffle moves one row per distinct term per block, never
+    the token stream."""
+    from oluray.stages import joins
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        tok = _explode_terms(batch)
+        g = tok.groupby("term", sort=False)
+        cf = g.size()
+        df = tok.drop_duplicates(["doc_id", "term"]).groupby(
+            "term", sort=False
+        ).size()
+        return pd.DataFrame(
+            {"term": cf.index, "df": df.reindex(cf.index).to_numpy(),
+             "cf": cf.to_numpy()}
+        )
+
+    def agg(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("term", as_index=False)[["df", "cf"]].sum()
+        g["df"] = g["df"].astype("int64")
+        g["cf"] = g["cf"].astype("int64")
+        return g
+
+    return joins.grouped_agg(docs.map_batches(combine, batch_format="pandas"),
+                             ["term"], agg, num_partitions=num_partitions,
+                             pre_repartition=False)
+
+
+def doc_tf(docs) -> "ray.data.Dataset":
+    """(doc_id, term, tf) — computed entirely map-side (doc-in-block
+    invariant), no shuffle."""
+
+    def tf(batch: pd.DataFrame) -> pd.DataFrame:
+        tok = _explode_terms(batch)
+        g = tok.groupby(["doc_id", "term"], sort=False, as_index=False).size()
+        g = g.rename(columns={"size": "tf"})
+        g["tf"] = g["tf"].astype("int64")
+        return g
+
+    return docs.map_batches(tf, batch_format="pandas")
+
+
+def tfidf_topk(docs, k: int = 3, num_partitions: int = 64) -> "ray.data.Dataset":
+    """Top-k terms per document ranked by tf/df descending (a
+    monotone tf-idf surrogate whose float ordering is reproducible
+    bit-for-bit across engines — one IEEE division, no libm), term
+    ascending on ties. Output (doc_id, term, tf, df) — integers only.
+
+    Shape: map-side tf ⋈ (hash-partitioned) df by term, then a
+    doc_id-partitioned top-k. Both shuffles move (ids, term, counts)
+    rows; document text never leaves the first map."""
+    from oluray.stages import joins
+
+    tf = doc_tf(docs)
+    df = vocab_stats(docs, num_partitions).drop_columns(["cf"])
+    joined = joins.hash_join(tf, df, on="term", num_partitions=num_partitions)
+
+    def topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy(deep=False)
+        part["score"] = part["tf"].to_numpy(np.float64) / part["df"].to_numpy(
+            np.float64
+        )
+        part = part.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = part.groupby("doc_id", sort=False).head(k)
+        return out[["doc_id", "term", "tf", "df"]].reset_index(drop=True)
+
+    return joins.partitioned_map(joined, ["doc_id"], topk,
+                                 num_partitions=num_partitions)
+
+
+def doc_trigrams(docs) -> "ray.data.Dataset":
+    """Distinct word-trigram shingles per document: (doc_id, tri).
+    Vectorized shift-concat over the exploded token stream (tokens of
+    one doc are contiguous post-explode); distinct is per-block-final
+    by the doc-in-block invariant."""
+
+    def tri(batch: pd.DataFrame) -> pd.DataFrame:
+        tok = _explode_terms(batch)
+        if len(tok) < 3:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "tri": pd.Series([], dtype="object")})
+        t0 = tok["term"].to_numpy(dtype=object)
+        d = tok["doc_id"].to_numpy()
+        ok = d[:-2] == d[2:]
+        tri = t0[:-2][ok] + " " + t0[1:-1][ok] + " " + t0[2:][ok]
+        out = pd.DataFrame({"doc_id": d[:-2][ok], "tri": tri})
+        return out.drop_duplicates(ignore_index=True)
+
+    return docs.map_batches(tri, batch_format="pandas")
+
+
+def contamination(docs, eval_mod: int = 97,
+                  num_partitions: int = 64) -> "ray.data.Dataset":
+    """Benchmark-contamination scan: for every train document (doc_id
+    % eval_mod != 0), the number of its distinct word trigrams that
+    appear in ANY eval document (doc_id % eval_mod == 0). Rows with
+    zero overlap are omitted (semi-join shape).
+
+    Scale: shingles are hash-partitioned by trigram for the semi join
+    (eval shingle set is a Dataset, never a driver broadcast), then
+    per-doc counts are a combiner-summed grouped aggregate — the
+    only things shuffled are (doc_id, tri) key rows and partial
+    counts."""
+    from oluray.stages import joins
+
+    tri = doc_trigrams(docs)
+
+    def is_eval(df: pd.DataFrame, flip: bool) -> pd.DataFrame:
+        m = (df["doc_id"] % eval_mod == 0)
+        return df[~m if flip else m]
+
+    ev = joins.distinct(
+        tri.map_batches(lambda d: is_eval(d, False), batch_format="pandas"),
+        ["tri"], num_partitions,
+    )
+    train = tri.map_batches(lambda d: is_eval(d, True), batch_format="pandas")
+    hit = joins.semi_join(train, ev, on="tri", num_partitions=num_partitions)
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)["n_shared"].sum()
+        g["n_shared"] = g["n_shared"].astype("int64")
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False).size().rename("n_shared")
+        return g.reset_index()
+
+    return joins.grouped_agg(hit, ["doc_id"], count_part,
+                             num_partitions=num_partitions,
+                             combine_fn=combine, pre_repartition=False)
