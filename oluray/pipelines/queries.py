@@ -1025,8 +1025,8 @@ def q_group_quantiles(sf_dir: str):
     event_type. Holistic aggregate: one hash partition per group key,
     one vectorized sort per group — the same one-group-fits-a-worker
     assumption DuckDB's list() oracle makes. For group values beyond
-    worker memory the scale path is a distributed select
-    (histogram-refine), not implemented here."""
+    worker memory the scale path is `q_group_quantiles_dist`
+    (distributed histogram-refine selection, same oracle)."""
     ev = _read(sf_dir, "events", ["event_type", "value"])
 
     def quant(part: pd.DataFrame) -> pd.DataFrame:
@@ -1040,6 +1040,28 @@ def q_group_quantiles(sf_dir: str):
 
     return joins.grouped_agg(ev, ["event_type"], quant, num_partitions=8,
                              pre_repartition=False)
+
+
+def q_group_quantiles_dist(sf_dir: str):
+    """The SAME exact quantiles as `q_group_quantiles`, computed by
+    the scale path: `quantiles.group_quantiles_exact` — iterative
+    distributed histogram-refine selection where no worker ever holds
+    a group's values (tiny collect_threshold forces real refine
+    rounds + the distributed final pick even at sf0.01). Verifying it
+    against the identical DuckDB oracle proves the selection loop
+    exact, not approximate."""
+    from oluray.stages.quantiles import group_quantiles_exact
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    longf = group_quantiles_exact(
+        ev, "event_type", "value", qs=(0.25, 0.5, 0.75),
+        branch=16, collect_threshold=32, num_partitions=8,
+    )
+    wide = longf.pivot_table(
+        index=["event_type", "n"], columns="q", values="value"
+    ).reset_index()
+    wide.columns = ["event_type", "n", "q25", "q50", "q75"]
+    return wide
 
 
 def q_stratified_sample(sf_dir: str):
@@ -1279,6 +1301,16 @@ ORACLE: dict[str, str] = {
             CAST(floor(0.75*(count(*)-1)) AS BIGINT)+1) AS q75
         FROM events GROUP BY event_type
     """,
+    "group_quantiles_dist": """
+        SELECT event_type, count(*)::BIGINT AS n,
+          list_extract(list(value ORDER BY value),
+            CAST(floor(0.25*(count(*)-1)) AS BIGINT)+1) AS q25,
+          list_extract(list(value ORDER BY value),
+            CAST(floor(0.50*(count(*)-1)) AS BIGINT)+1) AS q50,
+          list_extract(list(value ORDER BY value),
+            CAST(floor(0.75*(count(*)-1)) AS BIGINT)+1) AS q75
+        FROM events GROUP BY event_type
+    """,
     "stratified_sample": """
         SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h
         FROM documents
@@ -1359,6 +1391,7 @@ QUERIES = {
     "ttl_filter": q_ttl_filter,
     "cc_labels": q_cc_labels,
     "group_quantiles": q_group_quantiles,
+    "group_quantiles_dist": q_group_quantiles_dist,
     "stratified_sample": q_stratified_sample,
     "vocab_df": q_vocab_df,
     "tfidf_topk": q_tfidf_topk,

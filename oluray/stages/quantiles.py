@@ -1,0 +1,232 @@
+"""Exact distributed per-group quantile selection (histogram refine).
+
+`queries.q_group_quantiles` computes holistic per-group quantiles by
+shipping each group's values to one worker — correct until one group's
+values outgrow a worker. THIS module is the documented scale path: an
+iterative distributed selection that finds the EXACT rank-r element of
+each group's sorted multiset without any worker (or the driver) ever
+holding a group's values.
+
+Algorithm (classic parallel k-th selection, cf. the median-of-medians
+/ histogram bisection family):
+
+  0. one pass: per group (n, min, max)  ->  per (group, q) state
+     ``rank = floor(q*(n-1))``, interval [lo, hi], cnt = n.
+  1. refine rounds, all states at once: every block merges its rows
+     with the ACTIVE state table (small: groups x qs rows, shipped via
+     ``ray.put``), buckets in-interval values into ``branch`` equal
+     slices, and emits sparse (state, bucket, count, vmin, vmax) rows;
+     a hash-partitioned sum/min/max picks the bucket containing the
+     target rank. The new interval SNAPS to [vmin, vmax] of that
+     bucket — actual data values — so every round either terminates
+     the state (vmin == vmax: the answer) or strictly shrinks the
+     candidate multiset; heavy duplicates collapse in one snap instead
+     of defeating float bisection.
+  2. states whose candidate count drops below ``collect_threshold``
+     skip further scans: one final pass semi-joins the in-interval
+     values, shuffles them by state (each now provably small), and a
+     per-partition sort picks the exact rank.
+
+Scale notes (the load-bearing bounds):
+  - the driver/broadcast state is O(groups x qs) — key-cardinality
+    bounded, NEVER data bounded (same invariant as the closure id
+    broadcasts; a million groups x 3 quantiles is ~100 MB of float64s,
+    fine; beyond that, shard the state table by group hash).
+  - each refine round is one streaming scan emitting at most
+    (states x branch) count rows per block pre-combine; the input is
+    re-read per round (pruned columns), never materialized.
+  - candidate counts shrink ~branch-fold per round, so rounds =
+    O(log_branch n) — 3 scans take 10^12-row groups to a 64k collect.
+
+Reference anchor: the reference's only aggregates are COUNT/MAX
+(`src/osm/OsmDataFetcher.cpp:214-260`); this operator is part of the
+beyond-reference training-data family (corpus score distributions,
+length percentiles) where exactness lets a DuckDB oracle verify the
+distributed machinery hash-for-hash.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import ray
+
+from oluray.stages import joins
+
+__all__ = ["group_quantiles_exact"]
+
+
+def _phase0(ds, key: str, val: str, num_partitions: int) -> pd.DataFrame:
+    """Per-group (n, mn, mx) — combiner-bounded grouped aggregate.
+    The RESULT is groups-sized (bounded), so collecting it to build
+    the state table is within the broadcast invariant."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)[val]
+        out = g.agg(n="size", mn="min", mx="max").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def agg(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(key, sort=False)
+        out = pd.DataFrame(
+            {
+                "n": g["n"].sum().astype("int64"),
+                "mn": g["mn"].min(),
+                "mx": g["mx"].max(),
+            }
+        )
+        return out.reset_index()
+
+    return joins.grouped_agg(
+        ds, [key], agg, num_partitions=num_partitions,
+        combine_fn=combine, pre_repartition=False,
+    ).to_pandas()
+
+
+def group_quantiles_exact(
+    ds: "ray.data.Dataset",
+    key: str,
+    val: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    branch: int = 256,
+    collect_threshold: int = 65536,
+    max_rounds: int = 24,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Exact discrete quantiles per group: for each q in `qs`, the
+    element at index ``floor(q*(n-1))`` of the group's sorted values
+    (identical to DuckDB ``list_extract(list(v ORDER BY v), ...)``).
+
+    Returns a pandas DataFrame (key, q, n, value) — groups x qs rows,
+    a bounded result by construction.
+    """
+    qs = list(qs)
+    stats = _phase0(ds, key, val, num_partitions)
+    if len(stats) == 0:
+        return pd.DataFrame({key: [], "q": [], "n": [], "value": []})
+
+    # state: one row per (group, q)
+    st = stats.loc[stats.index.repeat(len(qs))].reset_index(drop=True)
+    st["q"] = np.tile(np.asarray(qs, np.float64), len(stats))
+    st["sid"] = np.arange(len(st), dtype=np.int64)
+    st["rank"] = np.floor(st["q"].to_numpy() * (st["n"].to_numpy() - 1)).astype(np.int64)
+    st["lo"] = st["mn"].astype(np.float64)
+    st["hi"] = st["mx"].astype(np.float64)
+    st["cnt"] = st["n"].astype("int64")
+    st["value"] = np.where(st["lo"] == st["hi"], st["lo"], np.nan)
+    st["done"] = st["lo"] == st["hi"]
+
+    B = int(branch)
+
+    def refine_pass(active: pd.DataFrame) -> pd.DataFrame:
+        """One scan: sparse per-(sid, bucket) count/min/max rows,
+        reduced by a hash-partitioned grouped aggregate."""
+        state_ref = ray.put(active[[key, "sid", "lo", "hi"]])
+
+        def hist(df: pd.DataFrame, state_ref=state_ref) -> pd.DataFrame:
+            stt = ray.get(state_ref)
+            m = df[[key, val]].merge(stt, on=key)
+            if len(m) == 0:
+                return pd.DataFrame(
+                    {"sid": pd.Series([], dtype="int64"),
+                     "bucket": pd.Series([], dtype="int64"),
+                     "c": pd.Series([], dtype="int64"),
+                     "vmin": pd.Series([], dtype="float64"),
+                     "vmax": pd.Series([], dtype="float64")}
+                )
+            v = m[val].to_numpy(np.float64)
+            lo = m["lo"].to_numpy()
+            hi = m["hi"].to_numpy()
+            ok = (v >= lo) & (v <= hi)
+            m = m[ok]
+            v, lo, hi = v[ok], lo[ok], hi[ok]
+            # bucket 0..B-1; width > 0 by construction (lo<hi active)
+            b = np.floor((v - lo) * (B / (hi - lo))).astype(np.int64)
+            np.clip(b, 0, B - 1, out=b)
+            out = pd.DataFrame({"sid": m["sid"].to_numpy(), "bucket": b, "v": v})
+            g = out.groupby(["sid", "bucket"], sort=False)["v"]
+            res = g.agg(c="size", vmin="min", vmax="max").reset_index()
+            res["c"] = res["c"].astype("int64")
+            return res
+
+        def agg(part: pd.DataFrame) -> pd.DataFrame:
+            g = part.groupby(["sid", "bucket"], sort=False)
+            out = pd.DataFrame(
+                {
+                    "c": g["c"].sum().astype("int64"),
+                    "vmin": g["vmin"].min(),
+                    "vmax": g["vmax"].max(),
+                }
+            )
+            return out.reset_index()
+
+        # `hist` is both the per-block combiner and the per-partition
+        # unit; the shuffle moves <= states x branch rows per block
+        return joins.grouped_agg(
+            ds.map_batches(hist, batch_format="pandas"),
+            ["sid"], agg, num_partitions=num_partitions,
+            pre_repartition=False,
+        ).to_pandas()
+
+    for _ in range(max_rounds):
+        active = st[(~st["done"]) & (st["cnt"] > collect_threshold)]
+        if len(active) == 0:
+            break
+        h = refine_pass(active)
+        h = h.sort_values(["sid", "bucket"], kind="mergesort")
+        # per sid: cumulative counts -> bucket holding `rank`
+        for sid, grp in h.groupby("sid", sort=False):
+            i = st.index[st["sid"] == sid][0]
+            r = int(st.at[i, "rank"])
+            cum = grp["c"].to_numpy().cumsum()
+            j = int(np.searchsorted(cum, r + 1))
+            st.at[i, "rank"] = r - (int(cum[j - 1]) if j else 0)
+            st.at[i, "cnt"] = int(grp["c"].iloc[j])
+            vmin, vmax = grp["vmin"].iloc[j], grp["vmax"].iloc[j]
+            st.at[i, "lo"] = vmin
+            st.at[i, "hi"] = vmax
+            if vmin == vmax:
+                st.at[i, "value"] = vmin
+                st.at[i, "done"] = True
+
+    # final collect: every unresolved state is now small — filter its
+    # in-interval values, shuffle by sid, sort-and-pick per partition
+    rest = st[~st["done"]]
+    if len(rest) > 0:
+        state_ref = ray.put(rest[[key, "sid", "lo", "hi"]])
+        ranks = dict(zip(rest["sid"].astype(int), rest["rank"].astype(int)))
+
+        def pick_rows(df: pd.DataFrame, state_ref=state_ref) -> pd.DataFrame:
+            stt = ray.get(state_ref)
+            m = df[[key, val]].merge(stt, on=key)
+            v = m[val].to_numpy(np.float64)
+            ok = (v >= m["lo"].to_numpy()) & (v <= m["hi"].to_numpy())
+            return pd.DataFrame(
+                {"sid": m["sid"].to_numpy()[ok], "v": v[ok]}
+            )
+
+        def pick(part: pd.DataFrame, ranks=ranks) -> pd.DataFrame:
+            part = part.sort_values(["sid", "v"], kind="mergesort")
+            sids, vals = [], []
+            for sid, grp in part.groupby("sid", sort=False):
+                sids.append(sid)
+                vals.append(grp["v"].to_numpy()[ranks[int(sid)]])
+            return pd.DataFrame({"sid": np.asarray(sids, np.int64),
+                                 "value": np.asarray(vals, np.float64)})
+
+        picked = joins.partitioned_map(
+            ds.map_batches(pick_rows, batch_format="pandas"),
+            ["sid"], pick, num_partitions=num_partitions,
+            pre_repartition=False,
+        ).to_pandas()
+        vmap = dict(zip(picked["sid"].astype(int), picked["value"]))
+        for i in st.index[~st["done"]]:
+            st.at[i, "value"] = vmap[int(st.at[i, "sid"])]
+            st.at[i, "done"] = True
+
+    out = st[[key, "q", "n", "value"]].reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out
