@@ -449,3 +449,32 @@ def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
         f" + cos(radians({lat1})) * cos(radians({lat2}))"
         f" * ({s2} * {s2}), 1.0))))"
     )
+
+
+def morton_code(cell: np.ndarray) -> np.ndarray:
+    """Z-order (Morton) code of each cell: x bits on even positions,
+    y bits on odd. Sorting output by this code clusters spatially
+    adjacent cells into the same Parquet row groups / blocks — the
+    standard locality layout for tiled range scans (the reference
+    stores per-element geometry unordered and pays a full scan per
+    region query; a z-ordered sink answers it with block pruning).
+    Mirrors :func:`morton_sql` op-for-op. Mixed resolutions are fine
+    (higher bits beyond a cell's res are zero)."""
+    res, x, y = cell_decode(cell)
+    code = np.zeros_like(x)
+    rmax = int(res.max()) if len(np.atleast_1d(res)) else 0
+    for i in range(rmax):
+        code |= (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))
+    return code
+
+
+def morton_sql(x_expr: str, y_expr: str, res: int) -> str:
+    """SQL expression computing exactly :func:`morton_code` from x/y
+    grid-coordinate expressions (keep them simple column refs — the
+    expression repeats them 2*res times)."""
+    terms = [
+        f"((({x_expr} >> {i}) & 1) * {1 << (2 * i)})"
+        f" + ((({y_expr} >> {i}) & 1) * {1 << (2 * i + 1)})"
+        for i in range(res)
+    ]
+    return "(" + " + ".join(terms) + ")"

@@ -728,6 +728,181 @@ def q_asof_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "last_order"])
 
 
+def q_range_join(sf_dir: str):
+    """Interval (range) join WITHOUT an equi key: every purchase
+    event that fell inside the 60-minute window after an error event
+    — (purchase, error) pairs. Banding construction
+    (`joins.range_join`): ts → band, interval → exploded band rows,
+    one hash join on the band, post-filter. Band width = interval
+    length so right-side amplification is ≤ 2 rows per interval."""
+    HOUR_US = 3_600_000_000  # 60 min in epoch microseconds
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table(
+            {
+                "purchase_id": t["event_id"],
+                "pts": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    def errors(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "error"))
+        start = t["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "error_id": t["event_id"],
+                "w_start": start,
+                "w_end": pc.add(start, HOUR_US),
+            }
+        )
+
+    left = ev.map_batches(purchases, batch_format="pyarrow")
+    right = ev.map_batches(errors, batch_format="pyarrow")
+    out = joins.range_join(
+        left, right, ts_col="pts", start_col="w_start", end_col="w_end",
+        band=HOUR_US,
+    )
+    return out.select_columns(["purchase_id", "error_id"])
+
+
+def q_topk_per_cust(sf_dir: str):
+    """Generic distributed per-group top-k (`joins.group_topk`):
+    each customer's 3 priciest orders, ties broken by order key.
+    Per-block combiner keeps ≤k rows per (block, group) before the
+    shuffle, so the exchange never moves the full orders table."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    top = joins.group_topk(
+        orders, ["o_custkey"],
+        [("o_totalprice", False), ("o_orderkey", True)],
+        k=3, num_partitions=32,
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "o_orderkey": df["o_orderkey"],
+                "price_cents": _round_half_away(df["o_totalprice"] * 100),
+            }
+        )
+
+    return top.map_batches(fin, batch_format="pandas")
+
+
+def q_rolling_24h(sf_dir: str):
+    """Time-RANGE rolling aggregate: per event, the count and
+    cent-sum of the same user's events in [ts - 24h, ts] (SQL RANGE
+    frame incl. ts peers). Hash-partition on user, per-partition
+    sort + prefix sums + two vectorized searchsorteds over a packed
+    (segment, rel-ts) composite key — no per-user Python loop, no
+    window library."""
+    W = 24 * 3_600_000_000  # 24h in epoch us
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = _round_half_away(df["value"].to_numpy() * 100)
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.array([], dtype="int64"),
+                 "user_id": pd.array([], dtype="int64"),
+                 "w_n": pd.array([], dtype="int64"),
+                 "w_sum_cents": pd.array([], dtype="int64")}
+            )
+        seg = (df["user_id"].ne(df["user_id"].shift())).cumsum().to_numpy() - 1
+        rel = ts - ts.min()
+        # pack (segment, rel) into one sorted int64 so BOTH window
+        # bounds come from plain searchsorted; shift sized to the data
+        shift = max(int(rel.max() + W).bit_length(), 1)
+        if (int(seg.max()) << shift) >= (1 << 62):
+            raise ValueError("time span × group count overflows the "
+                             "packed rolling-window key")
+        comp = (seg << shift) | rel
+        lo = np.searchsorted(comp, (seg << shift) | np.maximum(rel - W, 0),
+                             side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "w_n": (hi - lo).astype(np.int64),
+                "w_sum_cents": csum[hi] - csum[lo],
+            }
+        )
+
+    return joins.partitioned_map(ev, ["user_id"], roll, num_partitions=32,
+                                 pre_repartition=False)  # map-lineage input
+
+
+def q_zorder_cells(sf_dir: str):
+    """Z-order (Morton) locality codes over the customer point grid
+    (`geo.morton_code`): the key the tiled sink sorts by so adjacent
+    cells land in adjacent blocks. Pure per-batch map — the sort
+    itself is exercised (order-insensitive hash can't see it) by the
+    locality pytest."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    pts = spatial.add_cell_column(_with_points(cust, "c_custkey"), CELL_RES)
+
+    def code(t: pa.Table) -> pa.Table:
+        m = geo.morton_code(t["cell"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"c_custkey": t["c_custkey"], "cell": t["cell"],
+             "morton": pa.array(m)}
+        )
+
+    return pts.map_batches(code, batch_format="pyarrow")
+
+
+def q_cell_pyramid(sf_dir: str):
+    """Hierarchical tile-pyramid rollup: per-cell point counts at res
+    12, rolled up to res 8 and 4 by REUSING the child level's counts
+    (each coarser level aggregates the level below via
+    `geo.cell_parent`, never rescanning the points — the multi-zoom
+    materialization pattern for map tiles)."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    base = spatial.add_cell_column(
+        _with_points(cust, "c_custkey"), CELL_RES
+    ).select_columns(["cell"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cells, counts = np.unique(
+            t["cell"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"cell": pa.array(cells),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    def ssum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("cell", as_index=False)["n"].sum()
+
+    # materialize each level: it is the AGGREGATED per-cell count
+    # table (bounded by distinct cells, not corpus rows) and both the
+    # union branch and the next rollup consume it — without pinning,
+    # the lazy union would re-run the full point scan once per zoom
+    level = joins.grouped_agg(
+        base.map_batches(partial, batch_format="pyarrow"),
+        ["cell"], ssum, num_partitions=32, pre_repartition=False,
+    ).materialize()
+    out = level
+    for pres in (8, 4):
+        def up(df: pd.DataFrame, pres: int = pres) -> pd.DataFrame:
+            df = df.copy(deep=False)
+            df["cell"] = geo.cell_parent(df["cell"].to_numpy(), pres)
+            return df
+
+        level = joins.grouped_agg(
+            level.map_batches(up, batch_format="pandas"),
+            ["cell"], ssum, num_partitions=16,
+        ).materialize()
+        out = out.union(level)
+    return out
+
+
 def q_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user: one row per
     session with start ts + event count. Ordered-log pattern:
@@ -952,6 +1127,32 @@ def _ann_sql() -> str:
       WHERE q.vec_id IN ({q_ids})
     ) WHERE rank <= {ANN_K}
     """
+
+
+def _zorder_sql() -> str:
+    # decode x/y from the cell id itself (bit masks — exactly the
+    # inverse of cell_encode_sql) so the morton expression repeats
+    # only simple column refs
+    lon, lat = geo.derive_lonlat_sql("c_custkey")
+    cell = geo.cell_encode_sql(lon, lat, CELL_RES)
+    morton = geo.morton_sql("x", "y", CELL_RES)
+    ymask = geo.Y_SHIFT - 1
+    return f"""
+    SELECT c_custkey, cell, {morton} AS morton FROM (
+      SELECT c_custkey, cell, cell & {ymask} AS x,
+             (cell >> 29) & {ymask} AS y
+      FROM (SELECT c_custkey, {cell} AS cell FROM customer))
+    """
+
+
+def _pyramid_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("c_custkey")
+    parts = [
+        f"SELECT {geo.cell_encode_sql(lon, lat, r)} AS cell,"
+        f" count(*)::BIGINT AS n FROM customer GROUP BY 1"
+        for r in (CELL_RES, 8, 4)
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def _cell_sql() -> str:
@@ -1222,6 +1423,34 @@ ORACLE: dict[str, str] = {
                round(sum(value) * 100)::BIGINT AS sum_value_cents
         FROM events GROUP BY user_id, date_trunc('hour', ts)
     """,
+    "topk_per_cust": """
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice * 100)::BIGINT AS price_cents
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) rn
+          FROM orders)
+        WHERE rn <= 3
+    """,
+    "rolling_24h": """
+        SELECT event_id, user_id,
+               count(*) OVER w AS w_n,
+               CAST(sum(round(value * 100)::BIGINT) OVER w AS BIGINT)
+                 AS w_sum_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 24 HOUR PRECEDING
+                           AND CURRENT ROW)
+    """,
+    "zorder_cells": _zorder_sql(),
+    "cell_pyramid": _pyramid_sql(),
+    "range_join": """
+        SELECT l.event_id AS purchase_id, r.event_id AS error_id
+        FROM events l JOIN events r
+          ON l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 60 MINUTE
+        WHERE l.event_type = 'purchase' AND r.event_type = 'error'
+    """,
     "asof_join": """
         SELECT e.event_id, e.user_id, max(o.o_orderdate) AS last_order
         FROM events e LEFT JOIN orders o
@@ -1387,6 +1616,11 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "window_hourly": q_window_hourly,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "topk_per_cust": q_topk_per_cust,
+    "rolling_24h": q_rolling_24h,
+    "zorder_cells": q_zorder_cells,
+    "cell_pyramid": q_cell_pyramid,
     "sessionize": q_sessionize,
     "ttl_filter": q_ttl_filter,
     "cc_labels": q_cc_labels,

@@ -589,3 +589,114 @@ def asof_join(
         return _typed_table(out, out_schema)
 
     return both.groupby(PART_COL).map_groups(merge, batch_format="pyarrow")
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    band: int,
+    num_partitions: int = DEFAULT_PARTITIONS,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Distributed range (interval) join WITHOUT an equi key:
+    left rows where ``start_col <= ts_col <= end_col`` (inclusive,
+    SQL BETWEEN) for some right interval — the banding construction
+    that turns a non-equi predicate into one equi hash join.
+
+    All three bound columns must be int64 in a common unit (epoch
+    ns/us/s — caller converts; keeping the operator integer-typed
+    means the keys survive the shuffle exactly, per `_typed_table`).
+
+    Construction: pick a band width (same unit). Each left row maps
+    to band ``ts // band``; each right interval EXPLODES to every
+    band it covers (``start//band .. end//band``). One `hash_join`
+    on the band plus a post-filter yields each qualifying pair
+    exactly once — a ts lives in exactly one band, and an interval
+    appears in that band at most once — so no pair-dedup shuffle is
+    needed.
+
+    Scale contract: right-side amplification is
+    ``1 + interval_length/band`` rows per interval and the join
+    fan-in per band is bounded by the ts density times the interval
+    density of that band; pick band ≈ the median interval length
+    (amplification ≤ 2x) and salt the band key if wall-clock ts skew
+    concentrates one band (see `skew.py`). Neither side is ever
+    broadcast or driver-materialized.
+
+    Column names must be disjoint across sides apart from the usual
+    `hash_join` suffix rule. Output = left columns + right columns +
+    nothing else (the band key is dropped)."""
+    if band <= 0:
+        raise ValueError(f"band must be a positive integer, got {band}")
+    BAND = "__band"
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(BAND, pa.array(ts // band))
+
+    def explode_right(t: pa.Table) -> pa.Table:
+        s = t[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b0 = s // band
+        reps = np.maximum(e // band - b0 + 1, 0)
+        idx = np.repeat(np.arange(len(s)), reps)
+        # per-interval consecutive band offsets, fully vectorized
+        off = np.arange(reps.sum()) - np.repeat(
+            np.concatenate(([0], reps.cumsum()[:-1])), reps
+        )
+        out = t.take(pa.array(idx))
+        return out.append_column(BAND, pa.array(b0[idx] + off))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(explode_right, batch_format="pyarrow")
+    if left_schema is not None:
+        left_schema = left_schema.append(pa.field(BAND, pa.int64()))
+    if right_schema is not None:
+        right_schema = right_schema.append(pa.field(BAND, pa.int64()))
+    joined = hash_join(lt, rt, on=BAND, num_partitions=num_partitions,
+                       left_schema=left_schema, right_schema=right_schema)
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].to_numpy()
+        keep = (df[start_col].to_numpy() <= ts) & (ts <= df[end_col].to_numpy())
+        return df[keep].drop(columns=[BAND]).reset_index(drop=True)
+
+    return joined.map_batches(post, batch_format="pandas")
+
+
+def group_topk(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    order_by: Sequence[tuple[str, bool]],
+    k: int,
+    num_partitions: int = DEFAULT_PARTITIONS,
+) -> ray.data.Dataset:
+    """Distributed per-group top-k (the generic form of O2/O3 and the
+    reference's per-element 'newest version wins' rule): for every
+    distinct `keys` group keep the first `k` rows under `order_by`
+    (list of (column, ascending) — ties MUST be broken by including a
+    unique column last, or output is nondeterministic).
+
+    Scale shape: top-k is algebraic, so a per-block combiner keeps at
+    most k rows per (block, group) BEFORE the shuffle — the exchange
+    moves O(k · groups-per-block · blocks) rows, never the corpus —
+    then one hash-partitioned pass finishes each group. Both passes
+    are the same vectorized sort + C-level `groupby(...).head(k)`;
+    no Python row loop, no driver contact."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    keys = list(keys)
+    by = keys + [c for c, _ in order_by]
+    asc = [True] * len(keys) + [a for _, a in order_by]
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(by, ascending=asc, kind="mergesort")
+        return df.groupby(keys, sort=False).head(k)
+
+    combined = ds.map_batches(topk, batch_format="pandas", batch_size=65536)
+    return partitioned_map(combined, keys, topk, num_partitions,
+                           pre_repartition=False)

@@ -202,3 +202,91 @@ def test_connected_components_round_bound_logs_partial():
     labels = dict(zip(got["node"], got["label"]))
     assert labels[0] == 0 and labels[1] == 0
     assert labels[6] > 0  # min label has not reached the chain's end yet
+
+
+def test_range_join_matches_bruteforce():
+    """Banded interval join vs an O(n*m) numpy oracle: random ts
+    (incl. negatives — floor-division banding must hold below zero),
+    intervals spanning 0-5 bands, inclusive BETWEEN endpoints, and
+    empty (end < start) intervals contributing nothing."""
+    rng = np.random.default_rng(7)
+    n, m, band = 400, 120, 100
+    left = pd.DataFrame({
+        "lid": np.arange(n, dtype=np.int64),
+        "ts": rng.integers(-1000, 1000, n).astype(np.int64),
+    })
+    start = rng.integers(-1000, 1000, m).astype(np.int64)
+    length = rng.integers(-50, 500, m).astype(np.int64)  # some empty
+    right = pd.DataFrame({
+        "rid": np.arange(m, dtype=np.int64),
+        "start": start, "end": start + length,
+    })
+    # exact boundary hits: a ts equal to a start and to an end
+    left.loc[0, "ts"] = right.loc[0, "start"]
+    left.loc[1, "ts"] = right.loc[1, "end"]
+
+    got = (
+        joins.range_join(_ds(left, 4), _ds(right, 3),
+                         ts_col="ts", start_col="start", end_col="end",
+                         band=band, num_partitions=8)
+        .to_pandas().sort_values(["lid", "rid"]).reset_index(drop=True)
+    )
+    ts = left["ts"].to_numpy()[:, None]
+    hit = (right["start"].to_numpy()[None, :] <= ts) & (ts <= right["end"].to_numpy()[None, :])
+    li, ri = np.nonzero(hit)
+    exp = pd.DataFrame({"lid": left["lid"].to_numpy()[li],
+                        "rid": right["rid"].to_numpy()[ri]}).sort_values(
+        ["lid", "rid"]).reset_index(drop=True)
+    assert len(exp) > 0  # fixture sanity: the oracle actually joins
+    pd.testing.assert_frame_equal(got[["lid", "rid"]], exp)
+    assert sorted(got.columns) == ["end", "lid", "rid", "start", "ts"]
+
+
+def test_range_join_empty_and_bad_band():
+    import pytest
+
+    left = pd.DataFrame({"lid": pd.array([], dtype="int64"),
+                         "ts": pd.array([], dtype="int64")})
+    right = pd.DataFrame({"rid": np.array([1], dtype=np.int64),
+                          "start": np.array([0], dtype=np.int64),
+                          "end": np.array([10], dtype=np.int64)})
+    lsch = pa.schema([("lid", pa.int64()), ("ts", pa.int64())])
+    out = joins.range_join(_ds(left, 1), _ds(right, 1),
+                           ts_col="ts", start_col="start", end_col="end",
+                           band=5, num_partitions=4, left_schema=lsch)
+    assert out.count() == 0
+    with pytest.raises(ValueError):
+        joins.range_join(_ds(left, 1), _ds(right, 1), ts_col="ts",
+                         start_col="start", end_col="end", band=0)
+
+
+def test_group_topk_matches_pandas():
+    """Combiner + shuffle top-k vs a single-frame pandas oracle,
+    incl. groups smaller than k and exact ties broken by the unique
+    column."""
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 300, n).astype(np.int64),
+        "v": rng.integers(0, 40, n).astype(np.int64),  # many ties
+        "uid": np.arange(n, dtype=np.int64),
+    })
+    got = (
+        joins.group_topk(_ds(df, 6), ["g"], [("v", False), ("uid", True)],
+                         k=3, num_partitions=8)
+        .to_pandas().sort_values(["g", "v", "uid"],
+                                 ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["g", "v", "uid"], ascending=[True, False, True],
+                       kind="mergesort")
+        .groupby("g", sort=False).head(3)
+        .sort_values(["g", "v", "uid"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "v", "uid"]], exp)
+
+    import pytest
+    with pytest.raises(ValueError):
+        joins.group_topk(_ds(df, 2), ["g"], [("v", True)], k=0)

@@ -1,0 +1,103 @@
+"""Brute-force checks for the r3 query-catalog additions that the
+DuckDB oracle can't see: z-order locality (the value hash is order-
+insensitive) and the rolling-window edge semantics."""
+import numpy as np
+import pandas as pd
+
+from oluray.functions import geo
+from oluray.pipelines import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_morton_locality_beats_row_order():
+    """Sorting cells by morton code yields smaller mean spatial hops
+    between neighbours than the raw key order — the whole point of
+    the z-order sink layout."""
+    got = Q.q_zorder_cells(SF).to_pandas()
+    _, x, y = geo.cell_decode(got["cell"].to_numpy())
+
+    def mean_hop(order: np.ndarray) -> float:
+        return float(np.mean(np.abs(np.diff(x[order]))
+                             + np.abs(np.diff(y[order]))))
+
+    by_key = np.argsort(got["c_custkey"].to_numpy(), kind="stable")
+    by_morton = np.argsort(got["morton"].to_numpy(), kind="stable")
+    assert mean_hop(by_morton) < 0.5 * mean_hop(by_key)
+
+
+def test_morton_roundtrip_bit_interleave():
+    rng = np.random.default_rng(11)
+    res = 12
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    cells = geo.cell_encode(lon, lat, res)
+    m = geo.morton_code(cells)
+    _, x, y = geo.cell_decode(cells)
+    # de-interleave and compare
+    xx = np.zeros_like(x)
+    yy = np.zeros_like(y)
+    for i in range(res):
+        xx |= ((m >> (2 * i)) & 1) << i
+        yy |= ((m >> (2 * i + 1)) & 1) << i
+    assert np.array_equal(xx, x) and np.array_equal(yy, y)
+
+
+def test_rolling_24h_peer_and_boundary_semantics():
+    """RANGE-frame semantics vs an O(n^2) oracle: equal-ts peers all
+    included (even 'later' ones), the -24h boundary inclusive."""
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00.000000", "2024-01-01 12:00:00.000000",
+        "2024-01-02 00:00:00.000000",       # exactly 24h after row 0
+        "2024-01-02 00:00:00.000000",       # peer of row 2
+        "2024-01-03 00:00:00.000001",       # just outside 24h of row 2
+    ], format="%Y-%m-%d %H:%M:%S.%f")
+    df = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "user_id": np.int64(7),
+        "ts": ts.astype("datetime64[us]"),
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+    })
+    # run the real query over a one-table scratch sf_dir
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "events.parquet"))
+    got = (
+        Q.q_rolling_24h(d).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    W = pd.Timedelta(hours=24)
+    exp_n, exp_sum = [], []
+    cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    for i in range(len(df)):
+        m = (df["ts"] >= df["ts"][i] - W) & (df["ts"] <= df["ts"][i])
+        exp_n.append(int(m.sum()))
+        exp_sum.append(int(cents[m.to_numpy()].sum()))
+    assert got["w_n"].tolist() == exp_n
+    assert got["w_sum_cents"].tolist() == exp_sum
+    # the peer rows (2,3) must have identical windows incl. each other
+    assert got.loc[2, "w_n"] == got.loc[3, "w_n"] == 4
+
+
+def test_cell_pyramid_levels_consistent():
+    got = Q.q_cell_pyramid(SF).to_pandas()
+    res, _, _ = geo.cell_decode(got["cell"].to_numpy())
+    got["res"] = res
+    totals = got.groupby("res")["n"].sum()
+    # every zoom level accounts for every point exactly once
+    assert totals.nunique() == 1
+    lv12 = got[got["res"] == 12]
+    lv8 = got[got["res"] == 8].set_index("cell")["n"]
+    roll = (
+        pd.Series(lv12["n"].to_numpy(),
+                  index=geo.cell_parent(lv12["cell"].to_numpy(), 8))
+        .groupby(level=0).sum()
+    )
+    pd.testing.assert_series_equal(
+        roll.sort_index(), lv8.sort_index(), check_names=False
+    )
