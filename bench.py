@@ -162,6 +162,7 @@ def run_bench() -> dict:
         ("ann_topk", Q.q_ann_topk),
         ("ivf_topk", Q.q_ivf_topk),
         ("impact_closure", Q.q_impact_closure),
+        ("range_join", Q.q_range_join),
     ]
     for name, fn in bench_queries:
         # best of 2: this shared-host VM shows +/-2-3x run-to-run noise

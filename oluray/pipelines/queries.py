@@ -840,6 +840,91 @@ def q_rolling_24h(sf_dir: str):
                                  pre_repartition=False)  # map-lineage input
 
 
+def q_running_total(sf_dir: str):
+    """ROWS-frame cumulative aggregate (the ordered-log complement of
+    `q_rolling_24h`'s RANGE frame): per event, the running cent-sum
+    of the same user's events so far, ordered by (ts, event_id).
+    Per-partition vectorized: one sort, one cumsum, per-segment base
+    subtraction via a forward-filled start index — sign-safe (no
+    monotonicity assumption on the running sum)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = _round_half_away(df["value"].to_numpy() * 100)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {"event_id": pd.array([], dtype="int64"),
+                 "user_id": pd.array([], dtype="int64"),
+                 "run_cents": pd.array([], dtype="int64")}
+            )
+        csum = np.cumsum(cents)
+        prev = np.concatenate(([0], csum[:-1]))
+        starts = df["user_id"].ne(df["user_id"].shift()).to_numpy()
+        start_idx = np.maximum.accumulate(
+            np.where(starts, np.arange(n), 0)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "run_cents": csum - prev[start_idx],
+            }
+        )
+
+    return joins.partitioned_map(ev, ["user_id"], run, num_partitions=32,
+                                 pre_repartition=False)  # map-lineage input
+
+
+def q_cust_event_counts(sf_dir: str):
+    """LEFT OUTER join under an oracle: per customer the count and
+    cent-sum of their events, ZERO for the (many) customers with no
+    events. Scale shape: aggregate is pushed BELOW the join — events
+    collapse to one row per user first (combiner + hash partition),
+    then the left join pads the misses; the big table never carries
+    customer columns through a shuffle."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = _round_half_away(t["value"].to_numpy(zero_copy_only=False) * 100)
+        return pa.table({"user_id": t["user_id"], "cents": pa.array(c)})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(
+            cents=("cents", "sum"), __n=("cents", "size")
+        )
+        return g
+
+    def agg2(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(
+            n_events=("__n", "sum"), sum_cents=("cents", "sum")
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    per_user = joins.grouped_agg(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        ["user_id"], agg2, num_partitions=32, combine_fn=combine,
+        pre_repartition=False,
+    )
+    out = joins.hash_join(cust, per_user, on="c_custkey",
+                          right_on="user_id", how="left",
+                          num_partitions=32)
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"],
+                "n_events": df["n_events"].fillna(0).astype("int64"),
+                "sum_cents": df["sum_cents"].fillna(0).astype("int64"),
+            }
+        )
+
+    return out.map_batches(fill, batch_format="pandas")
+
+
 def q_zorder_cells(sf_dir: str):
     """Z-order (Morton) locality codes over the customer point grid
     (`geo.morton_code`): the key the tiled sink sorts by so adjacent
@@ -1443,6 +1528,22 @@ ORACLE: dict[str, str] = {
                      RANGE BETWEEN INTERVAL 24 HOUR PRECEDING
                            AND CURRENT ROW)
     """,
+    "running_total": """
+        SELECT event_id, user_id,
+               CAST(sum(round(value * 100)::BIGINT) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS run_cents
+        FROM events
+    """,
+    "cust_event_counts": """
+        SELECT c.c_custkey,
+               count(e.event_id)::BIGINT AS n_events,
+               COALESCE(sum(round(e.value * 100)::BIGINT), 0)::BIGINT
+                 AS sum_cents
+        FROM customer c LEFT JOIN events e ON e.user_id = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
     "zorder_cells": _zorder_sql(),
     "cell_pyramid": _pyramid_sql(),
     "range_join": """
@@ -1619,6 +1720,8 @@ QUERIES = {
     "range_join": q_range_join,
     "topk_per_cust": q_topk_per_cust,
     "rolling_24h": q_rolling_24h,
+    "running_total": q_running_total,
+    "cust_event_counts": q_cust_event_counts,
     "zorder_cells": q_zorder_cells,
     "cell_pyramid": q_cell_pyramid,
     "sessionize": q_sessionize,

@@ -101,3 +101,50 @@ def test_cell_pyramid_levels_consistent():
     pd.testing.assert_series_equal(
         roll.sort_index(), lv8.sort_index(), check_names=False
     )
+
+
+def _scratch_sf(**tables) -> str:
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    for name, df in tables.items():
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def test_running_total_negative_values_sign_safe():
+    """The per-segment base subtraction must not assume the running
+    sum is monotone (negative values break a max-accumulate-on-csum
+    shortcut)."""
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 2, 2, 2], dtype=np.int64),
+        "ts": pd.date_range("2024-01-01", periods=6, freq="1h")
+                .astype("datetime64[us]"),
+        "value": [-5.0, 3.0, -1.0, 10.0, -20.0, 4.0],
+    })
+    got = (
+        Q.q_running_total(_scratch_sf(events=df)).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    assert got["run_cents"].tolist() == [-500, -200, -300, 1000, -1000, -600]
+
+
+def test_cust_event_counts_left_join_zero_fill():
+    cust = pd.DataFrame({"c_custkey": np.arange(5, dtype=np.int64)})
+    ev = pd.DataFrame({
+        "user_id": np.array([0, 0, 3], dtype=np.int64),
+        "event_id": np.arange(3, dtype=np.int64),
+        "value": [1.0, 2.0, 4.0],
+    })
+    got = (
+        Q.q_cust_event_counts(_scratch_sf(customer=cust, events=ev))
+        .to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    )
+    assert got["n_events"].tolist() == [2, 0, 0, 1, 0]
+    assert got["sum_cents"].tolist() == [300, 0, 0, 400, 0]
+    assert str(got["n_events"].dtype) == "int64"
