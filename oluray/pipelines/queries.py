@@ -792,13 +792,19 @@ def q_topk_per_cust(sf_dir: str):
     return top.map_batches(fin, batch_format="pandas")
 
 
+# int64 headroom bound for the rolling-window composite key (sum of
+# per-user activity spans in us); module-level so tests can shrink it
+# to force the exact per-segment fallback path
+_ROLL_KEY_LIMIT = float(1 << 62)
+
+
 def q_rolling_24h(sf_dir: str):
     """Time-RANGE rolling aggregate: per event, the count and
     cent-sum of the same user's events in [ts - 24h, ts] (SQL RANGE
     frame incl. ts peers). Hash-partition on user, per-partition
-    sort + prefix sums + two vectorized searchsorteds over a packed
-    (segment, rel-ts) composite key — no per-user Python loop, no
-    window library."""
+    sort + prefix sums + two vectorized searchsorteds over a
+    composite key built from cumulative per-segment base offsets —
+    no per-user Python loop, no window library."""
     W = 24 * 3_600_000_000  # 24h in epoch us
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
@@ -814,18 +820,35 @@ def q_rolling_24h(sf_dir: str):
                  "w_n": pd.array([], dtype="int64"),
                  "w_sum_cents": pd.array([], dtype="int64")}
             )
-        seg = (df["user_id"].ne(df["user_id"].shift())).cumsum().to_numpy() - 1
-        rel = ts - ts.min()
-        # pack (segment, rel) into one sorted int64 so BOTH window
-        # bounds come from plain searchsorted; shift sized to the data
-        shift = max(int(rel.max() + W).bit_length(), 1)
-        if (int(seg.max()) << shift) >= (1 << 62):
-            raise ValueError("time span × group count overflows the "
-                             "packed rolling-window key")
-        comp = (seg << shift) | rel
-        lo = np.searchsorted(comp, (seg << shift) | np.maximum(rel - W, 0),
-                             side="left")
-        hi = np.searchsorted(comp, comp, side="right")
+        n = len(df)
+        starts = df["user_id"].ne(df["user_id"].shift()).to_numpy()
+        seg = starts.cumsum() - 1
+        seg_start_idx = np.flatnonzero(starts)
+        # per-segment rel-ts (vs each user's own first event, not the
+        # partition min) + cumulative base offsets: comp is globally
+        # sorted, key magnitude = sum of per-user activity spans — NOT
+        # (group count << uniform shift), which overflowed int64 at a
+        # few thousand users x multi-year span per partition
+        rel = ts - ts[seg_start_idx][seg]
+        spans = rel[np.append(seg_start_idx[1:] - 1, n - 1)]
+        if float(spans.sum()) + len(spans) < _ROLL_KEY_LIMIT:
+            base = np.concatenate(([0], np.cumsum(spans[:-1] + 1)))
+            comp = base[seg] + rel
+            lo = np.searchsorted(comp, base[seg] + np.maximum(rel - W, 0),
+                                 side="left")
+            hi = np.searchsorted(comp, comp, side="right")
+        else:
+            # pathological (sum of spans near 2^62 us): exact per-segment
+            # searchsorted, C-speed per slice, loop only over segments
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            bounds = np.append(seg_start_idx, n)
+            for s in range(len(seg_start_idx)):
+                a, b = bounds[s], bounds[s + 1]
+                r = rel[a:b]
+                lo[a:b] = a + np.searchsorted(r, np.maximum(r - W, 0),
+                                              side="left")
+                hi[a:b] = a + np.searchsorted(r, r, side="right")
         csum = np.concatenate(([0], np.cumsum(cents)))
         return pd.DataFrame(
             {
@@ -1354,23 +1377,20 @@ def q_stratified_sample(sf_dir: str):
     """Deterministic stratified sampling: the 10 documents per `lang`
     stratum with the smallest multiplicative hash h = (doc_id *
     2654435761) mod 2^32 (Knuth) — a reproducible uniform sample both
-    engines can rank identically. Per-block top-10 combiner bounds the
-    shuffle at 10 rows per (block, lang)."""
+    engines can rank identically. `joins.group_topk` supplies the
+    per-block top-10 combiner that bounds the shuffle at 10 rows per
+    (block, lang)."""
     docs = _read(sf_dir, "documents", ["doc_id", "lang"])
-    K = 10
 
     def with_h(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy(deep=False)
         df["h"] = (df["doc_id"].to_numpy(np.int64) * 2654435761) % 4294967296
         return df
 
-    def topk(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(["lang", "h", "doc_id"], kind="mergesort")
-        return part.groupby("lang", sort=False).head(K).reset_index(drop=True)
-
-    return joins.grouped_agg(docs.map_batches(with_h, batch_format="pandas"),
-                             ["lang"], topk, num_partitions=8,
-                             combine_fn=topk, pre_repartition=False)
+    return joins.group_topk(
+        docs.map_batches(with_h, batch_format="pandas"),
+        ["lang"], [("h", True), ("doc_id", True)], k=10, num_partitions=8,
+    )
 
 
 def q_vocab_df(sf_dir: str):
@@ -1642,7 +1662,11 @@ ORACLE: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
     "stratified_sample": """
-        SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h
+        -- HUGEINT cast as in geo.derive_lonlat_sql: doc_id * 2654435761
+        -- overflows BIGINT for ids >= ~3.5e9 (numpy wraps mod 2^64, which
+        -- agrees mod 2^32, so only the SQL side needs the widening)
+        SELECT doc_id, lang,
+               ((doc_id::HUGEINT * 2654435761) % 4294967296)::BIGINT AS h
         FROM documents
         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 10
     """,

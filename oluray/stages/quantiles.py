@@ -47,6 +47,7 @@ distributed machinery hash-for-hash.
 
 from __future__ import annotations
 
+import logging
 from typing import Sequence
 
 import numpy as np
@@ -57,6 +58,8 @@ from oluray.stages import joins
 
 __all__ = ["group_quantiles_exact"]
 
+_LOG = logging.getLogger(__name__)
+
 
 def _phase0(ds, key: str, val: str, num_partitions: int) -> pd.DataFrame:
     """Per-group (n, mn, mx) — combiner-bounded grouped aggregate.
@@ -64,6 +67,11 @@ def _phase0(ds, key: str, val: str, num_partitions: int) -> pd.DataFrame:
     the state table is within the broadcast invariant."""
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # NaN values are ignored (SQL NULL semantics): every later pass
+        # filters with v >= lo comparisons that NaN fails, so counting
+        # NaN rows here would inflate n/rank and mis-rank (or crash) the
+        # final pick. Drop them before they enter the count.
+        df = df[df[val].notna()]
         g = df.groupby(key, sort=False)[val]
         out = g.agg(n="size", mn="min", mx="max").reset_index()
         out["n"] = out["n"].astype("int64")
@@ -179,7 +187,10 @@ def group_quantiles_exact(
         h = h.sort_values(["sid", "bucket"], kind="mergesort")
         # per sid: cumulative counts -> bucket holding `rank`
         for sid, grp in h.groupby("sid", sort=False):
-            i = st.index[st["sid"] == sid][0]
+            # st is built with sid = arange(len(st)) and never reordered,
+            # so the row position IS the sid (an O(n) scan per state here
+            # would make driver bookkeeping O(states^2) per round).
+            i = int(sid)
             r = int(st.at[i, "rank"])
             cum = grp["c"].to_numpy().cumsum()
             j = int(np.searchsorted(cum, r + 1))
@@ -196,6 +207,20 @@ def group_quantiles_exact(
     # in-interval values, shuffle by sid, sort-and-pick per partition
     rest = st[~st["done"]]
     if len(rest) > 0:
+        oversize = rest[rest["cnt"] > collect_threshold]
+        if len(oversize) > 0:
+            # max_rounds exhausted with candidate sets still above the
+            # collect threshold (pathological dynamic range): the final
+            # pick will ship up to `cnt` rows of those states to single
+            # partitions. Still exact, but the no-worker-holds-a-group
+            # bound is void for them — say so instead of failing silently.
+            _LOG.warning(
+                "group_quantiles_exact: %d state(s) unconverged after %d "
+                "rounds (max candidate count %d > collect_threshold %d); "
+                "final collect will exceed the per-worker bound for them",
+                len(oversize), max_rounds,
+                int(oversize["cnt"].max()), collect_threshold,
+            )
         state_ref = ray.put(rest[[key, "sid", "lo", "hi"]])
         ranks = dict(zip(rest["sid"].astype(int), rest["rank"].astype(int)))
 

@@ -322,7 +322,12 @@ def tfidf_topk(docs, k: int = 3, num_partitions: int = 64) -> "ray.data.Dataset"
         out = part.groupby("doc_id", sort=False).head(k)
         return out[["doc_id", "term", "tf", "df"]].reset_index(drop=True)
 
-    return joins.partitioned_map(joined, ["doc_id"], topk,
+    # per-block top-k combiner first (same algebraic bound as
+    # joins.group_topk): the doc_id exchange then moves <= k rows per
+    # (block, doc) instead of the full tf ⋈ df join output
+    combined = joined.map_batches(topk, batch_format="pandas",
+                                  batch_size=65536)
+    return joins.partitioned_map(combined, ["doc_id"], topk,
                                  num_partitions=num_partitions)
 
 

@@ -148,3 +148,45 @@ def test_cust_event_counts_left_join_zero_fill():
     assert got["n_events"].tolist() == [2, 0, 0, 1, 0]
     assert got["sum_cents"].tolist() == [300, 0, 0, 400, 0]
     assert str(got["n_events"].dtype) == "int64"
+
+
+def test_rolling_24h_many_users_and_fallback_path(monkeypatch):
+    """Multi-year spans x many users — the case whose packed key used to
+    overflow int64 — plus the forced per-segment fallback branch, both
+    against an O(n^2) oracle."""
+    rng = np.random.default_rng(11)
+    n = 400
+    base = pd.Timestamp("2005-01-01").value // 1000  # us
+    span = 20 * 365 * 86_400_000_000  # ~20 years in us
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 60, n).astype(np.int64),
+        "ts": pd.to_datetime(base + rng.integers(0, span, n), unit="us")
+                .astype("datetime64[us]"),
+        "value": rng.normal(50, 10, n).round(2),
+    })
+    d = _scratch_sf(events=df)
+
+    W = pd.Timedelta(hours=24)
+    cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    exp = []
+    for i in range(n):
+        m = (
+            (df["user_id"] == df["user_id"][i])
+            & (df["ts"] >= df["ts"][i] - W) & (df["ts"] <= df["ts"][i])
+        ).to_numpy()
+        exp.append((int(m.sum()), int(cents[m].sum())))
+    exp_n = [e[0] for e in exp]
+    exp_s = [e[1] for e in exp]
+
+    got = (Q.q_rolling_24h(d).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert got["w_n"].tolist() == exp_n
+    assert got["w_sum_cents"].tolist() == exp_s
+
+    # force the exact per-segment loop branch and require identical output
+    monkeypatch.setattr(Q, "_ROLL_KEY_LIMIT", 1.0)
+    got2 = (Q.q_rolling_24h(d).to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+    assert got2["w_n"].tolist() == exp_n
+    assert got2["w_sum_cents"].tolist() == exp_s

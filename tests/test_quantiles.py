@@ -82,3 +82,25 @@ def test_empty_input():
         ray.data.from_pandas(df), "k", "v", qs=QS, num_partitions=2
     )
     assert len(got) == 0
+
+
+def test_nan_values_ignored():
+    # NaN rows must not inflate n/rank (SQL NULL semantics): with 3 NaNs
+    # and q=0.75 the old count-NaNs phase 0 crashed with an IndexError
+    df = pd.DataFrame(
+        {"k": ["a"] * 5 + ["b"] * 3,
+         "v": [1.0, 2.0, np.nan, np.nan, np.nan, 5.0, np.nan, 7.0]}
+    )
+    got = (
+        group_quantiles_exact(_ds(df, blocks=2), "k", "v", qs=QS)
+        .sort_values(["k", "q"]).reset_index(drop=True)
+    )
+    exp = _brute(df.dropna(subset=["v"])).sort_values(["k", "q"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_all_nan_group_omitted():
+    df = pd.DataFrame({"k": ["a", "a", "z"], "v": [np.nan, np.nan, 3.0]})
+    got = group_quantiles_exact(_ds(df, blocks=1), "k", "v", qs=(0.5,))
+    assert got["k"].tolist() == ["z"]
+    assert got["value"].tolist() == [3.0]
