@@ -932,7 +932,9 @@ def q_cust_event_counts(sf_dir: str):
         ["user_id"], agg2, num_partitions=32, combine_fn=combine,
         pre_repartition=False,
     )
-    out = joins.hash_join(cust, per_user, on="c_custkey",
+    # size-probed dispatch: the aggregate side is distinct-user-sized —
+    # broadcastable at bench scale, a shuffle join past the bounds
+    out = joins.auto_join(cust, per_user, on="c_custkey",
                           right_on="user_id", how="left",
                           num_partitions=32)
 

@@ -532,6 +532,124 @@ def hash_join(
     return both.groupby(PART_COL).map_groups(merge, batch_format="pyarrow")
 
 
+# a broadcast right side is unpickled once per worker process; these
+# bounds keep copies x concurrency well inside a worker heap (the same
+# reasoning as closure.DEFAULT_BROADCAST_KEY_LIMIT, scaled for wide rows)
+DEFAULT_BROADCAST_JOIN_ROWS = 1_000_000
+DEFAULT_BROADCAST_JOIN_BYTES = 256 << 20
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right_df: pd.DataFrame,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Map-side join against a SMALL right side: the right table is
+    shipped ONCE via `ray.put` and merged into every left batch — no
+    shuffle, no repartition, the left side streams through untouched.
+    Only inner/left joins are expressible map-side (unmatched RIGHT
+    rows need a global view — use `hash_join` for right/outer).
+
+    Output columns, order and types match `hash_join` exactly
+    (equality-tested), so `auto_join` can pick either path on size
+    alone without changing downstream semantics."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"broadcast_join supports how='inner'/'left', got {how!r}"
+        )
+    right_on = right_on or on
+    if right_schema is None:
+        right_schema = pa.Table.from_pandas(
+            right_df, preserve_index=False
+        ).schema
+    ls = _arrow_schema(left, left_schema)
+    lnames = set(ls.names)
+    rename = {
+        c: c + suffix
+        for c in right_schema.names if c in lnames and c != right_on
+    }
+    if rename:
+        right_df = right_df.rename(columns=rename)
+        right_schema = pa.schema(
+            [pa.field(rename.get(f.name, f.name), f.type)
+             for f in right_schema]
+        )
+    lcols = list(ls.names)
+    rcols = list(right_schema.names)
+    fields = list(ls)
+    seen = set(lcols)
+    for i, nm in enumerate(rcols):
+        if nm not in seen:
+            fields.append(pa.field(nm, right_schema.types[i]))
+            seen.add(nm)
+    schema = pa.schema(fields)
+    out_cols = lcols + [c for c in rcols if c not in lcols and c != right_on]
+    drop_right_key = right_on != on and right_on not in lcols
+    out_schema = pa.schema([schema.field(c) for c in out_cols])
+    rref = ray.put(right_df[rcols])
+
+    def merge(t: pa.Table, rref=rref) -> pa.Table:
+        lg = t.select(lcols).to_pandas()
+        out = lg.merge(ray.get(rref), how=how, left_on=on, right_on=right_on)
+        if drop_right_key:
+            out = out.drop(columns=[right_on])
+        return _typed_table(out, out_schema)
+
+    return left.map_batches(merge, batch_format="pyarrow")
+
+
+def auto_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int = DEFAULT_PARTITIONS,
+    suffix: str = "_r",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+    broadcast_rows: int = DEFAULT_BROADCAST_JOIN_ROWS,
+    broadcast_bytes: int = DEFAULT_BROADCAST_JOIN_BYTES,
+) -> ray.data.Dataset:
+    """Size-probed join dispatch — the generic form of the
+    `closure.KeySet` broadcast-vs-shuffle cut-over, for whole tables:
+    materialize the right side (its count/size are then metadata),
+    and at or below BOTH broadcast bounds ship it map-side via
+    `broadcast_join` (no shuffle at all); above either bound, or for
+    right/outer joins, fall through to the hash-partitioned
+    `hash_join` on the already-materialized right (no recompute).
+
+    The materialize is the price of probing: the right lineage runs
+    exactly once either way, and the object store spills it if big."""
+    rm = right.materialize()
+    cnt = rm.count()
+    size = rm.size_bytes() or 0
+    if how in ("inner", "left") and cnt <= broadcast_rows and size <= broadcast_bytes:
+        if right_schema is None and cnt > 0:
+            right_schema = _arrow_schema(rm)
+        rdf = rm.to_pandas() if cnt > 0 else pd.DataFrame(
+            {f.name: pd.Series([], dtype="object") for f in (right_schema or [])}
+        )
+        if right_schema is None:
+            raise ValueError(
+                "empty right side with unknown schema — pass right_schema"
+            )
+        return broadcast_join(
+            left, rdf, on, right_on=right_on, how=how, suffix=suffix,
+            left_schema=left_schema, right_schema=right_schema,
+        )
+    return hash_join(
+        left, rm, on, right_on=right_on, how=how,
+        num_partitions=num_partitions, suffix=suffix,
+        left_schema=left_schema, right_schema=right_schema,
+    )
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

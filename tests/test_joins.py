@@ -290,3 +290,72 @@ def test_group_topk_matches_pandas():
     import pytest
     with pytest.raises(ValueError):
         joins.group_topk(_ds(df, 2), ["g"], [("v", True)], k=0)
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+def test_broadcast_join_matches_hash_join():
+    """broadcast_join's contract is exact hash_join parity: columns,
+    order, types, null padding — for inner and left, with collision
+    suffix and a distinct right key name."""
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame(
+        {"id": rng.integers(0, 60, 250), "x": rng.standard_normal(250),
+         "name": [f"L{i%5}" for i in range(250)]}
+    )
+    right = pd.DataFrame(
+        {"rid": np.arange(0, 40, 2), "name": [f"R{i}" for i in range(20)],
+         "w": rng.integers(0, 9, 20)}
+    )
+    for how in ("inner", "left"):
+        hj = joins.hash_join(
+            _ds(left), _ds(right, 2), on="id", right_on="rid", how=how,
+            num_partitions=8,
+        ).to_pandas()
+        bj = joins.broadcast_join(
+            _ds(left), right, on="id", right_on="rid", how=how,
+        ).to_pandas()
+        assert list(hj.columns) == list(bj.columns)
+        pd.testing.assert_frame_equal(_sorted(hj), _sorted(bj))
+
+
+def test_auto_join_dispatch_and_parity():
+    rng = np.random.default_rng(22)
+    left = pd.DataFrame({"k": rng.integers(0, 30, 200), "v": np.arange(200)})
+    right = pd.DataFrame({"k": np.arange(30), "tag": [f"t{i}" for i in range(30)]})
+    exp = _sorted(left.merge(right, on="k", how="inner"))
+
+    # under the bounds -> broadcast path (no groupby stage in the plan)
+    small = joins.auto_join(_ds(left), _ds(right, 2), on="k")
+    assert "map_groups" not in str(small._plan).lower()
+    pd.testing.assert_frame_equal(_sorted(small.to_pandas()), exp, check_dtype=False)
+
+    # forced over the row bound -> shuffle path, same rows
+    big = joins.auto_join(_ds(left), _ds(right, 2), on="k", broadcast_rows=5)
+    pd.testing.assert_frame_equal(_sorted(big.to_pandas()), exp, check_dtype=False)
+
+    # right joins always take the shuffle path
+    rj = joins.auto_join(_ds(left), _ds(right, 2), on="k", how="right")
+    expr = _sorted(left.merge(right, on="k", how="right"))
+    pd.testing.assert_frame_equal(
+        _sorted(rj.to_pandas()), expr, check_dtype=False
+    )
+
+
+def test_broadcast_join_rejects_outer_and_empty_right():
+    left = pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]})
+    import pytest
+
+    with pytest.raises(ValueError, match="inner"):
+        joins.broadcast_join(_ds(left, 1), left, on="k", how="outer")
+    # empty right with a schema hint: all-left rows with null pads
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "tag": pd.Series([], dtype="object")})
+    sch = pa.schema([pa.field("k", pa.int64()), pa.field("tag", pa.string())])
+    out = joins.broadcast_join(
+        _ds(left, 1), empty, on="k", how="left", right_schema=sch
+    ).to_pandas()
+    assert len(out) == 2 and out["tag"].isna().all()
