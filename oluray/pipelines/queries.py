@@ -1395,6 +1395,17 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+def q_length_deciles(sf_dir: str):
+    """Curriculum / quality-mix bucketing (`joins.group_ntile`): split
+    each language's corpus into 10 length deciles — exact SQL NTILE
+    semantics (first n%k tiles one row larger), doc_id tie-break."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return joins.group_ntile(
+        docs, ["lang"], [("n_chars", True), ("doc_id", True)],
+        k=10, num_partitions=16,
+    )
+
+
 def q_vocab_df(sf_dir: str):
     """Corpus vocabulary with document + collection frequency
     (`text.vocab_stats`): per-block (term, df, cf) combiner, term-hash
@@ -1529,6 +1540,12 @@ ORACLE: dict[str, str] = {
         SELECT user_id, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n,
                round(sum(value) * 100)::BIGINT AS sum_value_cents
         FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "length_deciles": """
+        SELECT doc_id, lang, n_chars,
+               ntile(10) OVER (PARTITION BY lang
+                               ORDER BY n_chars, doc_id) AS tile
+        FROM documents
     """,
     "topk_per_cust": """
         SELECT o_custkey, o_orderkey,
@@ -1744,6 +1761,7 @@ QUERIES = {
     "window_hourly": q_window_hourly,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "length_deciles": q_length_deciles,
     "topk_per_cust": q_topk_per_cust,
     "rolling_24h": q_rolling_24h,
     "running_total": q_running_total,

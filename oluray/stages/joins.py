@@ -786,6 +786,61 @@ def range_join(
     return joined.map_batches(post, batch_format="pandas")
 
 
+def group_ntile(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    order_by: Sequence[tuple[str, bool]],
+    k: int,
+    num_partitions: int = DEFAULT_PARTITIONS,
+) -> ray.data.Dataset:
+    """SQL ``NTILE(k) OVER (PARTITION BY keys ORDER BY order_by)``:
+    every group's rows are split into k buckets, the first ``n % k``
+    buckets one row larger (exact SQL semantics, DuckDB-oracle
+    verifiable). The training-data use is curriculum / quality-mix
+    bucketing — split each language's corpus into length or score
+    deciles, then sample per decile. ``order_by`` must end in a
+    unique column or tile assignment is nondeterministic.
+
+    Unlike top-k, ntile is holistic (a row's bucket depends on its
+    group's total count), so there is no combiner: one hash partition
+    on the group key, then per-partition vectorized segment
+    arithmetic — no per-group Python loop."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    keys = list(keys)
+    by = keys + [c for c, _ in order_by]
+    asc = [True] * len(keys) + [a for _, a in order_by]
+
+    def nt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(by, ascending=asc, kind="mergesort").reset_index(
+            drop=True
+        )
+        n_tot = len(df)
+        out = df.copy(deep=False)
+        if n_tot == 0:
+            out["tile"] = pd.Series([], dtype="int64")
+            return out
+        starts = df[keys].ne(df[keys].shift()).any(axis=1).to_numpy()
+        seg_start_idx = np.flatnonzero(starts)
+        seg_id = starts.cumsum() - 1
+        counts = np.diff(np.append(seg_start_idx, n_tot))
+        r = np.arange(n_tot) - seg_start_idx[seg_id]
+        n = counts[seg_id]
+        big = n % k
+        small = n // k
+        big_rows = big * (small + 1)
+        tile = np.where(
+            r < big_rows,
+            r // (small + 1),
+            big + (r - big_rows) // np.maximum(small, 1),
+        ) + 1
+        out["tile"] = tile.astype(np.int64)
+        return out
+
+    return partitioned_map(ds, keys, nt, num_partitions,
+                           pre_repartition=False)
+
+
 def group_topk(
     ds: ray.data.Dataset,
     keys: Sequence[str],

@@ -359,3 +359,41 @@ def test_broadcast_join_rejects_outer_and_empty_right():
         _ds(left, 1), empty, on="k", how="left", right_schema=sch
     ).to_pandas()
     assert len(out) == 2 and out["tag"].isna().all()
+
+
+def test_group_ntile_exact_sql_semantics():
+    """NTILE(k): first n%k tiles one row larger; n<k gives one row per
+    tile; deterministic under ties via the unique trailing column."""
+    df = pd.DataFrame({
+        "g": ["a"] * 7 + ["b"] * 3 + ["c"] * 10,
+        "v": [5, 5, 5, 1, 2, 2, 9,  4, 4, 4,  *range(10)],
+        "id": range(20),
+    })
+    got = (
+        joins.group_ntile(_ds(df), ["g"], [("v", True), ("id", True)],
+                          k=3, num_partitions=4)
+        .to_pandas().sort_values(["g", "v", "id"]).reset_index(drop=True)
+    )
+    exp_rows = []
+    for g, grp in df.groupby("g"):
+        grp = grp.sort_values(["v", "id"])
+        n, k = len(grp), 3
+        big, small = n % k, n // k
+        tiles = []
+        for t in range(1, k + 1):
+            tiles += [t] * (small + (1 if t <= big else 0))
+        grp = grp.assign(tile=tiles[: n])
+        exp_rows.append(grp)
+    exp = (pd.concat(exp_rows).sort_values(["g", "v", "id"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # n < k: each row its own tile
+    one = pd.DataFrame({"g": ["z"] * 2, "v": [9, 3], "id": [0, 1]})
+    got2 = joins.group_ntile(_ds(one, 1), ["g"], [("v", True), ("id", True)],
+                             k=10).to_pandas().sort_values("v")
+    assert got2["tile"].tolist() == [1, 2]
+
+    import pytest
+    with pytest.raises(ValueError):
+        joins.group_ntile(_ds(one, 1), ["g"], [("v", True)], k=0)
