@@ -662,6 +662,21 @@ def q_phash_near_dup(sf_dir: str):
     )
 
 
+def q_image_dup_clusters(sf_dir: str):
+    """Image near-duplicate CLUSTERS — the canonical web-scale image
+    pipeline op: banded-Hamming phash pairs (`q_phash_near_dup`'s
+    machinery) fed into distributed connected components
+    (`joins.connected_components`); label = min image_id of each
+    cluster. Bytes never move; the CC exchange carries (node, label)
+    rows bounded by duplicate mass. Rows-only (phash + iterative CC
+    not expressible in SQL); cross-checked in pytest against a brute
+    union-find over brute Hamming pairs."""
+    pairs = q_phash_near_dup(sf_dir)
+    return joins.connected_components(
+        pairs, a_col="image_a", b_col="image_b", num_partitions=16,
+    )
+
+
 def q_image_decode(sf_dir: str):
     """Multimodal plumbing: synthesize a deterministic image per doc,
     decode through the actor-pool stage, emit stats. Rows-only (pixel
@@ -1754,6 +1769,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "phash_near_dup": q_phash_near_dup,
+    "image_dup_clusters": q_image_dup_clusters,
     "token_count": q_token_count,
     "quality": q_quality,
     "langid": q_langid,

@@ -564,3 +564,49 @@ def test_hamming_band_pairs_string_ids():
     ).to_pandas()
     pairs = {(r.image_a, r.image_b): r.hamming for r in got.itertuples()}
     assert pairs == {("imgA", "imgB"): 1, ("imgC", "imgD"): 2}
+
+
+def test_image_dup_clusters_matches_bruteforce_union_find():
+    """phash pairs -> distributed CC labels == a brute union-find over
+    the brute O(n^2) Hamming pair set (label = min image_id)."""
+    from oluray.pipelines import queries as Q
+    from oluray.sources import fixtures
+
+    import pyarrow.parquet as pq
+
+    got = Q.q_image_dup_clusters(SF).to_pandas()
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = t["doc_id"].to_numpy()
+    ph = np.array(
+        [fixtures.phash64(fixtures._pixels(
+            int(i), fixtures.SIZES[int(i) % len(fixtures.SIZES)],
+            fixtures.SIZES[int(i) % len(fixtures.SIZES)], 42))
+         for i in ids], dtype=np.int64)
+    u = ph.view(np.uint64)
+    ai, bi = np.triu_indices(len(u), 1)
+    hd = dedup.hamming64(u[ai], u[bi])
+    keep = hd <= 2
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ids[ai[keep]], ids[bi[keep]]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in zip(ids[ai[keep]], ids[bi[keep]]):
+        for x in (int(a), int(b)):
+            want[x] = find(x)
+    # path-compress to final roots
+    want = {x: find(x) for x in want}
+
+    gotd = dict(zip(got["node"].astype(int), got["label"].astype(int)))
+    assert gotd == want
+    assert len(want) > 0
