@@ -677,6 +677,46 @@ def q_image_dup_clusters(sf_dir: str):
     )
 
 
+def q_polygon_join(sf_dir: str):
+    """Polygon ⋈ polygon intersection join (`spatial.polygon_join`):
+    deterministic hexagon footprints around each customer's derived
+    point vs the changeset polygon fixture set — cover-explode both
+    sides, one cell equi join, pair dedup, exact vectorized
+    edge-cross + containment verify. Rows-only (no SQL spatial
+    support); verified in pytest against per-pair brute loops."""
+    from oluray.sources import fixtures
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = geo.derive_lonlat(ids)
+        n, k = len(ids), 6
+        # radius 0.5-3 deg from the id hash; +id-dependent rotation so
+        # vertex layouts differ across rows
+        r = 0.5 + (ids % np.int64(100)).astype(np.float64) / 40.0
+        rot = (ids % np.int64(360)).astype(np.float64) * (np.pi / 180.0)
+        ang = rot[:, None] + 2.0 * np.pi * np.arange(k) / k
+        flon = (lon[:, None] + r[:, None] * np.cos(ang)).ravel()
+        flat = (lat[:, None] + r[:, None] * np.sin(ang)).ravel()
+        ring = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * k),
+            pa.StructArray.from_arrays(
+                [pa.array(flon), pa.array(flat)], ["lon", "lat"]
+            ),
+        )
+        return pa.table({"a_id": pa.array(ids), "ring": ring})
+
+    left = cust.map_batches(mk, batch_format="pyarrow")
+    polys = fixtures.make_change_polys(32, seed=5)
+    right = ray.data.from_arrow(
+        pa.table({"b_id": polys["poly_id"], "ring": polys["ring"]})
+    )
+    return spatial.polygon_join(
+        left, right, res=4, num_partitions=16
+    )
+
+
 def q_image_decode(sf_dir: str):
     """Multimodal plumbing: synthesize a deterministic image per doc,
     decode through the actor-pool stage, emit stats. Rows-only (pixel
@@ -1770,6 +1810,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "phash_near_dup": q_phash_near_dup,
     "image_dup_clusters": q_image_dup_clusters,
+    "polygon_join": q_polygon_join,
     "token_count": q_token_count,
     "quality": q_quality,
     "langid": q_langid,

@@ -682,3 +682,202 @@ def tile_cover(
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# polygon-polygon spatial join
+# ---------------------------------------------------------------------------
+
+
+def _ring_arrays(col: pa.ChunkedArray | pa.ListArray):
+    """Flatten a list<struct{lon,lat}> ring column to (lon, lat,
+    offsets) numpy views. Offsets have len(rows)+1 entries."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = arr.offsets.to_numpy().astype(np.int64)
+    vals = arr.values
+    return (
+        vals.field("lon").to_numpy(zero_copy_only=False),
+        vals.field("lat").to_numpy(zero_copy_only=False),
+        off,
+    )
+
+
+def _next_vertex(off: np.ndarray, n_flat: int) -> np.ndarray:
+    """Index of each vertex's ring successor (wrap at segment end)."""
+    nxt = np.arange(1, n_flat + 1, dtype=np.int64)
+    if len(off) > 1:
+        nxt[off[1:] - 1] = off[:-1]
+    return nxt
+
+
+def _pip_per_pair(px, py, rx, ry, off) -> np.ndarray:
+    """Even-odd PIP, one (point, ring) test PER ROW: point i against
+    ring segment i of the flattened (rx, ry, off) column. The same
+    per-edge arithmetic as geo.point_in_polygon (horizontal edges
+    skipped, strict x < xint), vectorized across ALL pairs' edges at
+    once instead of looping points per polygon."""
+    cnt = np.diff(off)
+    nxt = _next_vertex(off, len(rx))
+    rep = np.repeat(np.arange(len(px), dtype=np.int64), cnt)
+    x1, y1 = rx, ry
+    x2, y2 = rx[nxt], ry[nxt]
+    X, Y = px[rep], py[rep]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cond = (y1 > Y) != (y2 > Y)
+        xint = (x2 - x1) * (Y - y1) / (y2 - y1) + x1
+        crs = cond & (y1 != y2) & (X < xint)
+    out = np.zeros(len(px), dtype=bool)
+    nz = cnt > 0
+    if nz.any():
+        out[nz] = np.bitwise_xor.reduceat(crs, off[:-1][nz])
+    return out
+
+
+def polygons_intersect_batch(ra: pa.ListArray, rb: pa.ListArray) -> np.ndarray:
+    """Row-wise exact polygon-intersection verdicts for two aligned
+    ring columns: intersect iff any edge pair properly crosses OR one
+    polygon's first vertex lies inside the other (if no edge crosses,
+    the polygons are disjoint or nested, so ONE vertex decides).
+
+    Fully vectorized across the batch: the per-pair cartesian edge
+    product is laid out flat with np.repeat bookkeeping — no Python
+    loop over pairs, one orientation computation for every edge pair
+    of every row at once."""
+    ax, ay, ao = _ring_arrays(ra)
+    bx, by, bo = _ring_arrays(rb)
+    P = len(ao) - 1
+    a_start, b_start = ao[:-1], bo[:-1]
+    a_cnt, b_cnt = np.diff(ao), np.diff(bo)
+    anxt = _next_vertex(ao, len(ax))
+    bnxt = _next_vertex(bo, len(bx))
+
+    m = a_cnt * b_cnt
+    M = int(m.sum())
+    pair_of = np.repeat(np.arange(P, dtype=np.int64), m)
+    base = np.concatenate(([0], np.cumsum(m)[:-1]))
+    t = np.arange(M, dtype=np.int64) - base[pair_of]
+    ai = a_start[pair_of] + t // np.maximum(b_cnt[pair_of], 1)
+    bi = b_start[pair_of] + t % np.maximum(b_cnt[pair_of], 1)
+
+    p1x, p1y = ax[ai], ay[ai]
+    p2x, p2y = ax[anxt[ai]], ay[anxt[ai]]
+    q1x, q1y = bx[bi], by[bi]
+    q2x, q2y = bx[bnxt[bi]], by[bnxt[bi]]
+    # orient(a,b,c) = (bx-ax)(cy-ay) - (by-ay)(cx-ax), proper crossing
+    # iff both segments strictly straddle each other (geo._segments_
+    # intersect semantics)
+    d1 = (q2x - q1x) * (p1y - q1y) - (q2y - q1y) * (p1x - q1x)
+    d2 = (q2x - q1x) * (p2y - q1y) - (q2y - q1y) * (p2x - q1x)
+    d3 = (p2x - p1x) * (q1y - p1y) - (p2y - p1y) * (q1x - p1x)
+    d4 = (p2x - p1x) * (q2y - p1y) - (p2y - p1y) * (q2x - p1x)
+    crossing = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+
+    hit = np.zeros(P, dtype=bool)
+    nz = m > 0
+    if nz.any():
+        hit[nz] = np.bitwise_or.reduceat(crossing, base[nz])
+    # containment (nested, no crossings): first vertex decides
+    ok = (a_cnt > 0) & (b_cnt > 0)
+    if ok.any():
+        sa = np.minimum(a_start, max(len(ax) - 1, 0))
+        sb = np.minimum(b_start, max(len(bx) - 1, 0))
+        pin_a = _pip_per_pair(ax[sa], ay[sa], bx, by, bo)
+        pin_b = _pip_per_pair(bx[sb], by[sb], ax, ay, ao)
+        hit |= (pin_a | pin_b) & ok
+    return hit
+
+
+def polygon_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_id: str = "a_id",
+    right_id: str = "b_id",
+    ring_col: str = "ring",
+    res: int = 5,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Polygon ⋈ polygon intersection join, both sides LARGE:
+
+      1. cover-explode each side to distinct (id, cell) rows at `res`
+         (`geo.polygon_cover` — a strict superset of touched cells);
+      2. ONE equi hash join on cell -> candidate id pairs, deduped by
+         a hash-partitioned pair shuffle (a pair sharing k cells is
+         emitted k times);
+      3. ring payloads joined back onto the candidates (two hash
+         joins — rings move once, only for candidates);
+      4. exact vectorized verify (`polygons_intersect_batch`).
+
+    Neither side is broadcast; every stage is a bounded exchange:
+    cover rows ~ polygons x cells-per-polygon, candidates ~ true
+    spatial locality. Pick `res` so a typical polygon covers a
+    handful of cells; dense-cell skew shows up as a hot cell in
+    stage 2 and is the documented salting point."""
+    from oluray.stages import joins
+
+    def explode(side_id: str):
+        def fn(t: pa.Table) -> pa.Table:
+            lon, lat, off = _ring_arrays(t[ring_col])
+            ids = t[side_id].to_numpy(zero_copy_only=False)
+            out_ids, out_cells = [], []
+            for i in range(len(ids)):
+                s, e = off[i], off[i + 1]
+                if e - s < 3:
+                    continue
+                cells = geo.polygon_cover(lon[s:e], lat[s:e], res)
+                out_ids.append(np.full(len(cells), ids[i], dtype=np.int64))
+                out_cells.append(cells)
+            if not out_ids:
+                return pa.table(
+                    {side_id: pa.array([], pa.int64()),
+                     "cell": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {side_id: pa.array(np.concatenate(out_ids)),
+                 "cell": pa.array(np.concatenate(out_cells))}
+            )
+
+        return fn
+
+    lcells = left.map_batches(explode(left_id), batch_format="pyarrow")
+    rcells = right.map_batches(explode(right_id), batch_format="pyarrow")
+    cand = joins.hash_join(
+        lcells, rcells, on="cell", num_partitions=num_partitions,
+        left_schema=pa.schema([(left_id, pa.int64()), ("cell", pa.int64())]),
+        right_schema=pa.schema([(right_id, pa.int64()), ("cell", pa.int64())]),
+    ).select_columns([left_id, right_id])
+    cand = joins.pair_dedup(cand, [left_id, right_id], num_partitions)
+
+    ring_t = pa.list_(
+        pa.struct([("lon", pa.float64()), ("lat", pa.float64())])
+    )
+    with_a = joins.hash_join(
+        cand, left.select_columns([left_id, ring_col]), on=left_id,
+        num_partitions=num_partitions, suffix="_a",
+        left_schema=pa.schema([(left_id, pa.int64()), (right_id, pa.int64())]),
+        right_schema=pa.schema([(left_id, pa.int64()), (ring_col, ring_t)]),
+    )
+    with_ab = joins.hash_join(
+        with_a, right.select_columns([right_id, ring_col]), on=right_id,
+        num_partitions=num_partitions, suffix="_b",
+        left_schema=pa.schema(
+            [(left_id, pa.int64()), (right_id, pa.int64()), (ring_col, ring_t)]
+        ),
+        right_schema=pa.schema([(right_id, pa.int64()), (ring_col, ring_t)]),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {left_id: pa.array([], pa.int64()),
+                 right_id: pa.array([], pa.int64())}
+            )
+        ra = t[ring_col].combine_chunks()
+        rb = t[ring_col + "_b"].combine_chunks()
+        hit = polygons_intersect_batch(ra, rb)
+        keep = pa.array(hit)
+        return pa.table(
+            {left_id: t[left_id].filter(keep),
+             right_id: t[right_id].filter(keep)}
+        )
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")

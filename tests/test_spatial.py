@@ -149,3 +149,84 @@ def test_knn_k_exceeds_feature_count():
     ).to_pandas()
     assert len(out) == 2 * 3  # 3 ranks per point, not 5
     assert sorted(out["rank"].unique()) == [1, 2, 3]
+
+
+def test_polygons_intersect_batch_vs_brute():
+    """Vectorized pairwise verdicts == per-pair loops over
+    geo._segments_intersect + geo.point_in_polygon (crossing,
+    nested-either-way, disjoint, shared-cell-but-disjoint cases)."""
+    from oluray.sources import fixtures
+    from oluray.stages import spatial as sp
+
+    pa_ = fixtures.make_change_polys(12, seed=3)
+    pb_ = fixtures.make_change_polys(12, seed=9)
+    ra = pa_["ring"].combine_chunks()
+    rb = pb_["ring"].combine_chunks()
+
+    import itertools
+    import pyarrow as pa
+
+    # all 144 combinations as one aligned batch
+    ia, ib = zip(*itertools.product(range(12), range(12)))
+    ra_all = ra.take(pa.array(ia))
+    rb_all = rb.take(pa.array(ib))
+    got = sp.polygons_intersect_batch(ra_all, rb_all)
+
+    def ring_np(r, i):
+        v = r[i].as_py()
+        return (np.array([p["lon"] for p in v]),
+                np.array([p["lat"] for p in v]))
+
+    exp = []
+    for a, b in zip(ia, ib):
+        ax, ay = ring_np(ra, a)
+        bx, by = ring_np(rb, b)
+        cross = False
+        na, nb = len(ax), len(bx)
+        for i in range(na):
+            p1 = (ax[i], ay[i]); p2 = (ax[(i + 1) % na], ay[(i + 1) % na])
+            for j in range(nb):
+                q1 = (bx[j], by[j]); q2 = (bx[(j + 1) % nb], by[(j + 1) % nb])
+                if geo._segments_intersect(p1, p2, q1, q2):
+                    cross = True
+                    break
+            if cross:
+                break
+        inside = (bool(geo.point_in_polygon(ax[:1], ay[:1], bx, by)[0])
+                  or bool(geo.point_in_polygon(bx[:1], by[:1], ax, ay)[0]))
+        exp.append(cross or inside)
+    assert got.tolist() == exp
+    assert any(exp) and not all(exp)
+
+
+def test_polygon_join_matches_bruteforce():
+    from oluray.sources import fixtures
+    from oluray.stages import spatial as sp
+
+    import itertools
+    import pyarrow as pa
+    import ray.data as rd
+
+    ta = fixtures.make_change_polys(10, seed=3)
+    tb = fixtures.make_change_polys(10, seed=9)
+    left = rd.from_arrow(
+        pa.table({"a_id": ta["poly_id"], "ring": ta["ring"]})
+    )
+    right = rd.from_arrow(
+        pa.table({"b_id": tb["poly_id"], "ring": tb["ring"]})
+    )
+    got = sp.polygon_join(left, right, res=4, num_partitions=4).to_pandas()
+    gotset = set(zip(got["a_id"].astype(int), got["b_id"].astype(int)))
+
+    ra = ta["ring"].combine_chunks()
+    rb = tb["ring"].combine_chunks()
+    ia, ib = zip(*itertools.product(range(10), range(10)))
+    verdicts = sp.polygons_intersect_batch(
+        ra.take(pa.array(ia)), rb.take(pa.array(ib))
+    )
+    want = {
+        (int(ta["poly_id"][a].as_py()), int(tb["poly_id"][b].as_py()))
+        for a, b, v in zip(ia, ib, verdicts) if v
+    }
+    assert gotset == want
+    assert len(want) > 0
