@@ -153,6 +153,78 @@ def grouped_agg(
                            pre_repartition=pre_repartition)
 
 
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(keys: np.ndarray, bits: int) -> tuple[np.ndarray, ...]:
+    """Double-hashed bit positions (h1 + i*h2 mod bits) for int64 keys,
+    vectorized; `bits` must be a power of two."""
+    k = keys.astype(np.int64, copy=False).view(np.uint64)
+    h1 = _mix64(k)
+    h2 = _mix64(k ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    mask = np.uint64(bits - 1)
+    return tuple(
+        (h1 + np.uint64(i) * h2) & mask for i in range(BLOOM_HASHES)
+    )
+
+
+def build_bloom(
+    keys: ray.data.Dataset, col: str, bits: int = 1 << 23,
+) -> np.ndarray:
+    """Distributed Bloom-filter build over an int64 key Dataset: every
+    block computes its own fixed-size bitmap (vectorized scatter), the
+    driver ORs them as they stream past. Driver MEMORY is one bitmap
+    (bits/8 bytes, 1 MiB at the default); driver TRAFFIC is one bitmap
+    per block — bounded by block count, never by key count."""
+    if bits & (bits - 1):
+        raise ValueError(f"bits must be a power of two, got {bits}")
+    words = bits // 64
+
+    def block_bm(df: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(words, dtype=np.uint64)
+        if len(df):
+            k = df[col].to_numpy(dtype=np.int64, na_value=0)
+            for idx in _bloom_positions(k, bits):
+                np.bitwise_or.at(
+                    bm, (idx >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (idx & np.uint64(63)),
+                )
+        return pd.DataFrame({"bm": [bm]})
+
+    out = np.zeros(words, dtype=np.uint64)
+    mapped = keys.select_columns([col]).map_batches(
+        block_bm, batch_format="pandas"
+    )
+    for b in mapped.iter_batches(batch_format="pandas", batch_size=16):
+        for v in b["bm"]:
+            np.bitwise_or(out, v, out=out)
+    return out
+
+
+def bloom_prefilter(
+    left: ray.data.Dataset, on: str, bloom: np.ndarray,
+) -> ray.data.Dataset:
+    """Map-side Bloom probe: keep rows whose key MIGHT be in the set
+    (all BLOOM_HASHES bits set). No false negatives — safe as an
+    exact-join prefilter; false positives just ride through to the
+    exact check. The bitmap ships once via `ray.put`."""
+    bits = len(bloom) * 64
+    ref = ray.put(bloom)
+
+    def probe(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        bm = ray.get(ref)
+        k = df[on].to_numpy(dtype=np.int64, na_value=0)
+        hit = np.ones(len(df), dtype=bool)
+        for idx in _bloom_positions(k, bits):
+            w = bm[(idx >> np.uint64(6)).astype(np.int64)]
+            hit &= (w >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        return df[hit]
+
+    return left.map_batches(probe, batch_format="pandas")
+
+
 def semi_join(
     left: ray.data.Dataset,
     keys: ray.data.Dataset,
@@ -162,6 +234,7 @@ def semi_join(
     num_partitions: int = DEFAULT_PARTITIONS,
     left_schema: pa.Schema | None = None,
     keys_schema: pa.Schema | None = None,
+    bloom_bits: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed semi (or anti) join: left rows whose `on` value
     does (not) appear in the key dataset — for key sets too large to
@@ -169,7 +242,14 @@ def semi_join(
     minutely window; THIS is where a 100 TB backfill's changed-id set
     goes). Both sides hash-partition on the key; each partition does
     one vectorized `isin`. Keys are deduped per block first so the
-    shuffle moves distinct keys, not key occurrences."""
+    shuffle moves distinct keys, not key occurrences.
+
+    `bloom_bits` (semi only, int64 keys): build a Bloom filter over
+    the key set and drop definite non-matches from `left` map-side,
+    BEFORE the shuffle — the exchange then moves ~|matches| + false
+    positives instead of |left|. Exactness is unchanged (no false
+    negatives; fp rows fail the exact isin). The key lineage is
+    materialized so bloom build + join scan it once."""
     key_col = key_col or on
     keys = keys.select_columns([key_col])
 
@@ -177,6 +257,9 @@ def semi_join(
         return df.drop_duplicates(_kc)
 
     keys = keys.map_batches(dd, batch_format="pandas", batch_size=65536)
+    if bloom_bits and not anti:
+        keys = keys.materialize()
+        left = bloom_prefilter(left, on, build_bloom(keys, key_col, bloom_bits))
 
     # the key column always becomes "__key" so it can never collide
     # with a left column of the same name in the padded union schema

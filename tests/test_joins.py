@@ -397,3 +397,38 @@ def test_group_ntile_exact_sql_semantics():
     import pytest
     with pytest.raises(ValueError):
         joins.group_ntile(_ds(one, 1), ["g"], [("v", True)], k=0)
+
+
+def test_bloom_no_false_negatives_and_fp_bounded():
+    rng = np.random.default_rng(31)
+    members = np.unique(rng.integers(0, 1 << 40, 5000))
+    keys = ray.data.from_pandas(pd.DataFrame({"k": members}))
+    bm = joins.build_bloom(keys, "k", bits=1 << 20)  # ~210 bits/key
+    probe_df = pd.DataFrame({"k": members})
+    hit = joins.bloom_prefilter(_ds(probe_df), "k", bm).to_pandas()
+    assert len(hit) == len(members)  # every member survives
+    outsiders = np.setdiff1d(
+        rng.integers(0, 1 << 40, 20000), members
+    )
+    fp = joins.bloom_prefilter(
+        _ds(pd.DataFrame({"k": outsiders})), "k", bm
+    ).count()
+    assert fp / len(outsiders) < 0.01  # generous bound at this load
+
+
+def test_semi_join_bloom_path_identical():
+    rng = np.random.default_rng(32)
+    left = pd.DataFrame({"id": rng.integers(0, 5000, 3000),
+                         "x": np.arange(3000)})
+    keys = pd.DataFrame({"id": rng.integers(0, 5000, 400)})
+    plain = joins.semi_join(_ds(left), _ds(keys, 2), on="id",
+                            num_partitions=8).to_pandas()
+    bloom = joins.semi_join(_ds(left), _ds(keys, 2), on="id",
+                            num_partitions=8, bloom_bits=1 << 16).to_pandas()
+    cols = ["id", "x"]
+    pd.testing.assert_frame_equal(
+        plain[cols].sort_values(cols).reset_index(drop=True),
+        bloom[cols].sort_values(cols).reset_index(drop=True),
+    )
+    with __import__("pytest").raises(ValueError, match="power of two"):
+        joins.build_bloom(_ds(keys, 1), "id", bits=1000)
