@@ -1461,6 +1461,58 @@ def q_length_deciles(sf_dir: str):
     )
 
 
+def q_sales_rollup(sf_dir: str):
+    """GROUPING SETS rollup — (flag, status), (flag), () levels in ONE
+    scan: the per-block combiner emits partial (n, sum) rows for every
+    level (level rows per block ~ distinct keys, not data), then one
+    hash-partitioned final sum keyed on the null-filled ('ALL') key
+    pair. Quantities are per-row integers so the distributed sum is
+    exactly associative (no float partial-sum drift)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    LEVELS = (("l_returnflag", "l_linestatus"), ("l_returnflag",), ())
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "qty": _round_half_away(df["l_quantity"]),
+            }
+        )
+        outs = []
+        for keys in LEVELS:
+            if keys:
+                g = base.groupby(list(keys), as_index=False).agg(
+                    n=("qty", "size"), sum_qty=("qty", "sum")
+                )
+            else:
+                g = pd.DataFrame(
+                    {"n": [len(base)], "sum_qty": [base["qty"].sum()]}
+                )
+            for c in ("l_returnflag", "l_linestatus"):
+                if c not in g.columns:
+                    g[c] = "ALL"
+            outs.append(g[["l_returnflag", "l_linestatus", "n", "sum_qty"]])
+        out = pd.concat(outs, ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        out["sum_qty"] = out["sum_qty"].astype("int64")
+        return out
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n=("n", "sum"), sum_qty=("sum_qty", "sum")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["sum_qty"] = g["sum_qty"].astype("int64")
+        return g
+
+    return joins.grouped_agg(
+        li, ["l_returnflag", "l_linestatus"], agg, num_partitions=8,
+        combine_fn=combine, pre_repartition=False,
+    )
+
+
 def q_vocab_df(sf_dir: str):
     """Corpus vocabulary with document + collection frequency
     (`text.vocab_stats`): per-block (term, df, cf) combiner, term-hash
@@ -1595,6 +1647,15 @@ ORACLE: dict[str, str] = {
         SELECT user_id, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n,
                round(sum(value) * 100)::BIGINT AS sum_value_cents
         FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "sales_rollup": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               count(*)::BIGINT AS n,
+               sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
     """,
     "length_deciles": """
         SELECT doc_id, lang, n_chars,
@@ -1818,6 +1879,7 @@ QUERIES = {
     "window_hourly": q_window_hourly,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "sales_rollup": q_sales_rollup,
     "length_deciles": q_length_deciles,
     "topk_per_cust": q_topk_per_cust,
     "rolling_24h": q_rolling_24h,

@@ -190,3 +190,20 @@ def test_rolling_24h_many_users_and_fallback_path(monkeypatch):
             .sort_values("event_id").reset_index(drop=True))
     assert got2["w_n"].tolist() == exp_n
     assert got2["w_sum_cents"].tolist() == exp_s
+
+
+def test_sales_rollup_levels_consistent():
+    got = Q.q_sales_rollup(SF).to_pandas()
+    detail = got[(got["l_returnflag"] != "ALL") & (got["l_linestatus"] != "ALL")]
+    mid = got[(got["l_returnflag"] != "ALL") & (got["l_linestatus"] == "ALL")]
+    total = got[(got["l_returnflag"] == "ALL") & (got["l_linestatus"] == "ALL")]
+    assert len(total) == 1
+    # every level accounts for every row exactly once
+    assert detail["n"].sum() == mid["n"].sum() == total["n"].iloc[0]
+    assert detail["sum_qty"].sum() == total["sum_qty"].iloc[0]
+    # mid level equals detail rolled up by flag
+    roll = detail.groupby("l_returnflag")["n"].sum().sort_index()
+    pd.testing.assert_series_equal(
+        roll, mid.set_index("l_returnflag")["n"].sort_index(),
+        check_names=False,
+    )
