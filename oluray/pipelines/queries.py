@@ -1461,6 +1461,20 @@ def q_length_deciles(sf_dir: str):
     )
 
 
+def q_hll_users(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) over events via the
+    HyperLogLog sketch (`sketch.hll_registers`): one streaming scan,
+    4 KiB mergeable state, ~1.6% std error at p=12. Rows-only by
+    design (approximate); the pytest bounds it against the exact
+    count."""
+    from oluray.stages import sketch
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return pd.DataFrame(
+        {"distinct_users_est": [sketch.hll_count(ev, "user_id", p=12)]}
+    )
+
+
 def q_sales_rollup(sf_dir: str):
     """GROUPING SETS rollup — (flag, status), (flag), () levels in ONE
     scan: the per-block combiner emits partial (n, sum) rows for every
@@ -1880,6 +1894,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "sales_rollup": q_sales_rollup,
+    "hll_users": q_hll_users,
     "length_deciles": q_length_deciles,
     "topk_per_cust": q_topk_per_cust,
     "rolling_24h": q_rolling_24h,

@@ -1,0 +1,72 @@
+"""HyperLogLog distinct-count sketch vs exact counts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from oluray.stages import sketch
+
+
+def _ds(df: pd.DataFrame, blocks: int = 5) -> ray.data.Dataset:
+    parts = np.array_split(df, blocks)
+    return ray.data.from_pandas([p.reset_index(drop=True) for p in parts])
+
+
+def test_nlz_exact_vs_python():
+    rng = np.random.default_rng(5)
+    xs = np.concatenate([
+        rng.integers(1, 1 << 62, 500, dtype=np.int64).view(np.uint64),
+        # the float-log2 trap: values within rounding of powers of two
+        np.array([(1 << k) - 1 for k in range(1, 63)], dtype=np.uint64),
+        np.array([1 << k for k in range(63)], dtype=np.uint64),
+        np.array([0xFFFFFFFFFFFFFFFF], dtype=np.uint64),
+    ])
+    got = sketch._nlz64(xs)
+    exp = np.array([64 - int(x).bit_length() for x in xs], dtype=np.uint64)
+    assert np.array_equal(got, exp)
+
+
+def test_hll_within_error_bound():
+    rng = np.random.default_rng(6)
+    for true_n in (100, 5_000, 120_000):
+        keys = rng.choice(
+            np.arange(true_n, dtype=np.int64) * 7_919 + 13, size=true_n * 3
+        )
+        df = pd.DataFrame({"k": keys})
+        est = sketch.hll_count(_ds(df), "k", p=12)
+        exact = df["k"].nunique()
+        # 1.04/sqrt(4096) ~ 1.6% std error; assert 4 sigma
+        assert abs(est - exact) / exact < 0.065, (true_n, est, exact)
+
+
+def test_hll_registers_mergeable():
+    rng = np.random.default_rng(7)
+    a = pd.DataFrame({"k": rng.integers(0, 50_000, 30_000)})
+    b = pd.DataFrame({"k": rng.integers(25_000, 75_000, 30_000)})
+    ra = sketch.hll_registers(_ds(a), "k")
+    rb = sketch.hll_registers(_ds(b), "k")
+    merged = np.maximum(ra, rb)
+    both = sketch.hll_registers(_ds(pd.concat([a, b])), "k")
+    # merge of sketches == sketch of union, bit for bit
+    assert np.array_equal(merged, both)
+
+
+def test_hll_empty_and_bad_p():
+    est = sketch.hll_count(_ds(pd.DataFrame({"k": pd.Series([], dtype="int64")}), 1), "k")
+    assert est == 0
+    with pytest.raises(ValueError):
+        sketch.hll_registers(_ds(pd.DataFrame({"k": [1]}), 1), "k", p=30)
+
+
+def test_hll_users_query_vs_exact():
+    import duckdb
+
+    from oluray.pipelines import queries as Q
+
+    SF = "/root/testdata/sf0.001"
+    est = int(Q.q_hll_users(SF)["distinct_users_est"].iloc[0])
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.065
