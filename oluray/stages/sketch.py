@@ -30,7 +30,7 @@ import ray.data
 
 from oluray.stages.joins import _mix64
 
-__all__ = ["hll_registers", "hll_estimate", "hll_count"]
+__all__ = ["hll_registers", "hll_estimate", "hll_count", "approx_heavy_hitters"]
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -111,3 +111,49 @@ def hll_count(ds: "ray.data.Dataset", col: str, p: int = 12) -> int:
     """Approximate COUNT(DISTINCT col): one scan, ~1.04/sqrt(2^p)
     relative error (~1.6% at the default p=12)."""
     return int(round(hll_estimate(hll_registers(ds, col, p))))
+
+
+def approx_heavy_hitters(
+    ds: "ray.data.Dataset", col: str, k: int = 10, per_block: int = 256,
+) -> pd.DataFrame:
+    """Approximate top-k heaviest keys (the hot-key detector feeding
+    `stages/skew.py`'s salting decision): every block keeps its exact
+    local top-`per_block` counts, the driver sums the candidates.
+
+    Guarantee (Misra-Gries flavored): any key whose global frequency
+    exceeds 1/per_block of ANY block it appears in survives that
+    block's cut, so true heavy hitters — the only keys that matter
+    for salting — are candidates with near-certainty; reported counts
+    are lower bounds (a key's count in blocks where it missed the cut
+    is dropped). Driver state is <= per_block x blocks rows of
+    (key, count) — block-count bound. For exact counts of the
+    survivors, follow with one `joins.semi_join` + grouped count.
+
+    Returns a pandas DataFrame (key, count_lb) of the top k by
+    summed lower-bound count, key ascending on ties."""
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"key": pd.Series([], dtype="int64"),
+                 "count_lb": pd.Series([], dtype="int64")}
+            )
+        vc = df[col].value_counts().head(per_block)
+        return pd.DataFrame(
+            {"key": vc.index.to_numpy(dtype=np.int64),
+             "count_lb": vc.to_numpy(dtype=np.int64)}
+        )
+
+    cand = ds.select_columns([col]).map_batches(
+        local_top, batch_format="pandas"
+    ).to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {"key": pd.Series([], dtype="int64"),
+             "count_lb": pd.Series([], dtype="int64")}
+        )
+    g = cand.groupby("key", as_index=False)["count_lb"].sum()
+    g = g.sort_values(["count_lb", "key"], ascending=[False, True],
+                      kind="mergesort").head(k)
+    g["count_lb"] = g["count_lb"].astype("int64")
+    return g.reset_index(drop=True)

@@ -70,3 +70,28 @@ def test_hll_users_query_vs_exact():
         f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
     ).fetchone()[0]
     assert abs(est - exact) / exact < 0.065
+
+
+def test_heavy_hitters_zipf_recall_and_lower_bound():
+    rng = np.random.default_rng(9)
+    # zipf-ish: key i with weight ~ 1/(i+1)^1.3 over 2000 keys
+    w = 1.0 / np.power(np.arange(1, 2001), 1.3)
+    keys = rng.choice(2000, size=120_000, p=w / w.sum()).astype(np.int64)
+    df = pd.DataFrame({"k": keys})
+    got = sketch.approx_heavy_hitters(_ds(df, blocks=8), "k", k=10,
+                                      per_block=64)
+    exact = df["k"].value_counts()
+    true_top = set(exact.head(10).index.astype(int))
+    assert set(got["key"].astype(int)) == true_top
+    # reported counts are lower bounds on the exact counts
+    for r in got.itertuples():
+        assert r.count_lb <= int(exact.loc[r.key])
+    # and the head keys (present in every block's top) are exact
+    assert got["count_lb"].iloc[0] == int(exact.iloc[0])
+
+
+def test_heavy_hitters_empty():
+    got = sketch.approx_heavy_hitters(
+        _ds(pd.DataFrame({"k": pd.Series([], dtype="int64")}), 1), "k"
+    )
+    assert len(got) == 0
