@@ -76,3 +76,39 @@ def salted_group_apply(
     output per sub-group is independent of the other sub-groups."""
     s = salted(ds, id_col or key, buckets)
     return s.groupby([key, "salt"]).map_groups(fn, batch_format=batch_format)
+
+
+def auto_salted_group_apply(
+    ds: ray.data.Dataset, key: str, fn, buckets: int = 16,
+    id_col: str | None = None, top: int = 64, per_block: int = 4096,
+    batch_format: str = "pandas",
+) -> ray.data.Dataset:
+    """`salted_group_apply` that salts ONLY detected hot keys: a
+    heavy-hitter pass (`sketch.approx_heavy_hitters`) finds the top
+    candidates, and every other key gets salt 0 — so the caller's
+    post-merge cost is `buckets` partials per HOT key instead of per
+    key. Uniform data degrades to a plain groupby (one sub-group per
+    key), skewed data splits exactly the keys that would melt a
+    reducer.
+
+    Two passes over `ds` (detector + group apply): pass a read-stage
+    or materialized Dataset so the re-scan is cheap. `key` must be
+    integer-typed (the detector's contract)."""
+    from oluray.stages.sketch import approx_heavy_hitters
+
+    hh = approx_heavy_hitters(ds, key, k=top, per_block=per_block)
+    hot = np.sort(hh["key"].to_numpy(dtype=np.int64))
+    salted_ds = salted(ds, id_col or key, buckets)
+
+    def zero_cold(batch: pa.Table, hot=hot) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["salt"].to_numpy(zero_copy_only=False)
+        s = np.where(np.isin(k, hot), s, 0)
+        return batch.set_column(
+            batch.schema.get_field_index("salt"), "salt", pa.array(s)
+        )
+
+    salted_ds = salted_ds.map_batches(zero_cold, batch_format="pyarrow")
+    return salted_ds.groupby([key, "salt"]).map_groups(
+        fn, batch_format=batch_format
+    )

@@ -138,3 +138,38 @@ def test_salted_string_ids_deterministic():
     b = skew.salted(ray.data.from_arrow(t), "k", buckets=8).to_pandas()
     assert (a["salt"] == b["salt"]).all()
     assert a["salt"].iloc[0] == a["salt"].iloc[2]  # same id, same salt
+
+
+def test_auto_salted_group_apply_splits_only_hot_keys():
+    import ray.data as rd
+
+    from oluray.stages import skew
+
+    rng = np.random.default_rng(13)
+    # key 1 is hot (10k rows), keys 100..149 are cold (~40 rows each)
+    keys = np.concatenate([
+        np.full(10_000, 1, dtype=np.int64),
+        rng.integers(100, 150, 2_000).astype(np.int64),
+    ])
+    df = pd.DataFrame({"key": keys, "id": np.arange(len(keys), dtype=np.int64)})
+    parts = np.array_split(df.sample(frac=1.0, random_state=0), 6)
+    ds = rd.from_pandas([p.reset_index(drop=True) for p in parts])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": [g["key"].iloc[0]],
+                             "salt": [g["salt"].iloc[0]],
+                             "n": [len(g)]})
+
+    out = skew.auto_salted_group_apply(
+        ds, "key", per_group, buckets=8, id_col="id", top=1, per_block=4,
+    ).to_pandas()
+    # hot key split across >1 sub-groups, cold keys exactly 1 each
+    assert out[out["key"] == 1]["salt"].nunique() > 1
+    cold = out[out["key"] != 1]
+    assert (cold.groupby("key")["salt"].nunique() == 1).all()
+    assert (cold["salt"] == 0).all()
+    # merged partials reproduce the exact counts
+    merged = out.groupby("key")["n"].sum()
+    exact = df["key"].value_counts()
+    assert merged.loc[1] == 10_000
+    assert (merged.sort_index() == exact.sort_index()).all()
