@@ -823,6 +823,44 @@ def q_range_join(sf_dir: str):
     return out.select_columns(["purchase_id", "error_id"])
 
 
+def q_overlap_join(sf_dir: str):
+    """Interval-OVERLAP join, both sides intervals
+    (`joins.interval_join`): 30-minute purchase windows vs 45-minute
+    error windows that overlap — (purchase, error) pairs. Both sides
+    band-explode; the canonical-band rule (pair kept only in the band
+    of the intersection start) emits each pair exactly once with no
+    pair-dedup shuffle."""
+    M30 = 1_800_000_000  # 30 min in epoch us
+    M45 = 2_700_000_000
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        s = t["ts"].cast(pa.int64())
+        return pa.table(
+            {"purchase_id": t["event_id"], "p_start": s,
+             "p_end": pc.add(s, M30)}
+        )
+
+    def errors(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "error"))
+        s = t["ts"].cast(pa.int64())
+        return pa.table(
+            {"error_id": t["event_id"], "e_start": s,
+             "e_end": pc.add(s, M45)}
+        )
+
+    out = joins.interval_join(
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        ev.map_batches(errors, batch_format="pyarrow"),
+        left_start="p_start", left_end="p_end",
+        right_start="e_start", right_end="e_end",
+        band=M45,
+    )
+    return out.select_columns(["purchase_id", "error_id"])
+
+
 def q_topk_per_cust(sf_dir: str):
     """Generic distributed per-group top-k (`joins.group_topk`):
     each customer's 3 priciest orders, ties broken by order key.
@@ -1721,6 +1759,13 @@ ORACLE: dict[str, str] = {
           ON l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 60 MINUTE
         WHERE l.event_type = 'purchase' AND r.event_type = 'error'
     """,
+    "overlap_join": """
+        SELECT l.event_id AS purchase_id, r.event_id AS error_id
+        FROM events l JOIN events r
+          ON l.ts <= r.ts + INTERVAL 45 MINUTE
+         AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        WHERE l.event_type = 'purchase' AND r.event_type = 'error'
+    """,
     "asof_join": """
         SELECT e.event_id, e.user_id, max(o.o_orderdate) AS last_order
         FROM events e LEFT JOIN orders o
@@ -1893,6 +1938,7 @@ QUERIES = {
     "window_hourly": q_window_hourly,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "overlap_join": q_overlap_join,
     "sales_rollup": q_sales_rollup,
     "hll_users": q_hll_users,
     "length_deciles": q_length_deciles,

@@ -869,6 +869,76 @@ def range_join(
     return joined.map_batches(post, batch_format="pandas")
 
 
+def interval_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    band: int,
+    num_partitions: int = DEFAULT_PARTITIONS,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Interval-overlap join, BOTH sides intervals: pairs where
+    ``left_start <= right_end AND right_start <= left_end``
+    (inclusive) — temporal overlap (sessions x outages), genomic
+    ranges, reservation conflicts. All bound columns int64, common
+    unit.
+
+    Construction: both sides explode to their covered bands
+    (`range_join`'s amplification bound applies to EACH side), one
+    equi hash join on the band, then a post-filter keeps a pair only
+    in the band containing the intersection START
+    (``max(ls, rs) // band``) — two overlapping intervals share that
+    band by construction, and it is unique per pair, so each
+    qualifying pair survives exactly once WITHOUT a pair-dedup
+    shuffle."""
+    if band <= 0:
+        raise ValueError(f"band must be a positive integer, got {band}")
+    BAND = "__band"
+
+    def explode(start_col: str, end_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            s = t[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            e = t[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            b0 = s // band
+            reps = np.maximum(e // band - b0 + 1, 0)
+            idx = np.repeat(np.arange(len(s)), reps)
+            off = np.arange(reps.sum()) - np.repeat(
+                np.concatenate(([0], reps.cumsum()[:-1])), reps
+            )
+            out = t.take(pa.array(idx))
+            return out.append_column(BAND, pa.array(b0[idx] + off))
+
+        return fn
+
+    lt = left.map_batches(explode(left_start, left_end),
+                          batch_format="pyarrow")
+    rt = right.map_batches(explode(right_start, right_end),
+                           batch_format="pyarrow")
+    if left_schema is not None:
+        left_schema = left_schema.append(pa.field(BAND, pa.int64()))
+    if right_schema is not None:
+        right_schema = right_schema.append(pa.field(BAND, pa.int64()))
+    joined = hash_join(lt, rt, on=BAND, num_partitions=num_partitions,
+                       left_schema=left_schema, right_schema=right_schema)
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        ls = df[left_start].to_numpy()
+        le = df[left_end].to_numpy()
+        rs = df[right_start].to_numpy()
+        re_ = df[right_end].to_numpy()
+        overlap = (ls <= re_) & (rs <= le)
+        canonical = df[BAND].to_numpy() == np.maximum(ls, rs) // band
+        return df[overlap & canonical].drop(columns=[BAND]).reset_index(
+            drop=True
+        )
+
+    return joined.map_batches(post, batch_format="pandas")
+
+
 def group_ntile(
     ds: ray.data.Dataset,
     keys: Sequence[str],

@@ -432,3 +432,29 @@ def test_semi_join_bloom_path_identical():
     )
     with __import__("pytest").raises(ValueError, match="power of two"):
         joins.build_bloom(_ds(keys, 1), "id", bits=1000)
+
+
+def test_interval_join_matches_bruteforce():
+    """Canonical-band count-once rule vs O(n*m) brute overlap, incl.
+    negative starts, zero-length and multi-band intervals."""
+    rng = np.random.default_rng(41)
+    nl, nr = 120, 90
+    ls = rng.integers(-500, 500, nl)
+    le = ls + rng.integers(0, 120, nl)  # 0..multi-band at band=37
+    rs = rng.integers(-500, 500, nr)
+    re_ = rs + rng.integers(0, 90, nr)
+    left = pd.DataFrame({"lid": np.arange(nl), "ls": ls, "le": le})
+    right = pd.DataFrame({"rid": np.arange(nr), "rs": rs, "re": re_})
+    got = joins.interval_join(
+        _ds(left), _ds(right, 2), left_start="ls", left_end="le",
+        right_start="rs", right_end="re", band=37, num_partitions=8,
+    ).to_pandas()
+    gotset = set(zip(got["lid"].astype(int), got["rid"].astype(int)))
+    want = {
+        (int(i), int(j))
+        for i in range(nl) for j in range(nr)
+        if ls[i] <= re_[j] and rs[j] <= le[i]
+    }
+    assert gotset == want
+    assert len(got) == len(want)  # exactly once each, no dupes
+    assert len(want) > 0
