@@ -861,6 +861,23 @@ def q_overlap_join(sf_dir: str):
     return out.select_columns(["purchase_id", "error_id"])
 
 
+def q_order_ranks(sf_dir: str):
+    """SQL ranking window functions (`joins.group_rank`): per
+    customer, each order's RANK / DENSE_RANK / PERCENT_RANK /
+    CUME_DIST by order date — ties are real (same-day orders), so the
+    peer-group arithmetic is exercised, and the float columns are
+    single IEEE divisions that hash-match DuckDB exactly."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    ranked = joins.group_rank(
+        orders, ["o_custkey"], [("o_orderdate", True)], num_partitions=16,
+    )
+    return ranked.select_columns(
+        ["o_custkey", "o_orderkey", "rank", "dense_rank",
+         "percent_rank", "cume_dist"]
+    )
+
+
 def q_topk_per_cust(sf_dir: str):
     """Generic distributed per-group top-k (`joins.group_topk`):
     each customer's 3 priciest orders, ties broken by order key.
@@ -1759,6 +1776,15 @@ ORACLE: dict[str, str] = {
           ON l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 60 MINUTE
         WHERE l.event_type = 'purchase' AND r.event_type = 'error'
     """,
+    "order_ranks": """
+        SELECT o_custkey, o_orderkey,
+               rank() OVER w AS "rank",
+               dense_rank() OVER w AS "dense_rank",
+               percent_rank() OVER w AS "percent_rank",
+               cume_dist() OVER w AS "cume_dist"
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    """,
     "overlap_join": """
         SELECT l.event_id AS purchase_id, r.event_id AS error_id
         FROM events l JOIN events r
@@ -1939,6 +1965,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "overlap_join": q_overlap_join,
+    "order_ranks": q_order_ranks,
     "sales_rollup": q_sales_rollup,
     "hll_users": q_hll_users,
     "length_deciles": q_length_deciles,

@@ -994,6 +994,74 @@ def group_ntile(
                            pre_repartition=False)
 
 
+def group_rank(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    order_by: Sequence[tuple[str, bool]],
+    num_partitions: int = DEFAULT_PARTITIONS,
+) -> ray.data.Dataset:
+    """SQL ranking window functions in ONE pass — appends `rank`
+    (RANK: ties share, gaps), `dense_rank`, `percent_rank`
+    ((rank-1)/(n-1), 0 for n=1) and `cume_dist` (peers-cumulative/n)
+    per `keys` group under `order_by`. Holistic like NTILE (needs the
+    group's count and tie structure), so: hash-partition on the group
+    key, per-partition one sort + vectorized segment arithmetic. The
+    two float columns are single IEEE divisions, so a SQL oracle
+    matches bit-for-bit."""
+    keys = list(keys)
+    by = keys + [c for c, _ in order_by]
+    asc = [True] * len(keys) + [a for _, a in order_by]
+    ocols = [c for c, _ in order_by]
+
+    def rk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(by, ascending=asc, kind="mergesort").reset_index(
+            drop=True
+        )
+        out = df.copy(deep=False)
+        n_tot = len(df)
+        if n_tot == 0:
+            for c in ("rank", "dense_rank"):
+                out[c] = pd.Series([], dtype="int64")
+            for c in ("percent_rank", "cume_dist"):
+                out[c] = pd.Series([], dtype="float64")
+            return out
+        g_start = df[keys].ne(df[keys].shift()).any(axis=1).to_numpy()
+        new_peer = g_start | df[ocols].ne(df[ocols].shift()).any(
+            axis=1
+        ).to_numpy()
+        seg_start_idx = np.flatnonzero(g_start)
+        seg_id = g_start.cumsum() - 1
+        r0 = np.arange(n_tot) - seg_start_idx[seg_id]  # 0-based row no.
+        n = np.diff(np.append(seg_start_idx, n_tot))[seg_id]
+        # rank: row number of each peer group's FIRST row, forward-filled
+        first_of_peer = np.maximum.accumulate(
+            np.where(new_peer, np.arange(n_tot), 0)
+        )
+        rank = r0 - (np.arange(n_tot) - first_of_peer) + 1
+        # dense rank: peer-group ordinal within the key group
+        dense = new_peer.cumsum() - np.maximum.accumulate(
+            np.where(g_start, new_peer.cumsum() - 1, 0)
+        )
+        # cume_dist: (last row of the peer group − group start + 1) / n;
+        # peer groups are numbered in order, so each row's peer end is
+        # a direct index into the peer-group end list
+        peer_id = new_peer.cumsum() - 1
+        last_idx = np.flatnonzero(np.append(new_peer[1:], True))
+        peer_end = last_idx[peer_id]
+        cume = (peer_end - seg_start_idx[seg_id] + 1).astype(np.float64) / n
+        pct = np.where(
+            n > 1, (rank - 1).astype(np.float64) / (n - 1), 0.0
+        )
+        out["rank"] = rank.astype(np.int64)
+        out["dense_rank"] = dense.astype(np.int64)
+        out["percent_rank"] = pct
+        out["cume_dist"] = cume
+        return out
+
+    return partitioned_map(ds, keys, rk, num_partitions,
+                           pre_repartition=False)
+
+
 def group_topk(
     ds: ray.data.Dataset,
     keys: Sequence[str],

@@ -458,3 +458,28 @@ def test_interval_join_matches_bruteforce():
     assert gotset == want
     assert len(got) == len(want)  # exactly once each, no dupes
     assert len(want) > 0
+
+
+def test_group_rank_tie_semantics():
+    """RANK gaps after ties, DENSE_RANK doesn't; PERCENT_RANK 0 for
+    n=1; CUME_DIST counts the whole peer group for every member."""
+    df = pd.DataFrame({
+        "g": ["a"] * 6 + ["b"],
+        "v": [10, 10, 20, 20, 20, 30, 5],
+        "id": range(7),
+    })
+    got = (
+        joins.group_rank(_ds(df), ["g"], [("v", True)], num_partitions=4)
+        .to_pandas().sort_values(["g", "v", "id"]).reset_index(drop=True)
+    )
+    a = got[got["g"] == "a"]
+    assert a["rank"].tolist() == [1, 1, 3, 3, 3, 6]
+    assert a["dense_rank"].tolist() == [1, 1, 2, 2, 2, 3]
+    assert a["percent_rank"].tolist() == [0.0, 0.0, 0.4, 0.4, 0.4, 1.0]
+    assert a["cume_dist"].tolist() == [
+        2 / 6, 2 / 6, 5 / 6, 5 / 6, 5 / 6, 1.0
+    ]
+    b = got[got["g"] == "b"]
+    assert b["rank"].tolist() == [1]
+    assert b["percent_rank"].tolist() == [0.0]
+    assert b["cume_dist"].tolist() == [1.0]
