@@ -717,6 +717,22 @@ def q_polygon_join(sf_dir: str):
     )
 
 
+def q_pca_project(sf_dir: str):
+    """Distributed exact PCA over the embeddings table (`ann.pca_fit`
+    / `pca_transform`): per-block (n, sum, Gram) moment triples —
+    d x d per block, never the corpus — assembled into the exact
+    covariance on the driver, tiny eigh, then a stateless projection
+    map. Rows-only (eigendecomposition not expressible in SQL);
+    pytest checks eigenvalues + subspace against numpy exactly."""
+    from oluray.stages.ann import pca_fit, pca_transform
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = pca_fit(emb, "embedding", k=8)
+    return pca_transform(emb, model, "embedding", "pca").select_columns(
+        ["vec_id", "pca"]
+    )
+
+
 def q_image_decode(sf_dir: str):
     """Multimodal plumbing: synthesize a deterministic image per doc,
     decode through the actor-pool stage, emit stats. Rows-only (pixel
@@ -1957,6 +1973,7 @@ QUERIES = {
     "phash_near_dup": q_phash_near_dup,
     "image_dup_clusters": q_image_dup_clusters,
     "polygon_join": q_polygon_join,
+    "pca_project": q_pca_project,
     "token_count": q_token_count,
     "quality": q_quality,
     "langid": q_langid,

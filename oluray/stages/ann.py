@@ -41,6 +41,11 @@ def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
         # reshape(0, -1) is ambiguous (ADVICE r1): empty blocks from
         # empty fragments / upstream filters must not crash the stage
         return np.zeros((0, 1), dtype=np.float64)
+    if not hasattr(arr, "flatten"):
+        # Ray's ArrowTensorArray extension (from_pandas of ndarray
+        # cells) — same fixed-width layout, different accessor
+        return np.asarray(arr.to_numpy(zero_copy_only=False).tolist(),
+                          dtype=np.float64).reshape(n, -1)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
 
@@ -592,3 +597,73 @@ def cosine_near_dup_pairs(
         collided, ["table_id", "bucket"], emit, num_partitions=num_partitions
     )
     return joins.pair_dedup(cand, ("vec_a", "vec_b"), num_partitions=32)
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA (embedding whitening / dim reduction before ANN)
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(ds, col: str = "embedding", k: int = 8) -> dict:
+    """Exact distributed PCA fit: every block contributes its
+    (n, sum, X^T X) moment triple — the d x d Gram matrix is the ONLY
+    thing that leaves a block (d=64 -> 32 KiB), so driver traffic is
+    block-count bound and the corpus never moves. The driver assembles
+    the exact covariance and eigendecomposes the tiny d x d matrix.
+
+    Returns {"mean": (d,), "components": (k, d) rows = top PCs by
+    descending eigenvalue, "explained": (k,) eigenvalues}. Eigenvector
+    SIGN is normalized (largest-|coef| entry positive) so fits are
+    reproducible across runs and block orders."""
+    import pandas as pd
+
+    def moments(batch: pa.Table) -> "pd.DataFrame":
+        m = _matrix(batch, col).astype(np.float64)
+        return pd.DataFrame(
+            {"n": [len(m)], "s": [m.sum(axis=0)], "g": [m.T @ m]}
+        )
+
+    n_tot = 0
+    s = None
+    g = None
+    for b in ds.map_batches(moments, batch_format="pyarrow").iter_batches(
+        batch_format="pandas", batch_size=16
+    ):
+        for r in b.itertuples():
+            n_tot += int(r.n)
+            s = r.s if s is None else s + r.s
+            g = r.g if g is None else g + r.g
+    if n_tot < 2:
+        raise ValueError(f"PCA needs >= 2 rows, got {n_tot}")
+    mean = s / n_tot
+    cov = (g - n_tot * np.outer(mean, mean)) / (n_tot - 1)
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T
+    # sign normalization: flip each PC so its largest-|coef| entry > 0
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    return {"mean": mean, "components": comps,
+            "explained": w[order]}
+
+
+def pca_transform(ds, model: dict, col: str = "embedding",
+                  out_col: str = "pca"):
+    """Project onto the fitted components — stateless map, model ships
+    once via ray.put."""
+    ref = ray.put(
+        {"mean": model["mean"], "components": model["components"]}
+    )
+
+    def proj(batch: pa.Table, ref=ref) -> pa.Table:
+        mdl = ray.get(ref)
+        m = _matrix(batch, col).astype(np.float64)
+        p = (m - mdl["mean"]) @ mdl["components"].T
+        return batch.append_column(
+            out_col, pa.array(list(p.astype(np.float32)),
+                              pa.list_(pa.float32()))
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow")

@@ -610,3 +610,44 @@ def test_image_dup_clusters_matches_bruteforce_union_find():
     gotd = dict(zip(got["node"].astype(int), got["label"].astype(int)))
     assert gotd == want
     assert len(want) > 0
+
+
+def test_pca_fit_matches_numpy_exact():
+    """Distributed moment-triple PCA == numpy PCA on the gathered
+    matrix: same eigenvalues, same top-k subspace (projector
+    allclose), reproducible sign."""
+    import ray.data as rd
+
+    from oluray.stages import ann
+
+    rng = np.random.default_rng(17)
+    d, n, k = 16, 3000, 5
+    # anisotropic data so the spectrum is well separated
+    scales = np.linspace(5, 0.1, d)
+    X = rng.normal(size=(n, d)) * scales
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": list(X.astype(np.float32))})
+    parts = np.array_split(df, 7)
+    ds = rd.from_pandas([p.reset_index(drop=True) for p in parts])
+
+    model = ann.pca_fit(ds, "embedding", k=k)
+
+    Xf = X.astype(np.float32).astype(np.float64)  # the precision the engine saw
+    cov = np.cov(Xf, rowvar=False)
+    w_exact = np.sort(np.linalg.eigvalsh(cov))[::-1][:k]
+    assert np.allclose(model["explained"], w_exact, rtol=1e-8)
+    C = model["components"]
+    v = np.linalg.eigh(cov)[1][:, ::-1][:, :k].T
+    # subspace equality: projectors match even though signs may differ
+    assert np.allclose(C.T @ C, v.T @ v, atol=1e-8)
+    # sign rule: every PC's largest-|coef| entry is positive
+    assert (C[np.arange(k), np.abs(C).argmax(axis=1)] > 0).all()
+
+    proj = ann.pca_transform(ds, model, "embedding", "pca").to_pandas()
+    P = np.stack(proj.sort_values("vec_id")["pca"].to_numpy())
+    exp = (Xf - Xf.mean(axis=0)) @ C.T
+    assert np.allclose(P, exp, atol=1e-4)  # float32 output column
+
+    import pytest
+    with pytest.raises(ValueError, match=">= 2 rows"):
+        ann.pca_fit(rd.from_pandas(df.head(1)), "embedding", k=2)
