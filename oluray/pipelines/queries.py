@@ -799,6 +799,21 @@ def q_asof_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "last_order"])
 
 
+def q_asof_forward(sf_dir: str):
+    """Forward as-of join (`joins.asof_join(direction="forward")`):
+    each event matched to the EARLIEST order date of the same customer
+    at-or-after the event time — the look-ahead complement of
+    `q_asof_join`, same co-partitioned shuffle, no broadcast."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    out = joins.asof_join(
+        ev, orders, by="user_id", right_by="o_custkey",
+        on="ts", right_on="o_orderdate", out_col="next_order",
+        direction="forward",
+    )
+    return out.select_columns(["event_id", "user_id", "next_order"])
+
+
 def q_range_join(sf_dir: str):
     """Interval (range) join WITHOUT an equi key: every purchase
     event that fell inside the 60-minute window after an error event
@@ -1814,6 +1829,12 @@ ORACLE: dict[str, str] = {
           ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         GROUP BY e.event_id, e.user_id
     """,
+    "asof_forward": """
+        SELECT e.event_id, e.user_id, min(o.o_orderdate) AS next_order
+        FROM events e LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+        GROUP BY e.event_id, e.user_id
+    """,
     "sessionize": """
         SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n
         FROM (
@@ -1980,6 +2001,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "window_hourly": q_window_hourly,
     "asof_join": q_asof_join,
+    "asof_forward": q_asof_forward,
     "range_join": q_range_join,
     "overlap_join": q_overlap_join,
     "order_ranks": q_order_ranks,

@@ -744,15 +744,20 @@ def asof_join(
     num_partitions: int = DEFAULT_PARTITIONS,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
     """As-of join without broadcasting either side: co-partition both
     sides by the `by` key, then one `pandas.merge_asof` (vectorized C
-    backward search) per partition. Each left row gets the greatest
-    `right_on` value of the same key at-or-before its `on` value, NaT
-    when none exists.
+    search) per partition. `direction`: "backward" (default) gives
+    each left row the greatest same-key `right_on` value at-or-before
+    its `on`; "forward" the smallest at-or-after; "nearest" whichever
+    is closer (ties resolve backward, pandas semantics). NaT/null when
+    none exists.
 
     Replaces the r1 implementation that materialized the entire right
     table into a driver-side dict (flagged by the round-1 verdict)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"bad direction {direction!r}")
     right = right.select_columns([right_by, right_on])
     if right_schema is not None:
         right_schema = pa.schema(
@@ -785,7 +790,7 @@ def asof_join(
         rg = rg.rename(columns={right_on: out_col}).sort_values(out_col, kind="mergesort")
         out = pd.merge_asof(
             lg, rg, left_on=on, right_on=out_col,
-            left_by=by, right_by=right_by, direction="backward",
+            left_by=by, right_by=right_by, direction=direction,
         )
         return _typed_table(out, out_schema)
 

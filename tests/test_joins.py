@@ -483,3 +483,31 @@ def test_group_rank_tie_semantics():
     assert b["rank"].tolist() == [1]
     assert b["percent_rank"].tolist() == [0.0]
     assert b["cume_dist"].tolist() == [1.0]
+
+
+def test_asof_join_forward_and_nearest():
+    left = pd.DataFrame({
+        "u": [1, 1, 1, 2],
+        "t": pd.to_datetime([10, 25, 90, 50], unit="s").astype("datetime64[us]"),
+        "lid": range(4),
+    })
+    right = pd.DataFrame({
+        "u": [1, 1, 2],
+        "rt": pd.to_datetime([20, 80, 10], unit="s").astype("datetime64[us]"),
+    })
+    fwd = joins.asof_join(
+        _ds(left, 2), _ds(right, 1), by="u", right_by="u", on="t",
+        right_on="rt", out_col="nxt", num_partitions=4, direction="forward",
+    ).to_pandas().sort_values("lid")
+    exp_fwd = pd.to_datetime([20, 80, None, None], unit="s")
+    assert fwd["nxt"].tolist() == list(exp_fwd)
+    near = joins.asof_join(
+        _ds(left, 2), _ds(right, 1), by="u", right_by="u", on="t",
+        right_on="rt", out_col="near", num_partitions=4, direction="nearest",
+    ).to_pandas().sort_values("lid")
+    exp_near = pd.to_datetime([20, 20, 80, 10], unit="s")
+    assert near["near"].tolist() == list(exp_near)
+    import pytest
+    with pytest.raises(ValueError, match="direction"):
+        joins.asof_join(_ds(left, 1), _ds(right, 1), by="u", right_by="u",
+                        on="t", right_on="rt", out_col="x", direction="x")
