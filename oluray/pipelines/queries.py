@@ -1561,6 +1561,38 @@ def q_hll_users(sf_dir: str):
     )
 
 
+def q_status_pivot(sf_dir: str):
+    """PIVOT via conditional aggregation: per customer, order counts
+    spread into one column per o_orderstatus value ('O','F','P') —
+    the wide-table reshape a feature store wants. One pass: the
+    per-block combiner crosstabs counts (rows ~ distinct customers
+    per block x 1), then a hash-partitioned sum."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    STATUSES = ("O", "F", "P")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        ct = (
+            df.groupby(["o_custkey", "o_orderstatus"], sort=False)
+            .size().unstack(fill_value=0)
+        )
+        out = pd.DataFrame({"o_custkey": ct.index.to_numpy()})
+        for s in STATUSES:
+            out[f"n_{s}"] = (
+                ct[s].to_numpy(dtype=np.int64) if s in ct.columns
+                else np.zeros(len(ct), dtype=np.int64)
+            )
+        return out
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).sum()
+        for s in STATUSES:
+            g[f"n_{s}"] = g[f"n_{s}"].astype("int64")
+        return g
+
+    return joins.grouped_agg(orders, ["o_custkey"], agg, num_partitions=16,
+                             combine_fn=combine, pre_repartition=False)
+
+
 def q_sales_rollup(sf_dir: str):
     """GROUPING SETS rollup — (flag, status), (flag), () levels in ONE
     scan: the per-block combiner emits partial (n, sum) rows for every
@@ -1747,6 +1779,13 @@ ORACLE: dict[str, str] = {
         SELECT user_id, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n,
                round(sum(value) * 100)::BIGINT AS sum_value_cents
         FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "status_pivot": """
+        SELECT o_custkey,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_O,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_F,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_P
+        FROM orders GROUP BY o_custkey
     """,
     "sales_rollup": """
         SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
@@ -2006,6 +2045,7 @@ QUERIES = {
     "overlap_join": q_overlap_join,
     "order_ranks": q_order_ranks,
     "sales_rollup": q_sales_rollup,
+    "status_pivot": q_status_pivot,
     "hll_users": q_hll_users,
     "length_deciles": q_length_deciles,
     "topk_per_cust": q_topk_per_cust,
