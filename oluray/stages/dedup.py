@@ -934,3 +934,44 @@ def ngram_jaccard_pairs(docs, n: int = 6, threshold_e6: int = 150000,
         ).filter(pa.array(keep))
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def incremental_exact_dedup(docs, seen_dir: str, id_col: str = "doc_id",
+                            num_partitions: int = 64):
+    """Cross-WINDOW exact dedup with a persistent seen-set — the
+    streaming complement of `exact_dedup` (a continuously-updated
+    corpus re-ingests boilerplate every window; per-window dedup alone
+    re-admits it). Three steps, none driver-bound:
+
+      1. `exact_dedup` keeps this window's min-id row per digest;
+      2. a distributed ANTI semi join (`joins.semi_join(anti=True)`)
+         drops digests already in the seen store — the store is read
+         as a Dataset, never broadcast;
+      3. the surviving digests are APPENDED to the store as new
+         parquet files (append-only, so a crashed run can only leave
+         extra digest rows, which the anti join treats as a no-op —
+         idempotent under retry).
+
+    Returns the Dataset of (id_col, text_hash) rows new to the corpus.
+    Store growth is one small digest file per window; compact
+    periodically with `joins.distinct` + rewrite if file count ever
+    matters."""
+    import glob as _glob
+    import os as _os
+
+    win = exact_dedup(docs, id_col=id_col, num_partitions=num_partitions)
+    files = _glob.glob(_os.path.join(seen_dir, "*.parquet"))
+    if files:
+        seen = ray.data.read_parquet(files)
+        win = joins.semi_join(
+            win, seen, on="text_hash", key_col="text_hash", anti=True,
+            num_partitions=num_partitions,
+            left_schema=pa.schema([(id_col, pa.int64()),
+                                   ("text_hash", pa.string())]),
+            keys_schema=pa.schema([("text_hash", pa.string())]),
+        )
+    fresh = win.materialize()
+    if fresh.count() > 0:
+        _os.makedirs(seen_dir, exist_ok=True)
+        fresh.select_columns(["text_hash"]).write_parquet(seen_dir)
+    return fresh

@@ -651,3 +651,31 @@ def test_pca_fit_matches_numpy_exact():
     import pytest
     with pytest.raises(ValueError, match=">= 2 rows"):
         ann.pca_fit(rd.from_pandas(df.head(1)), "embedding", k=2)
+
+
+def test_incremental_exact_dedup_across_windows(tmp_path):
+    import ray.data as rd
+
+    seen = str(tmp_path / "seen")
+
+    def ds_of(rows):
+        return rd.from_pandas(pd.DataFrame(rows))
+
+    w1 = ds_of({"doc_id": [1, 2, 3], "text": ["aaa", "bbb", "aaa"]})
+    got1 = (dedup.incremental_exact_dedup(w1, seen)
+            .to_pandas().sort_values("doc_id"))
+    assert got1["doc_id"].tolist() == [1, 2]  # in-window dup dropped
+
+    # window 2: 'bbb' already seen, 'ccc' duplicated in-window
+    w2 = ds_of({"doc_id": [10, 11, 12], "text": ["bbb", "ccc", "ccc"]})
+    got2 = (dedup.incremental_exact_dedup(w2, seen)
+            .to_pandas().sort_values("doc_id"))
+    assert got2["doc_id"].tolist() == [11]
+
+    # retry idempotence: re-running window 2 admits nothing new
+    got2b = dedup.incremental_exact_dedup(w2, seen).to_pandas()
+    assert len(got2b) == 0
+
+    # window 3: all-new text still lands
+    w3 = ds_of({"doc_id": [20], "text": ["ddd"]})
+    assert dedup.incremental_exact_dedup(w3, seen).count() == 1
