@@ -163,6 +163,8 @@ def run_bench() -> dict:
         ("ivf_topk", Q.q_ivf_topk),
         ("impact_closure", Q.q_impact_closure),
         ("range_join", Q.q_range_join),
+        ("overlap_join", Q.q_overlap_join),
+        ("order_ranks", Q.q_order_ranks),
     ]
     for name, fn in bench_queries:
         # best of 2: this shared-host VM shows +/-2-3x run-to-run noise

@@ -1054,8 +1054,12 @@ def group_rank(
         last_idx = np.flatnonzero(np.append(new_peer[1:], True))
         peer_end = last_idx[peer_id]
         cume = (peer_end - seg_start_idx[seg_id] + 1).astype(np.float64) / n
+        # np.where evaluates both branches: clamp the denominator so
+        # n=1 groups don't emit a divide-by-zero RuntimeWarning
         pct = np.where(
-            n > 1, (rank - 1).astype(np.float64) / (n - 1), 0.0
+            n > 1,
+            (rank - 1).astype(np.float64) / np.maximum(n - 1, 1),
+            0.0,
         )
         out["rank"] = rank.astype(np.int64)
         out["dense_rank"] = dense.astype(np.int64)
