@@ -555,7 +555,7 @@ def _ann_queries(sf_dir: str):
 def q_ann_topk(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qids, qm = _ann_queries(sf_dir)
-    return ann.brute_topk(emb, qids, qm, k=ANN_K, concurrency=4, round_digits=6)
+    return ann.brute_topk(emb, qids, qm, k=ANN_K, round_digits=6)
 
 
 def q_fingerprint(sf_dir: str):

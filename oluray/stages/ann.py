@@ -111,19 +111,55 @@ def _final_topk(cand, k: int, round_digits: int):
     return cand.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
+# Process-local memoized stage instances for stateless-task execution
+# (same rationale as spatial._PIP_STAGE_CACHE: ANN stage state is tiny
+# — a query matrix, centroids, hyperplanes — so paying actor-pool
+# cold-start (~1-2 s per pool PER PIPELINE EXECUTION) to keep it
+# resident is a net loss; a task memoizes the construction per worker
+# process instead). NOT cleared per insert: one pipeline legitimately
+# interleaves two stages (assign + probe) in the same worker, and
+# clearing would rebuild each per batch. Capped small; entries are KB.
+_ANN_STAGE_CACHE: dict = {}
+
+
+def _memo_stage(cls, kwargs: dict):
+    key = (cls.__name__,) + tuple(
+        (k, v.hex() if hasattr(v, "hex") else v)
+        for k, v in sorted(kwargs.items())
+    )
+    stage = _ANN_STAGE_CACHE.get(key)
+    if stage is None:
+        if len(_ANN_STAGE_CACHE) >= 8:
+            _ANN_STAGE_CACHE.pop(next(iter(_ANN_STAGE_CACHE)))
+        stage = cls(**kwargs)
+        _ANN_STAGE_CACHE[key] = stage
+    return stage
+
+
+def _stage_map(ds, cls, kwargs: dict, concurrency):
+    """Run a callable-class stage as memoized stateless tasks
+    (concurrency=None, the default) or as an actor pool (explicit
+    int) — identical outputs either way."""
+    if concurrency is None:
+        def task(batch: pa.Table, cls=cls, kwargs=kwargs) -> pa.Table:
+            return _memo_stage(cls, kwargs)(batch)
+
+        return ds.map_batches(task, batch_format="pyarrow")
+    return ds.map_batches(
+        cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+
+
 def brute_topk(
-    embeddings, query_ids, query_matrix, k: int = 5, concurrency: int = 4,
-    round_digits: int = 6,
+    embeddings, query_ids, query_matrix, k: int = 5,
+    concurrency: int | None = None, round_digits: int = 6,
 ):
     """Exact top-k by cosine: per-batch candidates -> tiny global
     reduce per query. Returns Dataset (query_id, vec_id, rank, sim)."""
     qref = ray.put((np.asarray(query_ids, np.int64), np.asarray(query_matrix)))
-    cand = embeddings.map_batches(
-        BruteTopK,
-        fn_constructor_kwargs=dict(queries_ref=qref, k=k),
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
-    )
+    cand = _stage_map(embeddings, BruteTopK,
+                      dict(queries_ref=qref, k=k), concurrency)
     return _final_topk(cand, k, round_digits)
 
 
@@ -265,7 +301,7 @@ class ProbedTopK:
 
 def lsh_topk(
     embeddings, query_ids, query_matrix, k: int = 5, n_bits: int = 8,
-    n_probe_bits: int = 2, seed: int = 101, concurrency: int = 4,
+    n_probe_bits: int = 2, seed: int = 101, concurrency: int | None = None,
     round_digits: int = 6,
 ):
     """Approximate top-k, fully distributed: bucket the corpus by
@@ -281,10 +317,8 @@ def lsh_topk(
     dim = qm.shape[1]
     planes = hyperplanes(dim, n_bits, seed)
     pref = ray.put(planes)
-    bucketed = embeddings.map_batches(
-        LshBucketStage, fn_constructor_kwargs=dict(planes_ref=pref),
-        batch_format="pyarrow", concurrency=(1, concurrency),
-    )
+    bucketed = _stage_map(embeddings, LshBucketStage,
+                          dict(planes_ref=pref), concurrency)
     qb = lsh_bucket(qm, planes)
     probes = _probe_sets(qb, n_bits, n_probe_bits)
     wanted = np.array(sorted({b for v in probes.values() for b in v}), dtype=np.int64)
@@ -297,11 +331,9 @@ def lsh_topk(
     sub = bucketed.map_batches(prefilter, batch_format="pyarrow")
     qref = ray.put((np.asarray(query_ids, np.int64), np.asarray(query_matrix)))
     probes_ref = ray.put(probes)
-    cand = sub.map_batches(
-        ProbedTopK,
-        fn_constructor_kwargs=dict(queries_ref=qref, probes_ref=probes_ref, k=k),
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
+    cand = _stage_map(
+        sub, ProbedTopK,
+        dict(queries_ref=qref, probes_ref=probes_ref, k=k), concurrency,
     )
     return _final_topk(cand, k, round_digits)
 
@@ -406,8 +438,8 @@ class IvfAssignStage:
 
 def ivf_topk(
     embeddings, query_ids, query_matrix, k: int = 5, n_centroids: int = 64,
-    n_probe: int = 8, sample_size: int = 2048, concurrency: int = 4,
-    round_digits: int = 6,
+    n_probe: int = 8, sample_size: int = 2048,
+    concurrency: int | None = None, round_digits: int = 6,
 ):
     """Approximate top-k via an IVF index: k-means coarse quantizer
     (trained on a bounded sample), corpus bucketed by nearest
@@ -419,10 +451,8 @@ def ivf_topk(
     cost ~ n_probe/n_centroids of the corpus per query)."""
     cents = train_centroids(embeddings, n_centroids, sample_size)
     cref = ray.put(cents)
-    assigned = embeddings.map_batches(
-        IvfAssignStage, fn_constructor_kwargs=dict(cents_ref=cref),
-        batch_format="pyarrow", concurrency=(1, concurrency),
-    )
+    assigned = _stage_map(embeddings, IvfAssignStage,
+                          dict(cents_ref=cref), concurrency)
     qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
     n_probe = min(n_probe, len(cents))
     probe_mat = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
@@ -437,13 +467,11 @@ def ivf_topk(
     sub = assigned.map_batches(prefilter, batch_format="pyarrow")
     qref = ray.put((np.asarray(query_ids, np.int64), np.asarray(query_matrix)))
     probes_ref = ray.put(probes)
-    cand = sub.map_batches(
-        ProbedTopK,
-        fn_constructor_kwargs=dict(
-            queries_ref=qref, probes_ref=probes_ref, k=k, bucket_col="cell"
-        ),
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
+    cand = _stage_map(
+        sub, ProbedTopK,
+        dict(queries_ref=qref, probes_ref=probes_ref, k=k,
+             bucket_col="cell"),
+        concurrency,
     )
     return _final_topk(cand, k, round_digits)
 
