@@ -909,6 +909,59 @@ def q_order_ranks(sf_dir: str):
     )
 
 
+def q_merge_intervals(sf_dir: str):
+    """Gaps-and-islands: merge each user's overlapping-or-touching
+    30-minute activity windows into maximal islands — (user, island
+    start, island end, event count). Per-user hash partition, then
+    per-partition vectorized arithmetic: sort by (user, start), C-level
+    grouped cummax of the running end, island break where start exceeds
+    the previous cummax, grouped min/max/count. Equal-start ties can't
+    flip a break (a same-start predecessor's end always covers the
+    start), so the result is order-deterministic and hash-matches the
+    windowed SQL."""
+    M30 = 1_800_000_000  # 30 min in epoch us
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.array([], dtype="int64"),
+                 "island_start": pd.Series([], dtype="datetime64[us]"),
+                 "island_end": pd.Series([], dtype="datetime64[us]"),
+                 "n_events": pd.array([], dtype="int64")}
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        s = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        e = s + M30
+        g = df.groupby("user_id", sort=False)
+        prev_cm = pd.Series(e).groupby(df["user_id"], sort=False).cummax() \
+                    .groupby(df["user_id"], sort=False).shift(1)
+        brk = (s > prev_cm.fillna(np.iinfo(np.int64).min).to_numpy()) \
+            | df["user_id"].ne(df["user_id"].shift()).to_numpy()
+        island = np.cumsum(brk)
+        # island end = max RAW member end (the cummax above was only
+        # for break detection; a global cummax would leak across users)
+        out = pd.DataFrame({"user_id": df["user_id"], "island": island,
+                            "s": s, "e": e})
+        agg = out.groupby(["user_id", "island"], as_index=False).agg(
+            island_start=("s", "min"), island_end_raw=("e", "max"),
+            n_events=("s", "size"),
+        )
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"],
+                "island_start": pd.to_datetime(agg["island_start"], unit="us"),
+                "island_end": pd.to_datetime(agg["island_end_raw"], unit="us"),
+                "n_events": agg["n_events"].astype("int64"),
+            }
+        )
+
+    return joins.partitioned_map(ev, ["user_id"], islands,
+                                 num_partitions=16, pre_repartition=False)
+
+
 def q_topk_per_cust(sf_dir: str):
     """Generic distributed per-group top-k (`joins.group_topk`):
     each customer's 3 priciest orders, ties broken by order key.
@@ -1855,6 +1908,26 @@ ORACLE: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
     """,
+    "merge_intervals": """
+        WITH iv AS (
+          SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+          FROM events),
+        m AS (
+          SELECT user_id, s, e,
+                 CASE WHEN s > max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS brk
+          FROM iv),
+        g AS (
+          SELECT *, sum(brk) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM m)
+        SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+               count(*)::BIGINT AS n_events
+        FROM g GROUP BY user_id, isl
+    """,
     "overlap_join": """
         SELECT l.event_id AS purchase_id, r.event_id AS error_id
         FROM events l JOIN events r
@@ -2043,6 +2116,7 @@ QUERIES = {
     "asof_forward": q_asof_forward,
     "range_join": q_range_join,
     "overlap_join": q_overlap_join,
+    "merge_intervals": q_merge_intervals,
     "order_ranks": q_order_ranks,
     "sales_rollup": q_sales_rollup,
     "status_pivot": q_status_pivot,

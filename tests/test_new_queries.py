@@ -207,3 +207,26 @@ def test_sales_rollup_levels_consistent():
         roll, mid.set_index("l_returnflag")["n"].sort_index(),
         check_names=False,
     )
+
+
+def test_merge_intervals_islands():
+    """Touching windows merge, a >30min gap splits, singleton island
+    end = start + 30min — vs hand-computed islands."""
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:20",   # overlap -> one island
+        "2024-01-01 00:50",                        # touches 00:20+30 -> merges
+        "2024-01-01 02:00",                        # gap -> new island
+    ]).astype("datetime64[us]")
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "user_id": np.int64(3),
+        "ts": ts,
+    })
+    d = _scratch_sf(events=df)
+    got = (Q.q_merge_intervals(d).to_pandas()
+           .sort_values("island_start").reset_index(drop=True))
+    assert len(got) == 2
+    assert got["n_events"].tolist() == [3, 1]
+    assert got["island_start"].iloc[0] == ts[0]
+    assert got["island_end"].iloc[0] == ts[2] + pd.Timedelta(minutes=30)
+    assert got["island_end"].iloc[1] == ts[3] + pd.Timedelta(minutes=30)
