@@ -708,10 +708,39 @@ def auto_join(
     `hash_join` on the already-materialized right (no recompute).
 
     The materialize is the price of probing: the right lineage runs
-    exactly once either way, and the object store spills it if big."""
+    exactly once either way, and the object store spills it if big.
+
+    Side swap: for an INNER join on a shared key name with no column
+    collisions, when the right side is over the bounds the LEFT side
+    is probed too — if it fits, the join runs as broadcast with the
+    sides flipped and the output reprojected to the unswapped column
+    order, so the big side streams map-side either way."""
     rm = right.materialize()
     cnt = rm.count()
     size = rm.size_bytes() or 0
+    if (
+        how == "inner"
+        and (cnt > broadcast_rows or size > broadcast_bytes)
+        and (right_on or on) == on
+    ):
+        ls = _arrow_schema(left, left_schema)
+        rs = _arrow_schema(rm, right_schema)
+        collide = (set(ls.names) & set(rs.names)) - {on}
+        if not collide:
+            lm = left.materialize()
+            lcnt = lm.count()
+            lsize = lm.size_bytes() or 0
+            if lcnt <= broadcast_rows and lsize <= broadcast_bytes and lcnt > 0:
+                ldf = lm.to_pandas()
+                swapped = broadcast_join(
+                    rm, ldf, on, how="inner", suffix=suffix,
+                    left_schema=rs, right_schema=ls,
+                )
+                out_cols = list(ls.names) + [
+                    c for c in rs.names if c != on
+                ]
+                return swapped.select_columns(out_cols)
+            left = lm  # probed and oversized: reuse, don't recompute
     if how in ("inner", "left") and cnt <= broadcast_rows and size <= broadcast_bytes:
         if right_schema is None and cnt > 0:
             right_schema = _arrow_schema(rm)

@@ -511,3 +511,26 @@ def test_asof_join_forward_and_nearest():
     with pytest.raises(ValueError, match="direction"):
         joins.asof_join(_ds(left, 1), _ds(right, 1), by="u", right_by="u",
                         on="t", right_on="rt", out_col="x", direction="x")
+
+
+def test_auto_join_side_swap_parity():
+    """Inner join with a big right and a small left: the swap path must
+    produce exactly hash_join's columns, order and rows."""
+    rng = np.random.default_rng(51)
+    small = pd.DataFrame({"k": np.arange(20), "tag": [f"t{i}" for i in range(20)]})
+    big = pd.DataFrame({"k": rng.integers(0, 25, 500), "v": np.arange(500)})
+    hj = joins.hash_join(_ds(small, 1), _ds(big), on="k",
+                         num_partitions=8).to_pandas()
+    # force the swap: right over the row bound, left under it
+    sw = joins.auto_join(_ds(small, 1), _ds(big), on="k",
+                         broadcast_rows=100).to_pandas()
+    assert list(sw.columns) == list(hj.columns)
+    pd.testing.assert_frame_equal(_sorted(sw), _sorted(hj), check_dtype=False)
+
+    # collision case must NOT swap (falls back to shuffle, same rows)
+    big2 = big.rename(columns={"v": "tag"})
+    hj2 = joins.hash_join(_ds(small, 1), _ds(big2), on="k",
+                          num_partitions=8).to_pandas()
+    sw2 = joins.auto_join(_ds(small, 1), _ds(big2), on="k",
+                          broadcast_rows=100).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(sw2), _sorted(hj2), check_dtype=False)
