@@ -478,3 +478,55 @@ def morton_sql(x_expr: str, y_expr: str, res: int) -> str:
         for i in range(res)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# geometry simplification (per-zoom detail reduction before tile cover)
+# ---------------------------------------------------------------------------
+
+
+def simplify_ring(lon: np.ndarray, lat: np.ndarray,
+                  eps_deg: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification: boolean keep-mask over
+    the vertices; every dropped vertex lies within `eps_deg`
+    (perpendicular, planar degrees) of the simplified chain, and the
+    two endpoints always survive. The classic tiling use: shed vertex
+    detail below a zoom level's cell size before `polygon_cover` /
+    tile materialization (eps ≈ cell width at that zoom).
+
+    Iterative stack (no recursion-depth limit); the distance kernel is
+    vectorized over each segment's span — per-ring work is
+    O(n log n)-ish with numpy inner loops only."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = len(lon)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        ax, ay, bx, by = lon[a], lat[a], lon[b], lat[b]
+        sx, sy = bx - ax, by - ay
+        seg2 = sx * sx + sy * sy
+        px = lon[a + 1 : b] - ax
+        py = lat[a + 1 : b] - ay
+        if seg2 == 0.0:
+            d2 = px * px + py * py
+        else:
+            t = np.clip((px * sx + py * sy) / seg2, 0.0, 1.0)
+            dx = px - t * sx
+            dy = py - t * sy
+            d2 = dx * dx + dy * dy
+        i = int(np.argmax(d2))
+        if d2[i] > eps_deg * eps_deg:
+            m = a + 1 + i
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return keep

@@ -881,3 +881,34 @@ def polygon_join(
         )
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def simplify_polys(
+    ds: ray.data.Dataset, ring_col: str = "ring", eps_deg: float = 0.01,
+) -> ray.data.Dataset:
+    """Per-zoom detail reduction: Douglas-Peucker-simplify every ring
+    (`geo.simplify_ring`, error bound eps_deg) before a coarse-zoom
+    `polygon_cover` / `polygon_join` — vertex counts drop, covers are
+    unchanged up to eps. Stateless map; offsets rebuilt vectorized
+    from the per-ring keep masks."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        lon, lat, off = _ring_arrays(t[ring_col])
+        keep = np.zeros(len(lon), dtype=bool)
+        for i in range(len(off) - 1):
+            s, e = off[i], off[i + 1]
+            keep[s:e] = geo.simplify_ring(lon[s:e], lat[s:e], eps_deg)
+        counts = np.add.reduceat(keep.astype(np.int64), off[:-1]) \
+            if len(off) > 1 else np.array([], dtype=np.int64)
+        counts = np.where(np.diff(off) == 0, 0, counts)
+        new_off = np.concatenate(([0], np.cumsum(counts)))
+        ring = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(lon[keep]), pa.array(lat[keep])], ["lon", "lat"]
+            ),
+        )
+        idx = t.schema.get_field_index(ring_col)
+        return t.set_column(idx, ring_col, ring)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -198,3 +198,37 @@ def test_min_area_obb():
     oarea = 0.5 * abs(np.dot(ox, np.roll(oy, -1)) - np.dot(oy, np.roll(ox, -1)))
     barea = np.ptp(pts[:, 0]) * np.ptp(pts[:, 1])
     assert oarea <= barea + 1e-9
+
+
+def test_simplify_ring_rdp():
+    # collinear middle points vanish; a real corner survives
+    lon = np.array([0.0, 1.0, 2.0, 3.0, 3.0])
+    lat = np.array([0.0, 0.0, 0.0, 0.0, 5.0])
+    keep = geo.simplify_ring(lon, lat, eps_deg=1e-9)
+    assert keep.tolist() == [True, False, False, True, True]
+
+    # error bound: every dropped vertex within eps of the kept chain
+    rng = np.random.default_rng(23)
+    t = np.linspace(0, 2 * np.pi, 200)
+    lon2 = np.cos(t) + rng.normal(0, 0.004, 200)
+    lat2 = np.sin(t) + rng.normal(0, 0.004, 200)
+    eps = 0.05
+    keep2 = geo.simplify_ring(lon2, lat2, eps)
+    assert keep2[0] and keep2[-1]
+    assert 2 < keep2.sum() < 200
+    kept_idx = np.flatnonzero(keep2)
+    for i in range(len(lon2)):
+        if keep2[i]:
+            continue
+        j = np.searchsorted(kept_idx, i)
+        a, b = kept_idx[j - 1], kept_idx[j]
+        ax, ay, bx, by = lon2[a], lat2[a], lon2[b], lat2[b]
+        sx, sy = bx - ax, by - ay
+        tt = np.clip(((lon2[i] - ax) * sx + (lat2[i] - ay) * sy)
+                     / max(sx * sx + sy * sy, 1e-300), 0, 1)
+        d = np.hypot(lon2[i] - ax - tt * sx, lat2[i] - ay - tt * sy)
+        assert d <= eps + 1e-12
+
+    # degenerate inputs
+    assert geo.simplify_ring(np.array([1.0]), np.array([2.0]), 0.1).tolist() == [True]
+    assert geo.simplify_ring(np.array([]), np.array([]), 0.1).tolist() == []

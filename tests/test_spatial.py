@@ -230,3 +230,24 @@ def test_polygon_join_matches_bruteforce():
     }
     assert gotset == want
     assert len(want) > 0
+
+
+def test_simplify_polys_stage():
+    from oluray.sources import fixtures
+    from oluray.stages import spatial as sp
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = fixtures.make_change_polys(6, seed=3)
+    ds = rd.from_arrow(pa.table({"poly_id": t["poly_id"], "ring": t["ring"]}))
+    out = sp.simplify_polys(ds, eps_deg=0.5).to_pandas()
+    orig = t["ring"].combine_chunks()
+    assert len(out) == 6
+    for i, r in enumerate(out.sort_values("poly_id")["ring"]):
+        n_orig = len(orig[i])
+        assert 2 <= len(r) <= n_orig  # never grows, endpoints kept
+    # with tiny eps nothing is dropped
+    out2 = sp.simplify_polys(ds, eps_deg=1e-12).to_pandas()
+    for i, r in enumerate(out2.sort_values("poly_id")["ring"]):
+        assert len(r) == len(orig[i])
