@@ -733,6 +733,20 @@ def q_pca_project(sf_dir: str):
     )
 
 
+def q_image_augment(sf_dir: str):
+    """Deterministic image augmentation over real pixels
+    (`image.Augment`): flip + rotate + center-crop chain, re-encoded
+    PNG. Rows-only (pixel ops not expressible in SQL); involution and
+    dimension invariants pytest-verified."""
+    from oluray.stages.image import Augment
+
+    images = _synth_images(sf_dir)
+    return images.map_batches(
+        Augment, fn_constructor_kwargs=dict(ops=("hflip", ("rot90", 1))),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    ).select_columns(["image_id", "w", "h", "fmt"])
+
+
 def q_image_decode(sf_dir: str):
     """Multimodal plumbing: synthesize a deterministic image per doc,
     decode through the actor-pool stage, emit stats. Rows-only (pixel
@@ -2107,6 +2121,7 @@ QUERIES = {
     "image_dup_clusters": q_image_dup_clusters,
     "polygon_join": q_polygon_join,
     "pca_project": q_pca_project,
+    "image_augment": q_image_augment,
     "token_count": q_token_count,
     "quality": q_quality,
     "langid": q_langid,

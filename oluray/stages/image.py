@@ -107,3 +107,67 @@ class VerifyPsnr:
                 "pixels_ok": pa.array(ok, pa.bool_()),
             }
         )
+
+
+class Augment:
+    """Training-data image augmentation: a deterministic per-image op
+    chain (horizontal/vertical flip, k*90-degree rotation, center
+    crop) over REAL decoded pixels, re-encoded as PNG. Ops are
+    numpy view/gather operations — no interpolation, so a flip of a
+    flip is bit-identical to the original (tested), and the chain is
+    reproducible from the op list alone (no RNG state).
+
+    `ops`: sequence of ("hflip"|"vflip"|("rot90", k)|("crop", frac)).
+    """
+
+    def __init__(self, ops=("hflip",)):
+        parsed = []
+        for op in ops:
+            if op == "hflip" or op == "vflip":
+                parsed.append((op, None))
+            elif isinstance(op, tuple) and op[0] == "rot90":
+                parsed.append(("rot90", int(op[1]) % 4))
+            elif isinstance(op, tuple) and op[0] == "crop":
+                f = float(op[1])
+                if not 0.0 < f <= 1.0:
+                    raise ValueError(f"crop fraction must be in (0, 1], got {f}")
+                parsed.append(("crop", f))
+            else:
+                raise ValueError(f"unknown augment op {op!r}")
+        self.ops = parsed
+
+    def _apply(self, px: np.ndarray) -> np.ndarray:
+        for name, arg in self.ops:
+            if name == "hflip":
+                px = px[:, ::-1]
+            elif name == "vflip":
+                px = px[::-1]
+            elif name == "rot90":
+                px = np.rot90(px, arg)
+            else:  # center crop
+                h, w, _ = px.shape
+                ch = max(1, int(round(h * arg)))
+                cw = max(1, int(round(w * arg)))
+                y0 = (h - ch) // 2
+                x0 = (w - cw) // 2
+                px = px[y0 : y0 + ch, x0 : x0 + cw]
+        return np.ascontiguousarray(px)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        out_blobs, ws, hs = [], [], []
+        for b, f in zip(blobs, fmts):
+            px = self._apply(imagecodec.decode(b, f))
+            out_blobs.append(imagecodec.encode_png(px))
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "bytes": pa.array(out_blobs, pa.binary()),
+                "w": pa.array(np.asarray(ws, np.int32)),
+                "h": pa.array(np.asarray(hs, np.int32)),
+                "fmt": pa.array(["png"] * len(out_blobs), pa.string()),
+            }
+        )

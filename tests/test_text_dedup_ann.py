@@ -679,3 +679,41 @@ def test_incremental_exact_dedup_across_windows(tmp_path):
     # window 3: all-new text still lands
     w3 = ds_of({"doc_id": [20], "text": ["ddd"]})
     assert dedup.incremental_exact_dedup(w3, seen).count() == 1
+
+
+def test_augment_stage_real_pixels():
+    import ray.data as rd
+
+    from oluray.functions import imagecodec
+    from oluray.sources import fixtures
+    from oluray.stages.image import Augment
+
+    tbl = fixtures.make_images(12, 7)
+    ds = rd.from_arrow(tbl)
+    # involution: hflip twice == identity, bit for bit (png is lossless)
+    twice = ds.map_batches(
+        Augment, fn_constructor_kwargs=dict(ops=("hflip", "hflip")),
+        batch_format="pyarrow", concurrency=1, batch_size=4,
+    ).to_pandas().sort_values("image_id")
+    for row, orig_b, orig_f in zip(
+        twice.itertuples(), tbl["bytes"].to_pylist(), tbl["fmt"].to_pylist()
+    ):
+        a = imagecodec.decode(row.bytes, "png")
+        b = imagecodec.decode(orig_b, orig_f)
+        assert np.array_equal(a, b)
+
+    # rot90 x1 swaps dims; crop halves them
+    one = ds.map_batches(
+        Augment, fn_constructor_kwargs=dict(ops=(("rot90", 1), ("crop", 0.5))),
+        batch_format="pyarrow", concurrency=1, batch_size=4,
+    ).to_pandas().sort_values("image_id").reset_index(drop=True)
+    w0 = tbl["w"].to_numpy()[np.argsort(tbl["image_id"].to_numpy())]
+    h0 = tbl["h"].to_numpy()[np.argsort(tbl["image_id"].to_numpy())]
+    assert (one["w"].to_numpy() == np.maximum(1, np.round(h0 * 0.5).astype(int))).all()
+    assert (one["h"].to_numpy() == np.maximum(1, np.round(w0 * 0.5).astype(int))).all()
+
+    import pytest
+    with pytest.raises(ValueError, match="crop fraction"):
+        Augment(ops=(("crop", 0.0),))
+    with pytest.raises(ValueError, match="unknown augment"):
+        Augment(ops=("sepia",))
