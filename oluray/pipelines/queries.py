@@ -717,6 +717,16 @@ def q_polygon_join(sf_dir: str):
     )
 
 
+def q_quantized_topk(sf_dir: str):
+    """Top-k over int8-quantized embeddings (`ann.quantized_topk`):
+    per-row symmetric quantization (4x memory, row scales cancel in
+    the normalized dot), per-batch integer-dot top-k, tiny reduce.
+    Rows-only (approximate by design); recall vs exact pytest-bounded."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, qm = _ann_queries(sf_dir)
+    return ann.quantized_topk(emb, qids, qm, k=ANN_K, round_digits=6)
+
+
 def q_pca_project(sf_dir: str):
     """Distributed exact PCA over the embeddings table (`ann.pca_fit`
     / `pca_transform`): per-block (n, sum, Gram) moment triples —
@@ -2122,6 +2132,7 @@ QUERIES = {
     "polygon_join": q_polygon_join,
     "pca_project": q_pca_project,
     "image_augment": q_image_augment,
+    "quantized_topk": q_quantized_topk,
     "token_count": q_token_count,
     "quality": q_quality,
     "langid": q_langid,

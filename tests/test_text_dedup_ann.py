@@ -717,3 +717,35 @@ def test_augment_stage_real_pixels():
         Augment(ops=(("crop", 0.0),))
     with pytest.raises(ValueError, match="unknown augment"):
         Augment(ops=("sepia",))
+
+
+def test_quantized_topk_recall():
+    import ray.data as rd
+
+    from oluray.stages import ann
+
+    rng = np.random.default_rng(19)
+    n, d, Q, K = 2000, 32, 4, 5
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    qm = rng.normal(size=(Q, d))
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(X)})
+    parts = np.array_split(df, 5)
+    ds = rd.from_pandas([p.reset_index(drop=True) for p in parts])
+
+    exact = ann.brute_topk(ds, np.arange(Q), qm, k=K).to_pandas()
+    quant = ann.quantized_topk(ds, np.arange(Q), qm, k=K).to_pandas()
+    # recall@5 >= 0.8 under int8 noise on random gaussians
+    hits = 0
+    for qi in range(Q):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        g = set(quant[quant["query_id"] == qi]["vec_id"])
+        hits += len(e & g)
+    assert hits / (Q * K) >= 0.8
+
+    # quantization round-trip properties
+    qds = ann.quantize_int8(ds).to_pandas().sort_values("vec_id")
+    q0 = np.asarray(list(qds["q"].iloc[0]), dtype=np.int64)
+    assert q0.max() <= 127 and q0.min() >= -127
+    s0 = float(qds["scale"].iloc[0])
+    deq = q0 * s0
+    assert np.allclose(deq, X[0], atol=s0 * 0.5 + 1e-6)
