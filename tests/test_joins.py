@@ -534,3 +534,44 @@ def test_auto_join_side_swap_parity():
     sw2 = joins.auto_join(_ds(small, 1), _ds(big2), on="k",
                           broadcast_rows=100).to_pandas()
     pd.testing.assert_frame_equal(_sorted(sw2), _sorted(hj2), check_dtype=False)
+
+
+def test_new_operators_empty_inputs():
+    """Empty-input robustness across the r3 operator wave (ADVICE r2
+    theme: entry points must match the per-block hardening)."""
+    import pyarrow as pa
+
+    empty_iv = _ds(pd.DataFrame({"lid": pd.Series([], dtype="int64"),
+                                 "ls": pd.Series([], dtype="int64"),
+                                 "le": pd.Series([], dtype="int64")}), 1)
+    right = _ds(pd.DataFrame({"rid": [1], "rs": [0], "re": [10]}), 1)
+    assert joins.interval_join(
+        empty_iv, right, "ls", "le", "rs", "re", band=5,
+        left_schema=pa.schema([("lid", pa.int64()), ("ls", pa.int64()),
+                               ("le", pa.int64())]),
+        right_schema=pa.schema([("rid", pa.int64()), ("rs", pa.int64()),
+                                ("re", pa.int64())]),
+    ).count() == 0
+
+    emptyg = _ds(pd.DataFrame({"g": pd.Series([], dtype="object"),
+                               "v": pd.Series([], dtype="int64"),
+                               "id": pd.Series([], dtype="int64")}), 1)
+    assert joins.group_ntile(emptyg, ["g"], [("v", True), ("id", True)],
+                             k=3).count() == 0
+    assert joins.group_rank(emptyg, ["g"], [("v", True)]).count() == 0
+
+
+def test_polygon_join_empty_left_typed():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from oluray.sources import fixtures
+    from oluray.stages import spatial
+
+    ring_t = pa.list_(pa.struct([("lon", pa.float64()),
+                                 ("lat", pa.float64())]))
+    ep = rd.from_arrow(pa.table({"a_id": pa.array([], pa.int64()),
+                                 "ring": pa.array([], ring_t)}))
+    t = fixtures.make_change_polys(3, seed=3)
+    polys = rd.from_arrow(pa.table({"b_id": t["poly_id"], "ring": t["ring"]}))
+    assert spatial.polygon_join(ep, polys, res=4, num_partitions=4).count() == 0
