@@ -1722,6 +1722,31 @@ def q_sales_rollup(sf_dir: str):
     )
 
 
+def q_curriculum_sample(sf_dir: str):
+    """Curriculum sampling — the two r3 operators COMPOSED: split each
+    language into 5 length quintiles (`joins.group_ntile`), then take
+    a deterministic 2-doc sample per (lang, tile) stratum
+    (`joins.group_topk` by Knuth hash). The shape of a quality-mixed
+    training-data draw: uniform coverage across the length spectrum
+    of every language."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tiled = joins.group_ntile(
+        docs, ["lang"], [("n_chars", True), ("doc_id", True)],
+        k=5, num_partitions=16,
+    )
+
+    def with_h(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["h"] = (df["doc_id"].to_numpy(np.int64) * 2654435761) % 4294967296
+        return df
+
+    return joins.group_topk(
+        tiled.map_batches(with_h, batch_format="pandas"),
+        ["lang", "tile"], [("h", True), ("doc_id", True)],
+        k=2, num_partitions=16,
+    )
+
+
 def q_vocab_df(sf_dir: str):
     """Corpus vocabulary with document + collection frequency
     (`text.vocab_stats`): per-block (term, df, cf) combiner, term-hash
@@ -1872,6 +1897,18 @@ ORACLE: dict[str, str] = {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), ())
+    """,
+    "curriculum_sample": """
+        WITH tiled AS (
+          SELECT doc_id, lang, n_chars,
+                 ntile(5) OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS tile,
+                 ((doc_id::HUGEINT * 2654435761) % 4294967296)::BIGINT AS h
+          FROM documents)
+        SELECT doc_id, lang, n_chars, tile, h
+        FROM tiled
+        QUALIFY row_number() OVER (PARTITION BY lang, tile
+                                   ORDER BY h, doc_id) <= 2
     """,
     "length_deciles": """
         SELECT doc_id, lang, n_chars,
@@ -2148,6 +2185,7 @@ QUERIES = {
     "status_pivot": q_status_pivot,
     "hll_users": q_hll_users,
     "length_deciles": q_length_deciles,
+    "curriculum_sample": q_curriculum_sample,
     "topk_per_cust": q_topk_per_cust,
     "rolling_24h": q_rolling_24h,
     "running_total": q_running_total,
