@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import ray.data
 
 
@@ -71,3 +72,100 @@ def read_images(path: str, with_bytes: bool = False) -> ray.data.Dataset:
     if with_bytes:
         cols.insert(1, "bytes")
     return read_table(path, columns=cols)
+
+
+# ---------------------------------------------------------------------------
+# bucketed tables: pre-shuffled storage for shuffle-free later joins
+# ---------------------------------------------------------------------------
+
+_BUCKET_MANIFEST = "_bucketed.json"
+
+
+def write_bucketed(ds: ray.data.Dataset, out_dir: str, key: str,
+                   n_buckets: int = 32) -> None:
+    """Write `ds` hive-partitioned by hash bucket of `key` (splitmix64,
+    the engine's one partitioner) plus a manifest recording the
+    bucketing contract. The 'pick ONE partitioning key and reuse it'
+    rule made durable: every later `bucketed_join` on the same
+    (key hash, n_buckets) runs with ZERO exchange — each task reads
+    one bucket of each side and merges locally."""
+    import json
+
+    import pandas as pd
+
+    from oluray.stages.joins import _hash_series
+
+    def tag(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy(deep=False)
+        df["__bucket"] = (
+            _hash_series(df[key]) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return df
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(tag, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["__bucket"]
+    )
+    with open(os.path.join(out_dir, _BUCKET_MANIFEST), "w") as f:
+        json.dump({"key": key, "n_buckets": int(n_buckets),
+                   "hash": "splitmix64"}, f)
+
+
+def _bucket_manifest(d: str) -> dict:
+    import json
+
+    p = os.path.join(d, _BUCKET_MANIFEST)
+    if not os.path.exists(p):
+        raise ValueError(f"{d} is not a bucketed table (no {_BUCKET_MANIFEST})")
+    with open(p) as f:
+        return json.load(f)
+
+
+def bucketed_join(
+    left_dir: str, right_dir: str, how: str = "inner", suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Shuffle-free join of two IDENTICALLY bucketed tables: the
+    manifests must agree on (hash, n_buckets); each of the n_buckets
+    tasks reads its bucket from BOTH sides and merges locally — no
+    exchange, no broadcast, co-location comes from storage. Join keys
+    may have different names per side (each manifest records its own).
+
+    This is the classic bucketed-table join: pay the shuffle ONCE at
+    write time, amortize it over every downstream join on that key."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    lm = _bucket_manifest(left_dir)
+    rm = _bucket_manifest(right_dir)
+    if lm["n_buckets"] != rm["n_buckets"] or lm["hash"] != rm["hash"]:
+        raise ValueError(
+            f"bucket contracts differ: {lm} vs {rm} — re-bucket one side"
+        )
+    lkey, rkey = lm["key"], rm["key"]
+    n = lm["n_buckets"]
+
+    def join_bucket(batch: "pd.DataFrame") -> "pd.DataFrame":
+        frames = []
+        for b in batch["bucket"]:
+            ld = os.path.join(left_dir, f"__bucket={b}")
+            rd = os.path.join(right_dir, f"__bucket={b}")
+            lf = pq.read_table(ld).to_pandas() if os.path.isdir(ld) else None
+            rf = pq.read_table(rd).to_pandas() if os.path.isdir(rd) else None
+            if lf is None or len(lf) == 0:
+                continue
+            if rf is None or len(rf) == 0:
+                if how == "left":
+                    rf = pd.DataFrame({rkey: pd.Series([], dtype="int64")})
+                else:
+                    continue
+            collide = (set(lf.columns) & set(rf.columns)) - {rkey}
+            rf = rf.rename(columns={c: c + suffix for c in collide})
+            frames.append(
+                lf.merge(rf, how=how, left_on=lkey, right_on=rkey)
+            )
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
+
+    ids = ray.data.from_items([{"bucket": b} for b in range(n)])
+    return ids.map_batches(join_bucket, batch_format="pandas", batch_size=1)

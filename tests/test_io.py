@@ -1,5 +1,6 @@
 """Lance-preferring IO adapter: fallback paths (no lance in sandbox)."""
 
+import numpy as np
 import pandas as pd
 import pytest
 import ray.data
@@ -31,3 +32,36 @@ def test_write_table_parquet_roundtrip(tmp_path):
     io.write_table(ds, out)
     back = io.read_table(out)
     assert back.count() == 3
+
+
+def test_bucketed_join_shuffle_free(tmp_path):
+    import ray.data as rd
+
+    from oluray.sources import io
+    from oluray.stages import joins
+
+    rng = np.random.default_rng(61)
+    left = pd.DataFrame({"id": rng.integers(0, 50, 300), "x": np.arange(300)})
+    right = pd.DataFrame({"rid": np.arange(0, 40), "tag": [f"t{i}" for i in range(40)]})
+    ld, rd_ = str(tmp_path / "l"), str(tmp_path / "r")
+    io.write_bucketed(rd.from_pandas(left), ld, key="id", n_buckets=8)
+    io.write_bucketed(rd.from_pandas(right), rd_, key="rid", n_buckets=8)
+
+    got = io.bucketed_join(ld, rd_).to_pandas()
+    got = got.drop(columns=["__bucket", "__bucket_r"], errors="ignore")
+    exp = left.merge(right, left_on="id", right_on="rid")
+    cols = sorted(exp.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        exp[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    # contract mismatch refuses
+    bad = str(tmp_path / "bad")
+    io.write_bucketed(rd.from_pandas(right), bad, key="rid", n_buckets=4)
+    import pytest
+    with pytest.raises(ValueError, match="bucket contracts differ"):
+        io.bucketed_join(ld, bad)
+    with pytest.raises(ValueError, match="not a bucketed table"):
+        io.bucketed_join(str(tmp_path), rd_)
