@@ -157,3 +157,48 @@ def approx_heavy_hitters(
                       kind="mergesort").head(k)
     g["count_lb"] = g["count_lb"].astype("int64")
     return g.reset_index(drop=True)
+
+
+def cms_build(
+    ds: "ray.data.Dataset", col: str, width: int = 16384, depth: int = 4,
+) -> np.ndarray:
+    """Count-min sketch over an int64 key column: depth x width int64
+    counters, each row keyed by an independent splitmix64-derived
+    hash. Same merge discipline as the HLL/Bloom builds: per-block
+    sketches (vectorized scatter-add), driver SUMS them streaming past
+    — CMS merge is exact addition, so sketch(A ∪ B) == sketch(A) +
+    sketch(B) bit-for-bit (tested). Estimates are upper bounds:
+    est(k) >= true(k) always, overshooting by ~total/width per row
+    with failure probability 2^-depth (take the min across rows)."""
+    if width <= 0 or depth <= 0 or depth > 16:
+        raise ValueError(f"bad CMS shape ({depth} x {width})")
+
+    def block_cms(df: pd.DataFrame) -> pd.DataFrame:
+        cms = np.zeros((depth, width), dtype=np.int64)
+        if len(df):
+            k = df[col].to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+            for d in range(depth):
+                h = _mix64(k ^ np.uint64((0xA076_1D64_78BD_642F * (d + 1)) & 0xFFFF_FFFF_FFFF_FFFF))
+                np.add.at(cms[d], (h % np.uint64(width)).astype(np.int64), 1)
+        return pd.DataFrame({"cms": [cms]})
+
+    out = np.zeros((depth, width), dtype=np.int64)
+    mapped = ds.select_columns([col]).map_batches(
+        block_cms, batch_format="pandas"
+    )
+    for b in mapped.iter_batches(batch_format="pandas", batch_size=16):
+        for v in b["cms"]:
+            np.add(out, v, out=out)
+    return out
+
+
+def cms_query(cms: np.ndarray, keys) -> np.ndarray:
+    """Point-frequency upper-bound estimates for `keys` (vectorized
+    min across the depth rows)."""
+    depth, width = cms.shape
+    k = np.asarray(keys, dtype=np.int64).view(np.uint64)
+    est = np.full(len(k), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        h = _mix64(k ^ np.uint64((0xA076_1D64_78BD_642F * (d + 1)) & 0xFFFF_FFFF_FFFF_FFFF))
+        est = np.minimum(est, cms[d][(h % np.uint64(width)).astype(np.int64)])
+    return est

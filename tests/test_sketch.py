@@ -95,3 +95,32 @@ def test_heavy_hitters_empty():
         _ds(pd.DataFrame({"k": pd.Series([], dtype="int64")}), 1), "k"
     )
     assert len(got) == 0
+
+
+def test_cms_upper_bound_and_mergeable():
+    rng = np.random.default_rng(13)
+    keys = rng.choice(np.arange(3000, dtype=np.int64) * 31 + 5,
+                      size=60_000,
+                      p=(lambda w: w / w.sum())(1.0 / np.arange(1, 3001) ** 1.2))
+    df = pd.DataFrame({"k": keys})
+    cms = sketch.cms_build(_ds(df, 6), "k", width=8192, depth=4)
+    exact = df["k"].value_counts()
+    probe = exact.index.to_numpy()[:200]
+    est = sketch.cms_query(cms, probe)
+    true = exact.loc[probe].to_numpy()
+    assert (est >= true).all()  # never undercounts
+    # overshoot bounded: e*total/width with prob 1-2^-depth per key;
+    # assert a loose 4x that bound across all probes
+    assert (est - true).max() <= 4 * np.e * len(df) / 8192
+    # top keys estimated exactly or near-exactly
+    assert est[0] == true[0]
+
+    # merge-of-sketches == sketch-of-union, bit for bit
+    a, b = df.iloc[:30_000], df.iloc[30_000:]
+    ca = sketch.cms_build(_ds(a, 3), "k", width=8192, depth=4)
+    cb = sketch.cms_build(_ds(b, 3), "k", width=8192, depth=4)
+    assert np.array_equal(ca + cb, cms)
+
+    import pytest
+    with pytest.raises(ValueError):
+        sketch.cms_build(_ds(df, 1), "k", width=0)
