@@ -1638,6 +1638,42 @@ def q_hll_users(sf_dir: str):
     )
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot diff — derive an OsmChange-style change set FROM two
+    table versions (`diff.snapshot_diff`, the inverse of
+    `apply_update`): synthetic old/new order snapshots (ids dropped by
+    modulus, cents bumped for id%3==0) → (key, create|delete|modify)
+    rows via one outer hash join, no broadcast."""
+    from oluray.stages import diff as diffs
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def old_f(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(k % 11 != 0))
+        cents = _round_half_away(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "cents": pa.array(cents)})
+
+    def new_f(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(k % 13 != 0))
+        k2 = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = _round_half_away(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100) + (k2 % 3 == 0)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "cents": pa.array(cents.astype(np.int64))})
+
+    sch = pa.schema([("o_orderkey", pa.int64()), ("cents", pa.int64())])
+    return diffs.snapshot_diff(
+        orders.map_batches(old_f, batch_format="pyarrow"),
+        orders.map_batches(new_f, batch_format="pyarrow"),
+        key="o_orderkey", cmp_cols=["cents"], num_partitions=16,
+        old_schema=sch, new_schema=sch,
+    )
+
+
 def q_status_pivot(sf_dir: str):
     """PIVOT via conditional aggregation: per customer, order counts
     spread into one column per o_orderstatus value ('O','F','P') —
@@ -1881,6 +1917,22 @@ ORACLE: dict[str, str] = {
         SELECT user_id, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n,
                round(sum(value) * 100)::BIGINT AS sum_value_cents
         FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "snapshot_diff": """
+        WITH old_s AS (
+          SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents
+          FROM orders WHERE o_orderkey % 11 <> 0),
+        new_s AS (
+          SELECT o_orderkey, round(o_totalprice * 100)::BIGINT
+                 + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS cents
+          FROM orders WHERE o_orderkey % 13 <> 0)
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'create'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'modify' END AS op
+        FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.cents <> n.cents
     """,
     "status_pivot": """
         SELECT o_custkey,
@@ -2183,6 +2235,7 @@ QUERIES = {
     "order_ranks": q_order_ranks,
     "sales_rollup": q_sales_rollup,
     "status_pivot": q_status_pivot,
+    "snapshot_diff": q_snapshot_diff,
     "hll_users": q_hll_users,
     "length_deciles": q_length_deciles,
     "curriculum_sample": q_curriculum_sample,

@@ -140,3 +140,66 @@ def is_multipolygon(batch: pa.Table) -> pa.Table:
     for row in tags.to_pylist():
         out.append(bool(row) and dict(row).get("type") == "multipolygon")
     return batch.append_column("is_multipolygon", pa.array(out, pa.bool_()))
+
+
+def snapshot_diff(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    key: str,
+    cmp_cols: "list[str]",
+    num_partitions: int = 32,
+    old_schema: "pa.Schema | None" = None,
+    new_schema: "pa.Schema | None" = None,
+) -> ray.data.Dataset:
+    """The INVERSE of `apply_update`: given two snapshots of a table,
+    emit the change set — (key, op) rows with op ∈ {create, delete,
+    modify} — exactly the reference's OsmChange semantics
+    (`src/osm/OsmChangeHandler.cpp:153-197`) derived FROM data instead
+    of applied TO it. Rows present only in `new` are creates, only in
+    `old` deletes, and rows whose `cmp_cols` differ are modifies;
+    unchanged rows are omitted.
+
+    Shape: presence markers are added map-side, the comparison columns
+    of `new` are suffixed, then ONE outer `joins.hash_join` on the key
+    co-locates each key's pair — no broadcast, no driver contact; the
+    classify step is a vectorized map. `cmp_cols` should be
+    exact-comparable types (ints/strings; pre-round floats)."""
+    from oluray.stages import joins
+
+    def mark(flag: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                flag, pa.array(np.ones(t.num_rows, np.int8))
+            )
+
+        return fn
+
+    old_m = old.map_batches(mark("__old"), batch_format="pyarrow")
+    new_m = new.map_batches(mark("__new"), batch_format="pyarrow")
+    if old_schema is not None:
+        old_schema = old_schema.append(pa.field("__old", pa.int8()))
+    if new_schema is not None:
+        new_schema = new_schema.append(pa.field("__new", pa.int8()))
+    joined = joins.hash_join(
+        old_m, new_m, on=key, how="outer",
+        num_partitions=num_partitions, suffix="_new",
+        left_schema=old_schema, right_schema=new_schema,
+    )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        has_old = df["__old"].notna().to_numpy()
+        has_new = df["__new"].notna().to_numpy()
+        changed = np.zeros(len(df), dtype=bool)
+        for c in cmp_cols:
+            a = df[c]
+            b = df[c + "_new"]
+            neq = (a != b) & ~(a.isna() & b.isna())
+            changed |= neq.to_numpy()
+        op = np.where(
+            ~has_old, "create", np.where(~has_new, "delete", "modify")
+        )
+        keep = ~has_old | ~has_new | (has_old & has_new & changed)
+        out = pd.DataFrame({key: df[key], "op": op})
+        return out[keep].reset_index(drop=True)
+
+    return joined.map_batches(classify, batch_format="pandas")
