@@ -568,3 +568,82 @@ def apply_update(
         "impacted_relations": rels_geo,
         "counts": counts,
     }
+
+
+def derive_node_changes(
+    old_nodes: ray.data.Dataset,
+    new_nodes: ray.data.Dataset,
+    ts_ms: int = 0,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Derive the node change set BETWEEN two snapshots as a `changes`
+    Dataset (CHANGES_SCHEMA) — `diff.snapshot_diff`'s classification
+    carried to full OsmChange semantics: creates/modifies ship the NEW
+    (lon, lat) payload, deletes ship the id only. Round-trip contract
+    (tested): `apply_update(old, derive_node_changes(old, new))`
+    reproduces `new`'s node set exactly — the reference's consumer
+    loop and its producer (osmium-style diff derivation) in one
+    engine."""
+    from oluray.sources.fixtures import CHANGES_SCHEMA
+    from oluray.stages import joins
+
+    sch = pa.schema(
+        [("id", pa.int64()), ("lon", pa.float64()), ("lat", pa.float64())]
+    )
+
+    def mark(flag: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(["id", "lon", "lat"])
+            return t.append_column(
+                flag, pa.array(np.ones(t.num_rows, np.int8))
+            )
+
+        return fn
+
+    old_m = old_nodes.map_batches(mark("__old"), batch_format="pyarrow")
+    new_m = new_nodes.map_batches(mark("__new"), batch_format="pyarrow")
+    joined = joins.hash_join(
+        old_m, new_m, on="id", how="outer",
+        num_partitions=num_partitions, suffix="_new",
+        left_schema=sch.append(pa.field("__old", pa.int8())),
+        right_schema=sch.append(pa.field("__new", pa.int8())),
+    )
+
+    def to_changes(df: pd.DataFrame) -> pa.Table:
+        has_old = df["__old"].notna().to_numpy()
+        has_new = df["__new"].notna().to_numpy()
+        moved = (
+            (df["lon"] != df["lon_new"]) | (df["lat"] != df["lat_new"])
+        ).to_numpy()
+        op = np.where(~has_old, "create",
+                      np.where(~has_new, "delete", "modify"))
+        keep = ~has_old | ~has_new | moved
+        sub = df[keep]
+        opk = op[keep]
+        newpay = opk != "delete"
+        rows = pa.table(
+            {
+                "op": pa.array(opk, pa.string()),
+                "kind": pa.array(["node"] * len(sub), pa.string()),
+                "id": pa.array(sub["id"].to_numpy(np.int64)),
+                "version": pa.array(np.ones(len(sub), np.int64)),
+                "ts": pa.array(
+                    np.full(len(sub), ts_ms, np.int64), pa.timestamp("ms")
+                ),
+                "payload": pa.array(
+                    [
+                        {"lon": lo, "lat": la} if p else
+                        {"lon": None, "lat": None}
+                        for p, lo, la in zip(
+                            newpay,
+                            sub["lon_new"].to_numpy(),
+                            sub["lat_new"].to_numpy(),
+                        )
+                    ],
+                    CHANGES_SCHEMA.field("payload").type,
+                ),
+            }
+        )
+        return rows.cast(CHANGES_SCHEMA)
+
+    return joined.map_batches(to_changes, batch_format="pandas")

@@ -7,6 +7,7 @@ check against a brute-force oracle."""
 import gzip
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -375,3 +376,50 @@ def test_hull_delta_way_and_relation():
     ox, oy = np.asarray(r["obb_lon"]), np.asarray(r["obb_lat"])
     area = 0.5 * abs(np.dot(ox, np.roll(oy, -1)) - np.dot(oy, np.roll(ox, -1)))
     assert abs(area - 100.0) < 1e-9
+
+
+def test_derive_apply_roundtrip_nodes():
+    """Full producer-consumer round trip: snapshot pair -> derived
+    changes -> canonical OsmChange XML -> parsed back -> apply_update
+    reproduces the new node set exactly."""
+    import ray.data as rd
+
+    from oluray.pipelines import update as U
+    from oluray.sources import fixtures, osc
+
+    nodes_t, ways_t, rels_t = fixtures.make_snapshot()
+    old = nodes_t.to_pandas()
+    # edits: move the first 5 nodes, delete 3, add 4 new ones
+    new = old.copy()
+    new.loc[new.index[:5], "lon"] = np.round(new["lon"].iloc[:5] + 0.25, 7)
+    new = new[~new["id"].isin(old["id"].iloc[5:8])]
+    add = pd.DataFrame({
+        "id": np.arange(900_001, 900_005, dtype=np.int64),
+        "lon": [1.1, 2.2, 3.3, 4.4], "lat": [0.5, 0.6, 0.7, 0.8],
+    })
+    for c in old.columns:
+        if c not in add.columns:
+            add[c] = old[c].iloc[:1].tolist() * 4 if len(old) else None
+    new = pd.concat([new, add[old.columns.tolist()]], ignore_index=True)
+
+    ch = U.derive_node_changes(
+        rd.from_pandas(old), rd.from_pandas(new), ts_ms=1_700_000_000_000
+    )
+    rows = ch.take_all()
+    ops = pd.Series([r["op"] for r in rows]).value_counts().to_dict()
+    assert ops == {"modify": 5, "delete": 3, "create": 4}
+
+    xml = osc.write_osc(rows)
+    parsed = osc.parse_osc_bytes(xml.encode())
+    changes = rd.from_arrow(
+        pa.Table.from_pylist(parsed, schema=fixtures.CHANGES_SCHEMA)
+    )
+    res = U.apply_update(
+        rd.from_arrow(nodes_t), rd.from_arrow(ways_t), rd.from_arrow(rels_t),
+        changes,
+    )
+    got = (res["nodes"].to_pandas()[["id", "lon", "lat"]]
+           .sort_values("id").reset_index(drop=True))
+    want = (new[["id", "lon", "lat"]]
+            .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
