@@ -1638,6 +1638,26 @@ def q_hll_users(sf_dir: str):
     )
 
 
+def q_bucketed_join(sf_dir: str):
+    """Shuffle-free bucketed join (`io.write_bucketed` +
+    `io.bucketed_join`): customers and nations each written
+    hash-bucketed on the nation key to scratch, then joined with zero
+    exchange — each task reads one bucket of both sides. The bucketing
+    shuffle is paid at write time; every later join on the key is
+    free."""
+    import tempfile
+
+    from oluray.sources import io as olio
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    d = tempfile.mkdtemp(prefix="oluray_bkt_")
+    olio.write_bucketed(cust, f"{d}/cust", key="c_nationkey", n_buckets=8)
+    olio.write_bucketed(nat, f"{d}/nat", key="n_nationkey", n_buckets=8)
+    out = olio.bucketed_join(f"{d}/cust", f"{d}/nat")
+    return out.select_columns(["c_custkey", "c_nationkey", "n_name"])
+
+
 def q_snapshot_diff(sf_dir: str):
     """Snapshot diff — derive an OsmChange-style change set FROM two
     table versions (`diff.snapshot_diff`, the inverse of
@@ -1917,6 +1937,10 @@ ORACLE: dict[str, str] = {
         SELECT user_id, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n,
                round(sum(value) * 100)::BIGINT AS sum_value_cents
         FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "bucketed_join": """
+        SELECT c_custkey, c_nationkey, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
     """,
     "snapshot_diff": """
         WITH old_s AS (
@@ -2236,6 +2260,7 @@ QUERIES = {
     "sales_rollup": q_sales_rollup,
     "status_pivot": q_status_pivot,
     "snapshot_diff": q_snapshot_diff,
+    "bucketed_join": q_bucketed_join,
     "hll_users": q_hll_users,
     "length_deciles": q_length_deciles,
     "curriculum_sample": q_curriculum_sample,
