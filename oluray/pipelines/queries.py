@@ -1828,6 +1828,225 @@ def q_contamination(sf_dir: str):
     return text.contamination(docs, eval_mod=97, num_partitions=32)
 
 
+def q_track_length(sf_dir: str):
+    """Per-user GPS-track length: events ordered by (ts, event_id)
+    with positions derived from event_id, consecutive-point haversine
+    summed per user. Each SEGMENT is rounded to integer millimeters
+    BEFORE the sum, so the total is an order-independent integer and
+    hash-matches the SQL window formulation exactly. Scale shape: one
+    hash partition per user set, per-partition mergesort + one
+    vectorized haversine over the shifted arrays — no per-user loop
+    (the reference walks node sequences one element at a time,
+    `src/osm/OsmUpdater.cpp` main loop)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def seglen(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.array([], dtype="int64"),
+                 "n_points": pd.array([], dtype="int64"),
+                 "track_mm": pd.array([], dtype="int64")}
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        lon, lat = geo.derive_lonlat(df["event_id"].to_numpy())
+        mm = np.zeros(len(df), dtype=np.int64)
+        if len(df) > 1:
+            d = geo.haversine_m(lon[:-1], lat[:-1], lon[1:], lat[1:])
+            same = (df["user_id"].to_numpy()[1:]
+                    == df["user_id"].to_numpy()[:-1])
+            mm[1:] = np.where(same, _round_half_away(d * 1000.0), 0)
+        g = pd.DataFrame({"user_id": df["user_id"], "mm": mm}).groupby(
+            "user_id", as_index=False
+        ).agg(n_points=("mm", "size"), track_mm=("mm", "sum"))
+        g["n_points"] = g["n_points"].astype("int64")
+        g["track_mm"] = g["track_mm"].astype("int64")
+        return g
+
+    return joins.partitioned_map(ev, ["user_id"], seglen,
+                                 num_partitions=16, pre_repartition=False)
+
+
+def q_star_poly_area(sf_dir: str):
+    """Star-polygon area per nation: each nation's customer points
+    ordered by angle around the nation's bounding-box center form a
+    deterministic (star-shaped) ring; output is the exact shoelace
+    integer 2A in 1e-8 deg² units. All geometry is scaled-integer
+    (coords snapped to 1e-4 deg), so the cross-product sum is EXACT
+    and order-independent — the oracle is hash-exact with no float
+    tolerance. int64 bound: |x·y| ≤ (1.8e6)² ≈ 3.3e12 per term, safe
+    to ~2.8M points per group (document the bound, don't guess).
+    Scale shape: hash partition by nation, ONE lexsort + grouped
+    shift per partition; no per-group loop."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    pts = _with_points(cust, "c_custkey")
+
+    def area(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"c_nationkey": pd.array([], dtype="int64"),
+                 "n_pts": pd.array([], dtype="int64"),
+                 "area2_e8": pd.array([], dtype="int64")}
+            )
+        x = _round_half_away(df["lon"].to_numpy() * 1e4)
+        y = _round_half_away(df["lat"].to_numpy() * 1e4)
+        nat = df["c_nationkey"].to_numpy().astype(np.int64)
+        key = df["c_custkey"].to_numpy()
+        g = pd.DataFrame({"nat": nat, "x": x, "y": y, "key": key})
+        bb = g.groupby("nat")[["x", "y"]].agg(["min", "max"])
+        cx = (bb[("x", "min")] + bb[("x", "max")]) // 2
+        cy = (bb[("y", "min")] + bb[("y", "max")]) // 2
+        ang = np.arctan2(
+            (g["y"] - g["nat"].map(cy)).to_numpy(dtype=np.float64),
+            (g["x"] - g["nat"].map(cx)).to_numpy(dtype=np.float64),
+        )
+        g["ang"] = ang
+        g = g.sort_values(["nat", "ang", "key"],
+                          kind="mergesort").reset_index(drop=True)
+        gb = g.groupby("nat", sort=False)
+        nx = gb["x"].shift(-1).fillna(gb["x"].transform("first")).astype(np.int64)
+        ny = gb["y"].shift(-1).fillna(gb["y"].transform("first")).astype(np.int64)
+        g["cross"] = g["x"] * ny - nx * g["y"]
+        out = g.groupby("nat", as_index=False).agg(
+            n_pts=("cross", "size"), area2_e8=("cross", "sum"))
+        return pd.DataFrame({
+            "c_nationkey": out["nat"].astype("int64"),
+            "n_pts": out["n_pts"].astype("int64"),
+            "area2_e8": out["area2_e8"].astype("int64"),
+        })
+
+    return joins.partitioned_map(pts, ["c_nationkey"], area,
+                                 num_partitions=8, pre_repartition=False)
+
+
+def q_word_stats(sf_dir: str):
+    """Gopher-style repetition/quality signals per document: word
+    count, distinct words, duplicate-word ratio and top-word fraction
+    (scaled-integer e6 via EXACT integer division, so the oracle is
+    hash-exact). Documents are rows, so this is embarrassingly
+    map-side — explode + two C-level groupbys per batch, nothing
+    shuffles (contrast `text.vocab_stats`, which must shuffle because
+    its unit is the corpus-wide term)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.array([], dtype="int64"),
+                 "n_words": pd.array([], dtype="int64"),
+                 "n_distinct": pd.array([], dtype="int64"),
+                 "dup_ratio_e6": pd.array([], dtype="int64"),
+                 "top_frac_e6": pd.array([], dtype="int64")}
+            )
+        w = df[["doc_id"]].assign(w=df["text"].str.split(" ")).explode("w")
+        cnt = w.groupby(["doc_id", "w"], as_index=False).size()
+        agg = cnt.groupby("doc_id", as_index=False).agg(
+            n_words=("size", "sum"), n_distinct=("size", "size"),
+            top_cnt=("size", "max"))
+        n = agg["n_words"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].astype("int64"),
+            "n_words": n,
+            "n_distinct": agg["n_distinct"].astype("int64"),
+            "dup_ratio_e6": ((n - agg["n_distinct"]) * 1_000_000) // n,
+            "top_frac_e6": (agg["top_cnt"].astype("int64") * 1_000_000) // n,
+        })
+
+    return docs.map_batches(stats, batch_format="pandas")
+
+
+def q_full_outer(sf_dir: str):
+    """FULL OUTER join under an oracle: per-user event counts ⟗
+    high-balance customers. Both sides contribute exclusive keys
+    (users whose customer is below the balance cut, customers with no
+    events), exercising the outer padding of `joins.hash_join` in
+    both directions. The aggregate is pushed below the join; misses
+    are filled with sentinels (0 events / -1 cents) so the hash is
+    null-free."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(__n=("event_id", "size"))
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(n_events=("__n", "sum"))
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    per_user = joins.grouped_agg(ev, ["user_id"], agg, num_partitions=16,
+                                 combine_fn=combine, pre_repartition=False)
+
+    def rich(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["c_acctbal"], pa.scalar(5000.0))
+        t = t.filter(keep)
+        cents = _round_half_away(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0)
+        # right key pre-renamed to the left key name so pandas merge
+        # coalesces the outer key into ONE column (hash_join would
+        # otherwise drop the right key and lose right-only rows' ids)
+        return pa.table({"user_id": t["c_custkey"],
+                         "acctbal_cents": pa.array(cents)})
+
+    cu = cust.map_batches(rich, batch_format="pyarrow")
+    out = joins.hash_join(per_user, cu, on="user_id", how="outer",
+                          num_partitions=16)
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ukey": df["user_id"].astype("int64"),
+            "n_events": df["n_events"].fillna(0).astype("int64"),
+            "acctbal_cents": df["acctbal_cents"].fillna(-1).astype("int64"),
+        })
+
+    return out.map_batches(fill, batch_format="pandas")
+
+
+def _track_length_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("event_id")
+    hav = geo.haversine_sql("plon", "plat", "lon", "lat")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id, {lon} AS lon, {lat} AS lat FROM events),
+    seg AS (
+      SELECT user_id, lon, lat,
+             lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, count(*)::BIGINT AS n_points,
+           COALESCE(SUM(CASE WHEN plon IS NULL THEN 0
+                        ELSE round({hav} * 1000.0, 0)::BIGINT END),
+                    0)::BIGINT AS track_mm
+    FROM seg GROUP BY user_id
+    """
+
+
+def _star_poly_area_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("c_custkey")
+    return f"""
+    WITH p AS (
+      SELECT c_custkey, c_nationkey,
+             round({lon} * 10000.0, 0)::BIGINT AS x,
+             round({lat} * 10000.0, 0)::BIGINT AS y
+      FROM customer),
+    c AS (
+      SELECT c_nationkey, (min(x) + max(x)) // 2 AS cx,
+             (min(y) + max(y)) // 2 AS cy
+      FROM p GROUP BY c_nationkey),
+    o AS (
+      SELECT p.c_nationkey, x, y, c_custkey,
+             atan2(CAST(y - cy AS DOUBLE), CAST(x - cx AS DOUBLE)) AS ang
+      FROM p JOIN c USING (c_nationkey)),
+    r AS (
+      SELECT c_nationkey, x, y,
+             lead(x) OVER w AS nx, lead(y) OVER w AS ny,
+             first_value(x) OVER w AS fx, first_value(y) OVER w AS fy
+      FROM o WINDOW w AS (PARTITION BY c_nationkey ORDER BY ang, c_custkey))
+    SELECT c_nationkey::BIGINT AS c_nationkey, count(*)::BIGINT AS n_pts,
+           SUM(x * COALESCE(ny, fy) - COALESCE(nx, fx) * y)::BIGINT AS area2_e8
+    FROM r GROUP BY c_nationkey
+    """
+
+
 ORACLE: dict[str, str] = {
     "latest_wins": """
         SELECT user_id, event_id, event_type FROM (
@@ -2216,6 +2435,33 @@ ORACLE: dict[str, str] = {
         FROM tri t JOIN ev USING (tri) WHERE t.doc_id % 97 <> 0
         GROUP BY t.doc_id
     """,
+    "track_length": _track_length_sql(),
+    "star_poly_area": _star_poly_area_sql(),
+    "word_stats": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        cnt AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+        agg AS (
+          SELECT doc_id, SUM(c)::BIGINT AS n_words,
+                 count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS top_cnt
+          FROM cnt GROUP BY doc_id)
+        SELECT doc_id, n_words, n_distinct,
+               ((n_words - n_distinct) * 1000000) // n_words AS dup_ratio_e6,
+               (top_cnt * 1000000) // n_words AS top_frac_e6
+        FROM agg
+    """,
+    "full_outer": """
+        WITH ev AS (
+          SELECT user_id, count(*)::BIGINT AS n_events FROM events
+          GROUP BY user_id),
+        cu AS (
+          SELECT c_custkey, round(c_acctbal * 100.0, 0)::BIGINT AS acctbal_cents
+          FROM customer WHERE c_acctbal >= 5000.0)
+        SELECT COALESCE(ev.user_id, cu.c_custkey)::BIGINT AS ukey,
+               COALESCE(ev.n_events, 0)::BIGINT AS n_events,
+               COALESCE(cu.acctbal_cents, -1)::BIGINT AS acctbal_cents
+        FROM ev FULL OUTER JOIN cu ON ev.user_id = cu.c_custkey
+    """,
 }
 
 QUERIES = {
@@ -2279,6 +2525,10 @@ QUERIES = {
     "vocab_df": q_vocab_df,
     "tfidf_topk": q_tfidf_topk,
     "contamination": q_contamination,
+    "track_length": q_track_length,
+    "star_poly_area": q_star_poly_area,
+    "word_stats": q_word_stats,
+    "full_outer": q_full_outer,
     # rows-only (no SQL-expressible oracle): sketches, LSH, image ops
     "fingerprint": q_fingerprint,
     "simhash": q_simhash,

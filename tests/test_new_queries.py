@@ -230,3 +230,91 @@ def test_merge_intervals_islands():
     assert got["island_start"].iloc[0] == ts[0]
     assert got["island_end"].iloc[0] == ts[2] + pd.Timedelta(minutes=30)
     assert got["island_end"].iloc[1] == ts[3] + pd.Timedelta(minutes=30)
+
+
+def test_track_length_brute():
+    """Per-user haversine track length vs an explicit per-segment
+    Python sum (points derived from event_id, order by ts then id)."""
+    ts = pd.date_range("2024-01-01", periods=6, freq="1h").astype("datetime64[us]")
+    df = pd.DataFrame({
+        "event_id": np.array([10, 11, 12, 20, 21, 30], dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 2, 2, 3], dtype=np.int64),
+        "ts": ts,
+    })
+    got = (Q.q_track_length(_scratch_sf(events=df)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    lon, lat = geo.derive_lonlat(df["event_id"].to_numpy())
+    exp = {}
+    for uid in (1, 2, 3):
+        idx = np.where(df["user_id"].to_numpy() == uid)[0]
+        mm = 0
+        for a, b in zip(idx[:-1], idx[1:]):
+            d = float(geo.haversine_m(lon[a:a+1], lat[a:a+1],
+                                      lon[b:b+1], lat[b:b+1])[0])
+            mm += int(np.floor(abs(d * 1000.0) + 0.5))
+        exp[uid] = (len(idx), mm)
+    assert got["n_points"].tolist() == [exp[u][0] for u in (1, 2, 3)]
+    assert got["track_mm"].tolist() == [exp[u][1] for u in (1, 2, 3)]
+
+
+def test_star_poly_area_matches_python_int_oracle():
+    """Shoelace 2A per nation vs an arbitrary-precision Python oracle
+    (same angle ordering rule) — proves the int64 vectorized path has
+    no overflow/ordering defect at test scale."""
+    got = (Q.q_star_poly_area(SF).to_pandas()
+           .sort_values("c_nationkey").reset_index(drop=True))
+    import duckdb
+    cust = duckdb.sql(
+        f"SELECT c_custkey, c_nationkey FROM '{SF}/customer.parquet'").df()
+    lon, lat = geo.derive_lonlat(cust["c_custkey"].to_numpy())
+
+    def snap(v):
+        return int(np.floor(abs(v * 1e4) + 0.5)) * (1 if v >= 0 else -1)
+
+    for nat, sub in cust.assign(lon=lon, lat=lat).groupby("c_nationkey"):
+        xs = [snap(v) for v in sub["lon"]]
+        ys = [snap(v) for v in sub["lat"]]
+        cx = (min(xs) + max(xs)) // 2
+        cy = (min(ys) + max(ys)) // 2
+        order = sorted(range(len(xs)), key=lambda i: (
+            np.arctan2(float(ys[i] - cy), float(xs[i] - cx)),
+            sub["c_custkey"].iloc[i]))
+        a2 = 0
+        for j in range(len(order)):
+            i0, i1 = order[j], order[(j + 1) % len(order)]
+            a2 += xs[i0] * ys[i1] - xs[i1] * ys[i0]   # python ints: exact
+        row = got[got["c_nationkey"] == nat].iloc[0]
+        assert int(row["area2_e8"]) == a2 and int(row["n_pts"]) == len(xs)
+
+
+def test_word_stats_known_docs():
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["a a b", "x y z"],
+    })
+    got = (Q.q_word_stats(_scratch_sf(documents=docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got.loc[0].tolist() == [1, 3, 2, 333333, 666666]
+    assert got.loc[1].tolist() == [2, 3, 3, 0, 333333]
+
+
+def test_full_outer_exclusive_sides():
+    """Left-only users (below the balance cut) and right-only
+    customers (no events) both survive the outer join with their
+    sentinels."""
+    ev = pd.DataFrame({
+        "user_id": np.array([1, 1, 2], dtype=np.int64),
+        "event_id": np.array([100, 101, 102], dtype=np.int64),
+        "ts": pd.date_range("2024-01-01", periods=3, freq="1min")
+                .astype("datetime64[us]"),
+    })
+    cust = pd.DataFrame({
+        "c_custkey": np.array([2, 3], dtype=np.int64),
+        "c_nationkey": np.array([0, 0], dtype=np.int64),
+        "c_acctbal": [6000.0, 7000.5],
+    })
+    got = (Q.q_full_outer(_scratch_sf(events=ev, customer=cust)).to_pandas()
+           .sort_values("ukey").reset_index(drop=True))
+    assert got["ukey"].tolist() == [1, 2, 3]
+    assert got["n_events"].tolist() == [2, 1, 0]
+    assert got["acctbal_cents"].tolist() == [-1, 600000, 700050]
