@@ -2002,6 +2002,72 @@ def q_full_outer(sf_dir: str):
     return out.map_batches(fill, batch_format="pandas")
 
 
+def q_props_k_stats(sf_dir: str):
+    """JSON field extraction + aggregate: pull `k` out of the events
+    `props` JSON string with ONE vectorized regex (C-level, compiled
+    once per batch fn), aggregate per event_type. The parse happens
+    map-side next to the read — only (event_type, k) ever leaves the
+    scan, never the JSON strings."""
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k": (\d+)', expand=False)
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "k": k.astype("int64")})
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+        for c in ("n", "sum_k", "max_k"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    # event_type has ~5 distinct values: per-block combiner collapses
+    # each block to <=5 rows before the (tiny) shuffle
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k": (\d+)', expand=False).astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"], "k": k}).groupby(
+            "event_type", as_index=False).agg(
+            __n=("k", "size"), __s=("k", "sum"), __m=("k", "max"))
+        return g
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("__n", "sum"), sum_k=("__s", "sum"), max_k=("__m", "max"))
+        for c in ("n", "sum_k", "max_k"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return joins.grouped_agg(ev, ["event_type"], finish, num_partitions=4,
+                             combine_fn=combine, pre_repartition=False)
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup keep-set (`ann.semdedup_keep`): embedding-cluster
+    semantic dedup — cluster with the IVF quantizer, greedily keep
+    only vectors whose max cosine to lower-id kept vectors is below
+    tau. Rows-only (iterative greedy isn't SQL); brute-force pytest
+    covers exactness."""
+    # tau 0.35 (vs a production ~0.95): the synthetic embeddings are
+    # near-orthogonal random vectors (max pairwise cos ~0.51, see
+    # q_cosine_pairs), so a production threshold would drop nothing
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.semdedup_keep(emb, n_centroids=16, tau=0.35,
+                             sample_size=1024, num_partitions=8)
+
+
+def q_image_quality(sf_dir: str):
+    """Per-image blur/brightness/contrast over real decoded pixels
+    (`image.QualityStats`). Rows-only (pixel decode isn't SQL)."""
+    from oluray.stages.image import QualityStats
+
+    images = _synth_images(sf_dir)
+    return images.map_batches(
+        QualityStats, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    ).select_columns(["image_id", "sharpness", "brightness", "contrast"])
+
+
 def _track_length_sql() -> str:
     lon, lat = geo.derive_lonlat_sql("event_id")
     hav = geo.haversine_sql("plon", "plat", "lon", "lat")
@@ -2450,6 +2516,12 @@ ORACLE: dict[str, str] = {
                (top_cnt * 1000000) // n_words AS top_frac_e6
         FROM agg
     """,
+    "props_k_stats": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))::BIGINT AS sum_k,
+               max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))::BIGINT AS max_k
+        FROM events GROUP BY event_type
+    """,
     "full_outer": """
         WITH ev AS (
           SELECT user_id, count(*)::BIGINT AS n_events FROM events
@@ -2529,6 +2601,9 @@ QUERIES = {
     "star_poly_area": q_star_poly_area,
     "word_stats": q_word_stats,
     "full_outer": q_full_outer,
+    "props_k_stats": q_props_k_stats,
+    "semdedup": q_semdedup,
+    "image_quality": q_image_quality,
     # rows-only (no SQL-expressible oracle): sketches, LSH, image ops
     "fingerprint": q_fingerprint,
     "simhash": q_simhash,

@@ -787,3 +787,58 @@ def quantized_topk(
     cand = _stage_map(qds, QuantizedTopK,
                       dict(queries_ref=qref, k=k), concurrency)
     return _final_topk(cand, k, round_digits)
+
+
+def semdedup_keep(
+    embeddings, n_centroids: int = 32, tau: float = 0.97,
+    sample_size: int = 2048, iters: int = 10,
+    concurrency: int | None = None, num_partitions: int = 16,
+):
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster embeddings with the IVF coarse quantizer, then within each
+    cluster greedily KEEP a vector only if its max cosine to every
+    lower-id kept vector is <= tau. Returns the keep-set as a Dataset
+    (vec_id, cell).
+
+    Scale shape: centroids train on a bounded corpus-wide sample
+    (`train_centroids`); assignment is map-side; the greedy scan is
+    partition-parallel ACROSS clusters (cell is the partition key, as
+    in `ivf_topk`). Within one cluster the greedy rule is inherently
+    sequential — cost is O(|cluster|^2 · d) worst case, the same bound
+    as the published algorithm; at corpus scale |cluster| ~ n /
+    n_centroids, so n_centroids must grow with the corpus (same
+    contract as `ivf_topk`'s probe-fraction note). No driver contact
+    beyond the centroid sample."""
+    cents = train_centroids(embeddings, n_centroids, sample_size, iters)
+    cref = ray.put(cents)
+    assigned = _stage_map(embeddings, IvfAssignStage,
+                          dict(cents_ref=cref), concurrency)
+
+    from oluray.stages import joins as _joins
+
+    def keep_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": pd.array([], dtype="int64"),
+                                 "cell": pd.array([], dtype="int64")})
+        out_v, out_c = [], []
+        for cell, sub in df.groupby("cell", sort=False):
+            sub = sub.sort_values("vec_id")
+            m = _normalize(np.stack(sub["embedding"].to_numpy()))
+            kept: list[int] = []
+            for i in range(len(sub)):           # greedy over members, one
+                if not kept:                    # matvec vs kept per step —
+                    kept.append(i)              # never a Python inner loop
+                    continue
+                if float(np.max(m[kept] @ m[i])) <= tau:
+                    kept.append(i)
+            ids = sub["vec_id"].to_numpy()[kept]
+            out_v.append(ids)
+            out_c.append(np.full(len(ids), cell, dtype=np.int64))
+        return pd.DataFrame({
+            "vec_id": np.concatenate(out_v).astype(np.int64),
+            "cell": np.concatenate(out_c),
+        })
+
+    return _joins.partitioned_map(assigned, ["cell"], keep_fn,
+                                  num_partitions=num_partitions,
+                                  pre_repartition=False)

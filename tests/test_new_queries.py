@@ -318,3 +318,57 @@ def test_full_outer_exclusive_sides():
     assert got["ukey"].tolist() == [1, 2, 3]
     assert got["n_events"].tolist() == [2, 1, 0]
     assert got["acctbal_cents"].tolist() == [-1, 600000, 700050]
+
+
+def test_semdedup_matches_brute_greedy():
+    """semdedup_keep vs a plain-Python greedy oracle with one cluster
+    (n_centroids=1 removes clustering from the comparison)."""
+    import ray.data
+
+    from oluray.stages import ann
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(4, 8))
+    # rows 4..7 are near-dups of rows 0..3 (tiny perturbation)
+    vecs = np.vstack([base, base + rng.normal(scale=1e-3, size=(4, 8))])
+    ids = np.arange(8, dtype=np.int64)
+    tbl = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    ds = ray.data.from_pandas(tbl)
+    tau = 0.99
+    got = sorted(ann.semdedup_keep(ds, n_centroids=1, tau=tau,
+                                   sample_size=8, num_partitions=2)
+                 .to_pandas()["vec_id"].tolist())
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    kept = []
+    for i in range(8):
+        if not kept or max(float(m[j] @ m[i]) for j in kept) <= tau:
+            kept.append(i)
+    assert got == kept
+    assert got == [0, 1, 2, 3]  # the perturbed copies were dropped
+
+
+def test_image_quality_known_images():
+    from oluray.functions import imagecodec
+    from oluray.stages.image import QualityStats
+    import pyarrow as pa
+
+    flat = np.full((8, 8, 3), 100, np.uint8)
+    checker = np.zeros((8, 8, 3), np.uint8)
+    checker[::2, 1::2] = 255
+    checker[1::2, ::2] = 255
+    batch = pa.table({
+        "image_id": pa.array(["flat", "checker"]),
+        "bytes": pa.array([imagecodec.encode_png(flat),
+                           imagecodec.encode_png(checker)], pa.binary()),
+        "fmt": pa.array(["png", "png"]),
+    })
+    out = QualityStats()(batch).to_pandas().set_index("image_id")
+    assert out.loc["flat", "sharpness"] == 0.0
+    assert out.loc["flat", "contrast"] == 0.0
+    assert out.loc["flat", "brightness"] == 100.0
+    assert out.loc["checker", "sharpness"] > 0.0
+    # brute Laplacian variance on the checker luma
+    luma = checker.mean(axis=2)
+    lap = (4 * luma[1:-1, 1:-1] - luma[:-2, 1:-1] - luma[2:, 1:-1]
+           - luma[1:-1, :-2] - luma[1:-1, 2:])
+    assert abs(out.loc["checker", "sharpness"] - round(lap.var(), 4)) < 1e-9
