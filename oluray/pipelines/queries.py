@@ -2068,6 +2068,134 @@ def q_image_quality(sf_dir: str):
     ).select_columns(["image_id", "sharpness", "brightness", "contrast"])
 
 
+def q_regional_revenue(sf_dir: str):
+    """TPC-H Q5 shape — the star-schema denormalization pattern at
+    scale: the ONE big-big exchange is lineitem ⋈ orders on orderkey
+    (`joins.hash_join`, both sides moved once); every dimension hop
+    (customer, supplier, nation⋈region) rides `auto_join`, which
+    probes the dim size and broadcasts it map-side (`ray.put` once per
+    worker) instead of shuffling the fact table again. Revenue is
+    per-row rounded cents so the sum is order-independent."""
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def only_asia(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["r_name"], pa.scalar("ASIA")))
+
+    asia = joins.auto_join(nat, reg.map_batches(only_asia,
+                                                batch_format="pyarrow"),
+                           on="n_regionkey", right_on="r_regionkey",
+                           num_partitions=4)
+
+    def odate(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        lo = pc.greater_equal(d, pa.scalar(np.datetime64("1994-01-01", "us")))
+        hi = pc.less(d, pa.scalar(np.datetime64("1996-01-01", "us")))
+        return t.filter(pc.and_(lo, hi)).select(["o_orderkey", "o_custkey"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dis = t["l_discount"].to_numpy(zero_copy_only=False)
+        c = _round_half_away(ext * (1.0 - dis) * 100.0)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "cents": pa.array(c)})
+
+    fact = joins.hash_join(
+        li.map_batches(cents, batch_format="pyarrow"),
+        orders.map_batches(odate, batch_format="pyarrow"),
+        on="l_orderkey", right_on="o_orderkey", num_partitions=32)
+    fact = joins.auto_join(fact, cust, on="o_custkey", right_on="c_custkey",
+                           num_partitions=32)
+    fact = joins.auto_join(fact, sup, on="l_suppkey", right_on="s_suppkey",
+                           num_partitions=32)
+    def same_nation(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_nationkey"], t["s_nationkey"]))
+
+    fact = fact.map_batches(same_nation, batch_format="pyarrow")
+    fact = joins.auto_join(
+        fact, asia.select_columns(["n_nationkey", "n_name"]),
+        on="c_nationkey", right_on="n_nationkey", num_partitions=32)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue_cents=("cents", "sum"))
+        g["revenue_cents"] = g["revenue_cents"].astype("int64")
+        return g
+
+    return joins.grouped_agg(
+        fact.select_columns(["n_name", "cents"]), ["n_name"], agg,
+        num_partitions=4,
+        combine_fn=lambda df: df.groupby("n_name", as_index=False).agg(
+            cents=("cents", "sum")),
+        pre_repartition=False)
+
+
+def q_unpivot(sf_dir: str):
+    """UNPIVOT (melt): the wide per-returnflag aggregate row becomes
+    one (flag, metric, value) row per measure — the inverse of
+    `status_pivot`, and entirely map-side after the tiny aggregate."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        q = _round_half_away(t["l_quantity"].to_numpy(zero_copy_only=False))
+        p = _round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0)
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "qty": pa.array(q), "price_cents": pa.array(p)})
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_price_cents=("price_cents", "sum"))
+        return g
+
+    wide = joins.grouped_agg(
+        li.map_batches(cents, batch_format="pyarrow"), ["l_returnflag"], agg,
+        num_partitions=4,
+        combine_fn=lambda df: df.groupby("l_returnflag", as_index=False).agg(
+            qty=("qty", "sum"), price_cents=("price_cents", "sum")),
+        pre_repartition=False)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(id_vars=["l_returnflag"],
+                      value_vars=["sum_qty", "sum_price_cents"],
+                      var_name="metric", value_name="value")
+        out["value"] = out["value"].astype("int64")
+        return out
+
+    return wide.map_batches(melt, batch_format="pandas")
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (the A-ES
+    scheme, Efraimidis & Spirakis 2006): per-language top-5 documents
+    by priority ln(u)/w, u = Knuth-hash uniform, w = n_chars — longer
+    docs proportionally likelier, yet fully reproducible (no RNG
+    state) and rankable identically in SQL. `joins.group_topk`'s
+    per-block combiner bounds the shuffle at 5 rows per (block,
+    lang)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def with_pri(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].to_numpy(np.int64) * 2654435761) % 4294967296
+        u = (h.astype(np.float64) + 0.5) / 4294967296.0
+        df = df.copy(deep=False)
+        # ln(u)/w is a monotone transform of u^(1/w); larger = better
+        df["pri"] = np.log(u) / df["n_chars"].to_numpy(np.float64)
+        return df
+
+    return joins.group_topk(
+        docs.map_batches(with_pri, batch_format="pandas"),
+        ["lang"], [("pri", False), ("doc_id", True)], k=5, num_partitions=8,
+    ).select_columns(["lang", "doc_id", "n_chars"])
+
+
 def _track_length_sql() -> str:
     lon, lat = geo.derive_lonlat_sql("event_id")
     hav = geo.haversine_sql("plon", "plat", "lon", "lat")
@@ -2516,6 +2644,46 @@ ORACLE: dict[str, str] = {
                (top_cnt * 1000000) // n_words AS top_frac_e6
         FROM agg
     """,
+    "regional_revenue": """
+        SELECT n_name,
+               SUM(round(l_extendedprice * (1.0 - l_discount) * 100.0,
+                         0)::BIGINT)::BIGINT AS revenue_cents
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1994-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY n_name
+    """,
+    "unpivot": """
+        WITH wide AS (
+          SELECT l_returnflag,
+                 SUM(round(l_quantity, 0)::BIGINT)::BIGINT AS sum_qty,
+                 SUM(round(l_extendedprice * 100.0, 0)::BIGINT)::BIGINT
+                   AS sum_price_cents
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price_cents' AS metric, sum_price_cents
+        FROM wide
+    """,
+    "weighted_sample": """
+        WITH pri AS (
+          SELECT lang, doc_id, n_chars,
+                 ln(((doc_id * 2654435761) % 4294967296 + 0.5)
+                    / 4294967296.0) / n_chars AS pri,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY ln(((doc_id * 2654435761)
+                                      % 4294967296 + 0.5) / 4294967296.0)
+                                      / n_chars DESC, doc_id) AS rn
+          FROM documents)
+        SELECT lang, doc_id, n_chars FROM pri WHERE rn <= 5
+    """,
     "props_k_stats": """
         SELECT event_type, count(*)::BIGINT AS n,
                SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))::BIGINT AS sum_k,
@@ -2601,6 +2769,9 @@ QUERIES = {
     "star_poly_area": q_star_poly_area,
     "word_stats": q_word_stats,
     "full_outer": q_full_outer,
+    "regional_revenue": q_regional_revenue,
+    "unpivot": q_unpivot,
+    "weighted_sample": q_weighted_sample,
     "props_k_stats": q_props_k_stats,
     "semdedup": q_semdedup,
     "image_quality": q_image_quality,

@@ -718,6 +718,13 @@ def auto_join(
     rm = right.materialize()
     cnt = rm.count()
     size = rm.size_bytes() or 0
+    if right_schema is None and cnt > 0:
+        # Ray 2.49 can report a STALE pre-projection schema() on a
+        # materialized Project lineage (observed: select_columns on a
+        # broadcast-join output lists the dropped columns). Derive the
+        # schema from an actual block so every downstream pad/column
+        # projection matches the real data.
+        right_schema = rm.take_batch(1, batch_format="pyarrow").schema
     if (
         how == "inner"
         and (cnt > broadcast_rows or size > broadcast_bytes)

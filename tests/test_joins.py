@@ -575,3 +575,26 @@ def test_polygon_join_empty_left_typed():
     t = fixtures.make_change_polys(3, seed=3)
     polys = rd.from_arrow(pa.table({"b_id": t["poly_id"], "ring": t["ring"]}))
     assert spatial.polygon_join(ep, polys, res=4, num_partitions=4).count() == 0
+
+
+def test_auto_join_survives_stale_projected_schema():
+    """Regression: Ray 2.49 reports a stale pre-projection schema()
+    on a materialized select_columns lineage (the dropped columns
+    reappear in schema().names while blocks hold the projected data).
+    auto_join must derive the right-side schema from actual blocks,
+    or the broadcast path KeyErrors / the shuffle path pads phantom
+    columns."""
+    left = _ds(pd.DataFrame({"k": np.arange(8, dtype=np.int64),
+                             "lv": np.arange(8, dtype=np.int64) * 10}))
+    dim = _ds(pd.DataFrame({"k": np.arange(8, dtype=np.int64),
+                            "a": np.arange(8, dtype=np.int64),
+                            "b": np.arange(8, dtype=np.int64) + 100}), 1)
+    # produce the Project-on-join lineage that exhibits the stale schema
+    enriched = joins.auto_join(left, dim, on="k", num_partitions=2)
+    sel = enriched.select_columns(["k", "a"])
+    out = joins.auto_join(
+        _ds(pd.DataFrame({"k": np.arange(8, dtype=np.int64),
+                          "x": np.arange(8, dtype=np.int64)})),
+        sel, on="k", num_partitions=2).to_pandas()
+    assert sorted(out.columns) == ["a", "k", "x"]
+    assert len(out) == 8

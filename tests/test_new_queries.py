@@ -372,3 +372,29 @@ def test_image_quality_known_images():
     lap = (4 * luma[1:-1, 1:-1] - luma[:-2, 1:-1] - luma[2:, 1:-1]
            - luma[1:-1, :-2] - luma[1:-1, 2:])
     assert abs(out.loc["checker", "sharpness"] - round(lap.var(), 4)) < 1e-9
+
+
+def test_weighted_sample_prefers_heavy_docs():
+    """A-ES with one dominant weight: the heavy doc must appear in
+    the per-lang sample; brute-force priority ranking agrees."""
+    docs = pd.DataFrame({
+        "doc_id": np.arange(1, 13, dtype=np.int64),
+        "lang": ["en"] * 12,
+        "n_chars": np.array([10] * 11 + [10_000_000], dtype=np.int64),
+    })
+    got = (Q.q_weighted_sample(_scratch_sf(documents=docs)).to_pandas()
+           .sort_values("doc_id"))
+    h = (docs["doc_id"].to_numpy(np.int64) * 2654435761) % 4294967296
+    u = (h.astype(np.float64) + 0.5) / 4294967296.0
+    pri = np.log(u) / docs["n_chars"].to_numpy(np.float64)
+    exp = set(docs["doc_id"].to_numpy()[np.argsort(-pri, kind="stable")][:5])
+    assert set(got["doc_id"]) == exp
+    assert 12 in exp  # the heavy doc always makes the sample
+
+
+def test_unpivot_inverse_of_wide():
+    got = Q.q_unpivot(SF).to_pandas()
+    wide = got.pivot(index="l_returnflag", columns="metric", values="value")
+    # re-pivoting the melt restores one row per flag with both metrics
+    assert set(wide.columns) == {"sum_qty", "sum_price_cents"}
+    assert (wide > 0).all().all()
