@@ -2196,6 +2196,49 @@ def q_weighted_sample(sf_dir: str):
     ).select_columns(["lang", "doc_id", "n_chars"])
 
 
+CHUNK, STRIDE = 32, 24
+STOPWORDS = ("a", "the", "of", "and", "to")
+
+
+def q_chunk_tokens(sf_dir: str):
+    """Context-length chunking (the training-data windowing op): each
+    document explodes into overlapping 32-token chunks at stride 24.
+    Entirely map-side (`text.chunk_tokens_batch` — one Arrow gather +
+    binary_join per batch, no shuffle); output grows ~n/stride per
+    doc, streamed block-by-block."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: text.chunk_tokens_batch(t, CHUNK, STRIDE),
+        batch_format="pyarrow",
+    )
+
+
+def q_stopword_scrub(sf_dir: str):
+    """Stopword removal with a removal count — map-side text
+    cleaning, vectorized through the flat token buffer."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: text.stopword_scrub_batch(t, STOPWORDS),
+        batch_format="pyarrow",
+    )
+
+
+def q_balanced_shards(sf_dir: str):
+    """LPT round-robin sharding into 8 near-equal-token shards via a
+    histogram-offset global row_number (no global sort; see
+    `text.balanced_shards`)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.balanced_shards(docs, n_shards=8, num_partitions=16)
+
+
+def q_pack_bins(sf_dir: str):
+    """Greedy next-fit sequence packing to 512-token bins within each
+    doc_id hash partition (rows-only: packing is order-sequential, not
+    SQL-window-expressible; invariants pytest-checked)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.pack_bins(docs, capacity=512, num_partitions=16)
+
+
 def _track_length_sql() -> str:
     lon, lat = geo.derive_lonlat_sql("event_id")
     hav = geo.haversine_sql("plon", "plat", "lon", "lat")
@@ -2684,6 +2727,40 @@ ORACLE: dict[str, str] = {
           FROM documents)
         SELECT lang, doc_id, n_chars FROM pri WHERE rn <= 5
     """,
+    "chunk_tokens": f"""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                          len(string_split(text, ' ')) AS n
+                   FROM documents),
+             c AS (SELECT doc_id, toks, n,
+                          unnest(generate_series(1, n, {STRIDE})) AS start
+                   FROM s)
+        SELECT doc_id, ((start - 1) / {STRIDE})::BIGINT AS chunk_id,
+               array_to_string(
+                 toks[start : least(start + {CHUNK} - 1, n)], ' ')
+                 AS chunk_text,
+               (least(start + {CHUNK} - 1, n) - start + 1)::BIGINT
+                 AS n_tokens
+        FROM c
+    """,
+    "stopword_scrub": f"""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+             f AS (SELECT doc_id, toks,
+                          list_filter(toks, t -> t NOT IN
+                            {STOPWORDS!r}) AS kept
+                   FROM s)
+        SELECT doc_id,
+               COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+               (len(toks) - len(kept))::BIGINT AS n_removed
+        FROM f
+    """,
+    "balanced_shards": """
+        SELECT doc_id,
+               ((row_number() OVER (
+                   ORDER BY len(string_split(text, ' ')) DESC, doc_id)
+                 - 1) % 8)::BIGINT AS shard
+        FROM documents
+    """,
     "props_k_stats": """
         SELECT event_type, count(*)::BIGINT AS n,
                SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))::BIGINT AS sum_k,
@@ -2772,6 +2849,10 @@ QUERIES = {
     "regional_revenue": q_regional_revenue,
     "unpivot": q_unpivot,
     "weighted_sample": q_weighted_sample,
+    "chunk_tokens": q_chunk_tokens,
+    "stopword_scrub": q_stopword_scrub,
+    "balanced_shards": q_balanced_shards,
+    "pack_bins": q_pack_bins,
     "props_k_stats": q_props_k_stats,
     "semdedup": q_semdedup,
     "image_quality": q_image_quality,

@@ -13,6 +13,13 @@ compilation happens once per actor):
   counting)
 - document fingerprinting: rolling polynomial hash over tokens
   (not SQL-expressible; verified by pytest oracle)
+- context-length chunking (overlapping token windows) and stopword
+  scrubbing — map-side, one Arrow gather + binary_join per batch
+- balanced sharding (LPT round-robin) via a histogram-offset global
+  row_number — no global sort, driver footprint bounded by the
+  token-LENGTH histogram, not the corpus
+- greedy next-fit sequence packing per hash partition (the
+  pre-tokenization packing pass; order-sequential by definition)
 """
 
 from __future__ import annotations
@@ -20,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # marker words per language, with surrounding spaces so they match as
 # whole words mid-string; counting is non-overlapping left-to-right in
@@ -350,6 +358,187 @@ def doc_trigrams(docs) -> "ray.data.Dataset":
         return out.drop_duplicates(ignore_index=True)
 
     return docs.map_batches(tri, batch_format="pandas")
+
+
+def _split_tokens(col) -> tuple[pa.Array, np.ndarray]:
+    """Whitespace-split a string column with the C++ Arrow kernel,
+    returning (list-of-tokens array, int64 list offsets). SQL parity
+    with `string_split(text, ' ')`: consecutive spaces yield empty
+    tokens, the empty string yields one empty token — every document
+    therefore has >= 1 token."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    toks = pc.split_pattern(arr, " ")
+    return toks, toks.offsets.to_numpy().astype(np.int64)
+
+
+def _multi_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated aranges [s, s+len) — the vectorized gather-index
+    builder (no Python loop over segments)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    before = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return np.repeat(starts, lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(before, lens)
+    )
+
+
+def chunk_tokens_batch(t: pa.Table, chunk: int = 32,
+                       stride: int = 24) -> pa.Table:
+    """Fixed-size overlapping token chunking — the canonical
+    training-data windowing op (context-length chunks with overlap
+    `chunk - stride`). Entirely map-side: one output row per chunk,
+    (doc_id, chunk_id, chunk_text, n_tokens).
+
+    Vectorization: the per-chunk token slices are built as one gather
+    over the flat token buffer (`_multi_arange` indices + Arrow
+    `take`), re-listed with fresh offsets, and re-joined by the C++
+    `binary_join` kernel — no Python loop over rows or chunks.
+    Chunk `c` of a doc with n tokens covers tokens
+    [c*stride, min(c*stride + chunk, n)); SQL parity:
+    `generate_series(1, n, stride)` starts with inclusive list
+    slicing."""
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+    ids = t["doc_id"].combine_chunks()
+    toks, offs = _split_tokens(t["text"])
+    n = np.diff(offs)
+    n_chunks = (n - 1) // stride + 1
+    did = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    total = int(n_chunks.sum())
+    before = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    cid = np.arange(total, dtype=np.int64) - np.repeat(before, n_chunks)
+    a = cid * stride
+    lens = np.minimum(a + chunk, n[did]) - a
+    gather = _multi_arange(offs[:-1][did] + a, lens)
+    vals = toks.values.take(pa.array(gather, pa.int64()))
+    new_offs = np.concatenate(([0], np.cumsum(lens)))
+    lists = pa.LargeListArray.from_arrays(pa.array(new_offs, pa.int64()), vals)
+    return pa.table({
+        "doc_id": ids.take(pa.array(did, pa.int64())),
+        "chunk_id": pa.array(cid, pa.int64()),
+        "chunk_text": pc.binary_join(lists, pa.scalar(" ")),
+        "n_tokens": pa.array(lens, pa.int64()),
+    })
+
+
+def stopword_scrub_batch(t: pa.Table, stopwords: tuple) -> pa.Table:
+    """Stopword removal (text cleaning): drop exact-match stopword
+    tokens, re-join the survivors, count removals. Map-side only;
+    the filter is Arrow `is_in` over the flat token buffer, the
+    rebuild a fresh-offset list + `binary_join` — no per-row Python.
+    SQL parity: `list_filter(string_split(text,' '), t -> t NOT IN
+    (...))` with COALESCE('') for all-stopword docs (DuckDB's
+    array_to_string of an empty list is NULL; Arrow's join is '')."""
+    ids = t["doc_id"].combine_chunks()
+    toks, offs = _split_tokens(t["text"])
+    n = np.diff(offs)
+    keep = pc.invert(pc.is_in(toks.values,
+                              value_set=pa.array(list(stopwords))))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if len(n):
+        kept = np.add.reduceat(keep_np, offs[:-1]).astype(np.int64)
+    else:
+        kept = np.empty(0, dtype=np.int64)
+    vals = toks.values.filter(keep)
+    new_offs = np.concatenate(([0], np.cumsum(kept)))
+    lists = pa.LargeListArray.from_arrays(pa.array(new_offs, pa.int64()), vals)
+    return pa.table({
+        "doc_id": ids,
+        "clean_text": pc.binary_join(lists, pa.scalar(" ")),
+        "n_removed": pa.array(n - kept, pa.int64()),
+    })
+
+
+def balanced_shards(docs, n_shards: int = 8,
+                    num_partitions: int = 64) -> "ray.data.Dataset":
+    """Balanced corpus sharding (LPT round-robin): global rank by
+    (n_tokens DESC, doc_id), shard = (rank-1) % n_shards — longest-
+    processing-time order round-robined so shard token totals are
+    near-equal. SQL: `row_number() OVER (ORDER BY n DESC, doc_id)`.
+
+    Scale: NO global sort. The global row number decomposes as
+    offset(n_tokens) + rank-within-equal-n, because rows sort first
+    by n_tokens: the offset table is a token-LENGTH histogram
+    (cardinality bounded by max doc length, ~10^5 distinct values
+    even at 100 TB — driver-safe by construction, unlike a doc-id
+    collect), and the within-group rank is `joins.group_rank`
+    hash-partitioned on n_tokens (doc_id unique => rank ==
+    row_number)."""
+    from oluray.stages import joins
+
+    tok = docs.map_batches(TokenCount, batch_format="pandas",
+                           concurrency=(1, 4))
+
+    def hist_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_tokens", as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def hist_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_tokens", as_index=False)["cnt"].sum()
+
+    hist = joins.grouped_agg(
+        tok, ["n_tokens"], hist_sum, num_partitions=8,
+        combine_fn=hist_combine, pre_repartition=False,
+    ).to_pandas()
+    hist = hist.sort_values("n_tokens", ascending=False).reset_index(drop=True)
+    # offset[n] = number of rows with n_tokens strictly greater than n
+    max_n = int(hist["n_tokens"].max()) if len(hist) else 0
+    offset = np.zeros(max_n + 1, dtype=np.int64)
+    offs_desc = np.concatenate(([0], np.cumsum(hist["cnt"].to_numpy())[:-1]))
+    offset[hist["n_tokens"].to_numpy(np.int64)] = offs_desc
+
+    ranked = joins.group_rank(tok, ["n_tokens"], [("doc_id", True)],
+                              num_partitions=num_partitions)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df["n_tokens"].to_numpy(np.int64)
+        glob = offset[nt] + df["rank"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "shard": ((glob - 1) % n_shards).astype("int64"),
+        })
+
+    return ranked.map_batches(assign, batch_format="pandas")
+
+
+def pack_bins(docs, capacity: int = 512,
+              num_partitions: int = 16) -> "ray.data.Dataset":
+    """Greedy next-fit sequence packing: within each hash partition
+    of doc_id, walk docs in doc_id order and open a new bin whenever
+    the next doc would overflow `capacity` tokens — the standard
+    pre-tokenization packing pass before training-batch assembly.
+    Output (doc_id, n_tokens, part, bin): (part, bin) is the packed
+    sequence id; a doc longer than capacity gets a bin of its own.
+
+    Scale notes: packing is ORDER-SEQUENTIAL by definition, so the
+    parallel unit is the partition — the per-partition walk is the
+    one deliberate Python loop (O(rows/partition), no allocation in
+    the loop); raise num_partitions to bound it. Only (doc_id,
+    n_tokens) rows shuffle, never text."""
+    from oluray.stages import joins
+
+    tok = docs.map_batches(TokenCount, batch_format="pandas",
+                           concurrency=(1, 4))
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        w = df["n_tokens"].to_numpy(np.int64)
+        bins = np.empty(len(w), dtype=np.int64)
+        b, cur = 0, 0
+        for i in range(len(w)):
+            if cur > 0 and cur + w[i] > capacity:
+                b += 1
+                cur = 0
+            bins[i] = b
+            cur += w[i]
+        out = df.copy(deep=False)
+        out["part"] = joins.partition_codes(df, ["doc_id"], num_partitions)
+        out["bin"] = bins
+        return out
+
+    return joins.partitioned_map(tok, ["doc_id"], pack, num_partitions,
+                                 pre_repartition=False)
 
 
 def contamination(docs, eval_mod: int = 97,

@@ -398,3 +398,96 @@ def test_unpivot_inverse_of_wide():
     # re-pivoting the melt restores one row per flag with both metrics
     assert set(wide.columns) == {"sum_qty", "sum_price_cents"}
     assert (wide > 0).all().all()
+
+
+def test_chunk_tokens_known_doc():
+    """Brute chunk boundaries on a crafted doc: 7 tokens, chunk 32,
+    stride 24 -> one chunk; a 60-token doc -> chunks [0,32), [24,56),
+    [48,60); empty text -> one chunk of the single empty token."""
+    long_txt = " ".join(f"t{i}" for i in range(60))
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": ["a b c d e f g", long_txt, ""],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": np.array([13, len(long_txt), 0], dtype=np.int64),
+    })
+    got = (Q.q_chunk_tokens(_scratch_sf(documents=docs)).to_pandas()
+           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    assert got.loc[got["doc_id"] == 1, "chunk_text"].tolist() == ["a b c d e f g"]
+    d2 = got[got["doc_id"] == 2]
+    toks = long_txt.split(" ")
+    assert d2["chunk_text"].tolist() == [
+        " ".join(toks[0:32]), " ".join(toks[24:56]), " ".join(toks[48:60])]
+    assert d2["n_tokens"].tolist() == [32, 32, 12]
+    d3 = got[got["doc_id"] == 3]
+    assert d3["chunk_text"].tolist() == [""] and d3["n_tokens"].tolist() == [1]
+
+
+def test_stopword_scrub_all_and_none():
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": ["the a of and to", "cat dog", "the cat of the dog"],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": np.array([15, 7, 18], dtype=np.int64),
+    })
+    got = (Q.q_stopword_scrub(_scratch_sf(documents=docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["clean_text"].tolist() == ["", "cat dog", "cat dog"]
+    assert got["n_removed"].tolist() == [5, 0, 3]
+
+
+def test_balanced_shards_matches_global_rank():
+    """The histogram-offset decomposition equals a true global
+    row_number over (n_tokens DESC, doc_id), including heavy ties."""
+    rng = np.random.default_rng(5)
+    n = 300
+    toks = rng.integers(1, 9, n)  # few distinct lengths -> big ties
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [" ".join(["w"] * int(k)) for k in toks],
+        "lang": ["en"] * n,
+        "source": ["s"] * n,
+        "n_chars": np.array([2 * k - 1 for k in toks], dtype=np.int64),
+    })
+    got = (Q.q_balanced_shards(_scratch_sf(documents=docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    order = np.lexsort((docs["doc_id"].to_numpy(), -toks))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    assert got["shard"].tolist() == list(rank[docs["doc_id"]] % 8)
+    # LPT round-robin balances token mass across shards
+    per = pd.DataFrame({"s": got["shard"], "t": toks}).groupby("s")["t"].sum()
+    assert per.max() - per.min() <= 8
+
+
+def test_pack_bins_next_fit_invariants():
+    """Recompute next-fit per partition: bins match exactly; capacity
+    respected except single oversized docs; every doc packed once."""
+    rng = np.random.default_rng(9)
+    n = 200
+    toks = rng.integers(1, 700, n)  # some docs exceed capacity 512
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [" ".join(["w"] * int(k)) for k in toks],
+        "lang": ["en"] * n,
+        "source": ["s"] * n,
+        "n_chars": np.zeros(n, dtype=np.int64),
+    })
+    got = (Q.q_pack_bins(_scratch_sf(documents=docs)).to_pandas()
+           .sort_values(["part", "doc_id"]).reset_index(drop=True))
+    assert len(got) == n and not got["doc_id"].duplicated().any()
+    cap = 512
+    for part, g in got.groupby("part"):
+        w = g["n_tokens"].to_numpy()
+        bins, b, cur = [], 0, 0
+        for x in w:
+            if cur > 0 and cur + x > cap:
+                b, cur = b + 1, 0
+            bins.append(b)
+            cur += x
+        assert g["bin"].tolist() == bins
+    sums = got.groupby(["part", "bin"]).agg(s=("n_tokens", "sum"),
+                                            c=("doc_id", "size"))
+    assert ((sums["s"] <= cap) | (sums["c"] == 1)).all()
