@@ -2239,6 +2239,24 @@ def q_pack_bins(sf_dir: str):
     return text.pack_bins(docs, capacity=512, num_partitions=16)
 
 
+def q_quality_score(sf_dir: str):
+    """Batched model inference (actor pool): deterministic
+    logistic-regression quality score per document; weights and
+    feature regexes load once per actor in `__init__`, scoring is one
+    vectorized pass per batch (`text.QualityModel`)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(text.QualityModel, batch_format="pandas",
+                            concurrency=(1, 4))
+
+
+def q_event_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix as an exact
+    scaled-integer sum (each term rounded to e6 BEFORE summing, so
+    both engines' sum orders agree bit-for-bit)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return text.event_entropy(ev, num_partitions=16)
+
+
 def _track_length_sql() -> str:
     lon, lat = geo.derive_lonlat_sql("event_id")
     hav = geo.haversine_sql("plon", "plat", "lon", "lat")
@@ -2761,6 +2779,26 @@ ORACLE: dict[str, str] = {
                  - 1) % 8)::BIGINT AS shard
         FROM documents
     """,
+    "quality_score": """
+        SELECT doc_id,
+               round(1000000.0 / (1.0 + exp(-(
+                 -2.0 + 0.01 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      + -0.005 * (length(text) - length(replace(text, ' ', '')))
+                      + 0.002 * length(text)))), 0)::BIGINT AS score_e6
+        FROM documents
+    """,
+    "event_entropy": """
+        WITH ct AS (SELECT user_id, event_type, count(*)::DOUBLE AS c
+                    FROM events GROUP BY user_id, event_type),
+             t AS (SELECT user_id, c,
+                          sum(c) OVER (PARTITION BY user_id) AS n
+                   FROM ct)
+        SELECT user_id,
+               SUM(round(1000000.0 * (c / n) * log2(n / c), 0)::BIGINT)::BIGINT
+                 AS entropy_e6,
+               count(*)::BIGINT AS n_types
+        FROM t GROUP BY user_id
+    """,
     "props_k_stats": """
         SELECT event_type, count(*)::BIGINT AS n,
                SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))::BIGINT AS sum_k,
@@ -2853,6 +2891,8 @@ QUERIES = {
     "stopword_scrub": q_stopword_scrub,
     "balanced_shards": q_balanced_shards,
     "pack_bins": q_pack_bins,
+    "quality_score": q_quality_score,
+    "event_entropy": q_event_entropy,
     "props_k_stats": q_props_k_stats,
     "semdedup": q_semdedup,
     "image_quality": q_image_quality,

@@ -360,6 +360,72 @@ def doc_trigrams(docs) -> "ray.data.Dataset":
     return docs.map_batches(tri, batch_format="pandas")
 
 
+class QualityModel:
+    """Batched model inference, the actor-pool pattern: "model load"
+    (weights + compiled feature regexes) happens ONCE per actor in
+    __init__, scoring is a vectorized logistic over exact integer
+    features per batch. The model is a deterministic linear+sigmoid so
+    a SQL oracle reproduces it bit-for-bit at e6 rounding (exp deltas
+    across libms are ~1 ulp, 8 orders below the rounding step)."""
+
+    BIAS, W_ALPHA, W_SPACE, W_CHARS = -2.0, 0.01, -0.005, 0.002
+
+    def __init__(self):
+        import re
+
+        self.alpha = re.compile(r"[A-Za-z]")
+        self.space = re.compile(r" ")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"]
+        a = t.str.count(self.alpha).to_numpy(np.float64)
+        s = t.str.count(self.space).to_numpy(np.float64)
+        c = t.str.len().to_numpy(np.float64)
+        z = self.BIAS + self.W_ALPHA * a + self.W_SPACE * s + self.W_CHARS * c
+        score = 1000000.0 / (1.0 + np.exp(-z))
+        e6 = (np.sign(score) * np.floor(np.abs(score) + 0.5)).astype(np.int64)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "score_e6": e6})
+
+
+def event_entropy(events, num_partitions: int = 64) -> "ray.data.Dataset":
+    """Per-user Shannon entropy of the event-type mix — the
+    distribution-skew signal a sampling pipeline reads before
+    rebalancing. Emitted as entropy_e6 = SUM of per-type
+    round(1e6 * (c/n) * log2(n/c)) INTEGER terms: each term is
+    rounded before the sum, so the aggregate is addition-order-free
+    and hash-matches SQL regardless of either engine's sum order.
+
+    One shuffle: per-block (user, type) count combiner, hash
+    partition by USER only (all of a user's types co-locate), then
+    per-partition count -> n -> terms -> grouped sum, all
+    vectorized."""
+    from oluray.stages import joins
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], sort=False).size()
+        return g.rename("c").reset_index()
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False)["c"].sum()
+        c = g["c"].to_numpy(np.float64)
+        n = g.groupby("user_id")["c"].transform("sum").to_numpy(np.float64)
+        term = 1000000.0 * (c / n) * np.log2(n / c)
+        g["t_e6"] = (np.sign(term) * np.floor(np.abs(term) + 0.5)).astype(
+            np.int64
+        )
+        out = g.groupby("user_id", as_index=False).agg(
+            entropy_e6=("t_e6", "sum"), n_types=("event_type", "size")
+        )
+        out["entropy_e6"] = out["entropy_e6"].astype("int64")
+        out["n_types"] = out["n_types"].astype("int64")
+        return out
+
+    counted = events.map_batches(combine, batch_format="pandas",
+                                 batch_size=65536)
+    return joins.partitioned_map(counted, ["user_id"], ent, num_partitions,
+                                 pre_repartition=False)
+
+
 def _split_tokens(col) -> tuple[pa.Array, np.ndarray]:
     """Whitespace-split a string column with the C++ Arrow kernel,
     returning (list-of-tokens array, int64 list offsets). SQL parity

@@ -491,3 +491,42 @@ def test_pack_bins_next_fit_invariants():
     sums = got.groupby(["part", "bin"]).agg(s=("n_tokens", "sum"),
                                             c=("doc_id", "size"))
     assert ((sums["s"] <= cap) | (sums["c"] == 1)).all()
+
+
+def test_event_entropy_uniform_and_single():
+    """Uniform 4-type mix -> exactly 2.0 bits (2_000_000 e6); a
+    single-type user -> exactly 0; term-wise rounding matches the
+    brute per-type sum."""
+    ts = pd.date_range("2024-01-01", periods=12, freq="1h").astype(
+        "datetime64[us]")
+    ev = pd.DataFrame({
+        "event_id": np.arange(12, dtype=np.int64),
+        "ts": ts,
+        "user_id": np.array([1] * 8 + [2] * 4, dtype=np.int64),
+        "event_type": ["a", "b", "c", "d"] * 2 + ["solo"] * 4,
+        "value": np.zeros(12),
+        "props": ["{}"] * 12,
+    })
+    got = (Q.q_event_entropy(_scratch_sf(events=ev)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert got["entropy_e6"].tolist() == [2_000_000, 0]
+    assert got["n_types"].tolist() == [4, 1]
+
+
+def test_quality_score_monotone_in_alpha():
+    """More alpha mass (fewer spaces) at fixed length -> higher
+    score; brute sigmoid agrees to the e6 rounding."""
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["abcdefgh", "a b c d "],
+        "lang": ["en"] * 2,
+        "source": ["s"] * 2,
+        "n_chars": np.array([8, 8], dtype=np.int64),
+    })
+    got = (Q.q_quality_score(_scratch_sf(documents=docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    def brute(a, s, c):
+        z = -2.0 + 0.01 * a + -0.005 * s + 0.002 * c
+        return int(np.floor(1e6 / (1 + np.exp(-z)) + 0.5))
+    assert got["score_e6"].tolist() == [brute(8, 0, 8), brute(4, 4, 8)]
+    assert got.loc[0, "score_e6"] > got.loc[1, "score_e6"]
