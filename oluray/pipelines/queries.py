@@ -2257,6 +2257,86 @@ def q_event_entropy(sf_dir: str):
     return text.event_entropy(ev, num_partitions=16)
 
 
+HIST_WIDTH, HIST_BUCKETS = 25_000.0, 20
+
+
+def q_histogram(sf_dir: str):
+    """Binned numeric histogram (the width_bucket pattern): orders
+    bucketed by floor(totalprice / 25k) clamped to 20 bins, per-bin
+    count + cent-sum. Bucketing is map-side arithmetic; the aggregate
+    is a per-block combiner + a 20-key groupby — at 100 TB the
+    shuffle moves (bucket, partial) rows only."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.minimum(np.floor(p / HIST_WIDTH).astype(np.int64),
+                       HIST_BUCKETS - 1)
+        return pa.table({"bucket": pa.array(b),
+                         "cents": pa.array(_round_half_away(p * 100.0))})
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket", as_index=False).agg(
+            n=("n", "sum"), sum_cents=("cents", "sum"))
+        g["n"] = g["n"].astype("int64")
+        g["sum_cents"] = g["sum_cents"].astype("int64")
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket", as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+        return g
+
+    return joins.grouped_agg(
+        orders.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"], agg, num_partitions=4, combine_fn=combine,
+        pre_repartition=False)
+
+
+def q_group_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs price from
+    EXACT integer moments: the per-block combiner sums (n, Sx, Sy,
+    Sxx, Syy, Sxy) as int64 (y in whole dollars so Syy fits at any
+    scale), the final correlation is one fixed-order float expression
+    over those exact integers — bit-identical to SQL computing the
+    same expression over the same integer moments, rounded to e6.
+    The algebraic-moment shape means the shuffle carries six numbers
+    per (block, flag), never rows."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = _round_half_away(t["l_quantity"].to_numpy(zero_copy_only=False))
+        y = _round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "n": np.ones(len(x), dtype=np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y,
+        })
+        return df.groupby("l_returnflag", as_index=False).sum()
+
+    def corr(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        n = g["n"].to_numpy(np.float64)
+        sx = g["sx"].to_numpy(np.float64)
+        sy = g["sy"].to_numpy(np.float64)
+        sxx = g["sxx"].to_numpy(np.float64)
+        syy = g["syy"].to_numpy(np.float64)
+        sxy = g["sxy"].to_numpy(np.float64)
+        r = (n * sxy - sx * sy) / (
+            np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy))
+        return pd.DataFrame({
+            "l_returnflag": g["l_returnflag"],
+            "corr_e6": _round_half_away(1000000.0 * r),
+            "n": g["n"].astype("int64"),
+        })
+
+    return joins.grouped_agg(
+        li.map_batches(moments, batch_format="pyarrow"),
+        ["l_returnflag"], corr, num_partitions=4, pre_repartition=False)
+
+
 def _track_length_sql() -> str:
     lon, lat = geo.derive_lonlat_sql("event_id")
     hav = geo.haversine_sql("plon", "plat", "lon", "lat")
@@ -2799,6 +2879,34 @@ ORACLE: dict[str, str] = {
                count(*)::BIGINT AS n_types
         FROM t GROUP BY user_id
     """,
+    "histogram": """
+        SELECT least(floor(o_totalprice / 25000.0)::BIGINT, 19) AS bucket,
+               count(*)::BIGINT AS n,
+               SUM(round(o_totalprice * 100.0, 0)::BIGINT)::BIGINT AS sum_cents
+        FROM orders GROUP BY 1
+    """,
+    "group_corr": """
+        WITH m AS (
+          SELECT l_returnflag,
+                 count(*)::BIGINT AS n,
+                 SUM(round(l_quantity, 0)::BIGINT)::BIGINT AS sx,
+                 SUM(round(l_extendedprice, 0)::BIGINT)::BIGINT AS sy,
+                 SUM(round(l_quantity, 0)::BIGINT
+                     * round(l_quantity, 0)::BIGINT)::BIGINT AS sxx,
+                 SUM(round(l_extendedprice, 0)::BIGINT
+                     * round(l_extendedprice, 0)::BIGINT)::BIGINT AS syy,
+                 SUM(round(l_quantity, 0)::BIGINT
+                     * round(l_extendedprice, 0)::BIGINT)::BIGINT AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+               round(1000000.0 * (
+                 (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+                 (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+               ), 0)::BIGINT AS corr_e6,
+               n
+        FROM m
+    """,
     "props_k_stats": """
         SELECT event_type, count(*)::BIGINT AS n,
                SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))::BIGINT AS sum_k,
@@ -2893,6 +3001,8 @@ QUERIES = {
     "pack_bins": q_pack_bins,
     "quality_score": q_quality_score,
     "event_entropy": q_event_entropy,
+    "histogram": q_histogram,
+    "group_corr": q_group_corr,
     "props_k_stats": q_props_k_stats,
     "semdedup": q_semdedup,
     "image_quality": q_image_quality,

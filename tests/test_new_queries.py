@@ -530,3 +530,36 @@ def test_quality_score_monotone_in_alpha():
         return int(np.floor(1e6 / (1 + np.exp(-z)) + 0.5))
     assert got["score_e6"].tolist() == [brute(8, 0, 8), brute(4, 4, 8)]
     assert got.loc[0, "score_e6"] > got.loc[1, "score_e6"]
+
+
+def test_histogram_clamps_and_counts():
+    p = np.array([0.0, 24999.99, 25000.0, 499999.0, 500000.0, 9e9])
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(6, dtype=np.int64),
+        "o_custkey": np.zeros(6, dtype=np.int64),
+        "o_orderdate": pd.to_datetime(["2024-01-01"] * 6)
+            .astype("datetime64[us]"),
+        "o_totalprice": p,
+    })
+    got = (Q.q_histogram(_scratch_sf(orders=orders)).to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    # bucket 0: two rows; bucket 1: the exact-boundary 25000; bucket
+    # 19: everything >= 475k including the huge outlier (clamped)
+    assert got.set_index("bucket")["n"].to_dict() == {0: 2, 1: 1, 19: 3}
+    assert got.loc[got["bucket"] == 19, "sum_cents"].iloc[0] == \
+        int(round(499999.0 * 100)) + int(round(500000.0 * 100)) + int(9e11)
+
+
+def test_group_corr_exact_lines():
+    """y = 3x exactly -> corr 1.000000; anti-correlated -> -1."""
+    n = 50
+    x = np.arange(1, n + 1, dtype=np.float64)
+    li = pd.DataFrame({
+        "l_returnflag": ["P"] * n + ["M"] * n,
+        "l_quantity": np.concatenate([x, x]),
+        "l_extendedprice": np.concatenate([3 * x, 3 * (n + 1 - x)]),
+    })
+    got = (Q.q_group_corr(_scratch_sf(lineitem=li)).to_pandas()
+           .sort_values("l_returnflag").reset_index(drop=True))
+    assert got["corr_e6"].tolist() == [-1000000, 1000000]
+    assert got["n"].tolist() == [n, n]
