@@ -472,7 +472,12 @@ def chunk_tokens_batch(t: pa.Table, chunk: int = 32,
     n_chunks = (n - 1) // stride + 1
     did = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
     total = int(n_chunks.sum())
-    before = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    # empty batch: cumsum([]) has no [0] seed to trim, repeat would
+    # broadcast-fail on shapes (1,) vs (0,)
+    if len(n_chunks):
+        before = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    else:
+        before = np.empty(0, dtype=np.int64)
     cid = np.arange(total, dtype=np.int64) - np.repeat(before, n_chunks)
     a = cid * stride
     lens = np.minimum(a + chunk, n[did]) - a
@@ -543,10 +548,25 @@ def balanced_shards(docs, n_shards: int = 8,
     def hist_sum(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("n_tokens", as_index=False)["cnt"].sum()
 
+    def hist_sum_safe(df: pd.DataFrame) -> pd.DataFrame:
+        # an empty corpus reaches the partitioned agg as a
+        # column-less empty frame; emit the typed empty histogram
+        if "n_tokens" not in df.columns:
+            return pd.DataFrame({"n_tokens": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return hist_sum(df)
+
     hist = joins.grouped_agg(
-        tok, ["n_tokens"], hist_sum, num_partitions=8,
+        tok, ["n_tokens"], hist_sum_safe, num_partitions=8,
         combine_fn=hist_combine, pre_repartition=False,
     ).to_pandas()
+    if len(hist) == 0 or "n_tokens" not in hist.columns:
+        import ray.data as _rd
+
+        return _rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "shard": pd.Series([], dtype="int64"),
+        }))
     hist = hist.sort_values("n_tokens", ascending=False).reset_index(drop=True)
     # offset[n] = number of rows with n_tokens strictly greater than n
     max_n = int(hist["n_tokens"].max()) if len(hist) else 0

@@ -563,3 +563,59 @@ def test_group_corr_exact_lines():
            .sort_values("l_returnflag").reset_index(drop=True))
     assert got["corr_e6"].tolist() == [-1000000, 1000000]
     assert got["n"].tolist() == [n, n]
+
+
+def _empty_docs_sf() -> str:
+    return _scratch_sf(documents=pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype="object"),
+        "lang": pd.Series([], dtype="object"),
+        "source": pd.Series([], dtype="object"),
+        "n_chars": pd.Series([], dtype="int64"),
+    }))
+
+
+def test_todays_operators_empty_inputs():
+    """Empty-input robustness for the chunk/scrub/shard/pack/score/
+    entropy/histogram/corr wave: all return 0 rows, no crash."""
+    import pyarrow as pa
+
+    from oluray.stages import text as T
+
+    et = pa.table({"doc_id": pa.array([], pa.int64()),
+                   "text": pa.array([], pa.string())})
+    assert T.chunk_tokens_batch(et, 32, 24).num_rows == 0
+    assert T.stopword_scrub_batch(et, ("a",)).num_rows == 0
+
+    d = _empty_docs_sf()
+    assert len(Q.q_chunk_tokens(d).to_pandas()) == 0
+    assert len(Q.q_stopword_scrub(d).to_pandas()) == 0
+    assert len(Q.q_balanced_shards(d).to_pandas()) == 0
+    assert len(Q.q_pack_bins(d).to_pandas()) == 0
+    assert len(Q.q_quality_score(d).to_pandas()) == 0
+
+    ev = _scratch_sf(events=pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "user_id": pd.Series([], dtype="int64"),
+        "event_type": pd.Series([], dtype="object"),
+        "value": pd.Series([], dtype="float64"),
+        "props": pd.Series([], dtype="object"),
+    }))
+    assert len(Q.q_event_entropy(ev).to_pandas()) == 0
+
+    orders = _scratch_sf(orders=pd.DataFrame({
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_custkey": pd.Series([], dtype="int64"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        "o_totalprice": pd.Series([], dtype="float64"),
+    }))
+    assert len(Q.q_histogram(orders).to_pandas()) == 0
+
+    li = _scratch_sf(lineitem=pd.DataFrame({
+        "l_returnflag": pd.Series([], dtype="object"),
+        "l_quantity": pd.Series([], dtype="float64"),
+        "l_extendedprice": pd.Series([], dtype="float64"),
+    }))
+    assert len(Q.q_group_corr(li).to_pandas()) == 0
+    assert len(Q.q_weighted_sample(d).to_pandas()) == 0
