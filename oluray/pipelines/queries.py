@@ -2337,6 +2337,191 @@ def q_group_corr(sf_dir: str):
         ["l_returnflag"], corr, num_partitions=4, pre_repartition=False)
 
 
+# ---------------------------------------------------------------------------
+# r3 wave: multi-join analytics / funnel / mode / basket pairs
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF = np.datetime64("1998-06-01", "us")
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (the reference's J1-J3 multi-hop closure as one
+    analytics pipeline): customer-segment filter -> qualified orders
+    -> revenue per order -> integer top-10.
+
+    Scale shape: lineitem revenue is pre-aggregated to one row per
+    order (per-block combiner + hash-partitioned finish) BEFORE any
+    join, so the join exchange moves |orders| rows, never |lineitem|;
+    the two joins are large-large `joins.hash_join` (neither side
+    broadcast); ranking happens on integer cents so the top-10 is
+    deterministic on both engines."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(_Q3_CUTOFF))),
+        batch_format="pyarrow",
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(_Q3_CUTOFF))),
+        batch_format="pyarrow",
+    )
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        return df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+
+    def rev_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+
+    rev = joins.partitioned_map(
+        li.map_batches(rev_partial, batch_format="pandas", batch_size=65536),
+        ["l_orderkey"], rev_final, num_partitions=32, pre_repartition=False,
+    )
+    qual = joins.hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=32
+    ).select_columns(["o_orderkey", "o_orderdate"])
+    joined = joins.hash_join(
+        rev, qual, on="l_orderkey", right_on="o_orderkey", num_partitions=32
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = _round_half_away(t["revenue"].to_numpy(zero_copy_only=False) * 100.0)
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "revenue_cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    out = joined.map_batches(cents, batch_format="pyarrow")
+    return out.sort(
+        ["revenue_cents", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+def q_user_mode(sf_dir: str):
+    """Per-group MODE with a deterministic tie rule (most frequent
+    event_type per user; equal counts -> lexicographically smallest).
+    Counts are pre-reduced per block (combiner emits <= |users x
+    types| rows per block), summed under one user_id hash partition,
+    and the winner picked by the same algebraic `joins.group_topk`
+    the O1/O3 family uses — integer ordering, so hash-exact."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"], as_index=False)["cnt"].sum()
+
+    tot = joins.partitioned_map(
+        ev.map_batches(cnt, batch_format="pandas", batch_size=65536),
+        ["user_id"], total, num_partitions=32, pre_repartition=False,
+    )
+    return joins.group_topk(
+        tot, ["user_id"], [("cnt", False), ("event_type", True)], k=1,
+        num_partitions=32,
+    )
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_conv(sf_dir: str):
+    """Ordered-funnel conversion: users whose first 'view' precedes
+    their first 'click' which precedes their first 'purchase'.
+    min-per-(user,stage) is algebraic — per-block combiner, one
+    user_id hash partition, then a vectorized pivot + strict-order
+    filter inside the partition. No driver contact, no row loops."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def mins(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(_FUNNEL_STAGES)]
+        return df.groupby(["user_id", "event_type"], as_index=False)["ts"].min()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby(["user_id", "event_type"], as_index=False)["ts"].min()
+        p = m.pivot(index="user_id", columns="event_type", values="ts").reset_index()
+        for c in _FUNNEL_STAGES:
+            if c not in p.columns:
+                p[c] = pd.NaT
+        keep = (
+            p["view"].notna() & p["click"].notna() & p["purchase"].notna()
+            & (p["view"] < p["click"]) & (p["click"] < p["purchase"])
+        )
+        out = p.loc[keep, ["user_id", "view", "click", "purchase"]]
+        return out.rename(
+            columns={"view": "t_view", "click": "t_click", "purchase": "t_purchase"}
+        )
+
+    return joins.partitioned_map(
+        ev.map_batches(mins, batch_format="pandas", batch_size=65536),
+        ["user_id"], finish, num_partitions=32, pre_repartition=False,
+    )
+
+
+def _pairs_within_groups(df: pd.DataFrame, gcol: str, vcol: str) -> pd.DataFrame:
+    """All unordered value pairs within each group, fully vectorized:
+    rows sorted by (group, value), per-segment pair generation via
+    repeat + cumsum offsets — no Python loop over groups. Output
+    columns (pa, pb) with pa < pb (input must be distinct per group)."""
+    df = df.sort_values([gcol, vcol], kind="mergesort").reset_index(drop=True)
+    g = df[gcol].to_numpy()
+    v = df[vcol].to_numpy()
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame({"pa": np.array([], np.int64), "pb": np.array([], np.int64)})
+    new_seg = np.empty(n, dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = g[1:] != g[:-1]
+    seg_id = np.cumsum(new_seg) - 1
+    seg_end = np.zeros(seg_id[-1] + 1, dtype=np.int64)
+    np.maximum.at(seg_end, seg_id, np.arange(n) + 1)
+    # rows after i inside i's segment = #pairs with i as the first leg
+    c = seg_end[seg_id] - 1 - np.arange(n)
+    total = int(c.sum())
+    if total == 0:
+        return pd.DataFrame({"pa": np.array([], np.int64), "pb": np.array([], np.int64)})
+    left = np.repeat(np.arange(n), c)
+    cum = np.concatenate(([0], np.cumsum(c)))
+    right = left + 1 + (np.arange(total) - np.repeat(cum[:-1], c))
+    return pd.DataFrame({"pa": v[left].astype(np.int64), "pb": v[right].astype(np.int64)})
+
+
+def q_basket_pairs(sf_dir: str):
+    """Market-basket pair mining: co-occurrence counts of part pairs
+    within an order, top-100 by (count desc, pa, pb). The classic
+    explode-quadratic op done scale-shaped: pair emission happens
+    inside an l_orderkey hash partition (pairs-per-order is bounded by
+    the order size squared, never the corpus), per-partition partial
+    counts collapse the pair stream before the (pa, pb) count shuffle,
+    and ranking is on integers."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    d = joins.distinct(li, ["l_orderkey", "l_partkey"], num_partitions=32)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = _pairs_within_groups(df, "l_orderkey", "l_partkey")
+        g = pairs.groupby(["pa", "pb"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    # distinct() is shuffle lineage — re-block so pair emission stays
+    # parallel (see partitioned_map docstring)
+    partial = joins.partitioned_map(d, ["l_orderkey"], emit, num_partitions=32)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["pa", "pb"], as_index=False)["cnt"].sum()
+
+    counts = joins.partitioned_map(partial, ["pa", "pb"], total, num_partitions=32,
+                                   pre_repartition=False)
+    return counts.sort(["cnt", "pa", "pb"], descending=[True, False, False]).limit(100)
+
+
 def _track_length_sql() -> str:
     lon, lat = geo.derive_lonlat_sql("event_id")
     hav = geo.haversine_sql("plon", "plat", "lon", "lat")
@@ -2383,6 +2568,42 @@ def _star_poly_area_sql() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "shipping_priority": """
+        SELECT l_orderkey AS o_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT
+                 AS revenue_cents
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY 1, 2
+        ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+    """,
+    "user_mode": """
+        SELECT user_id, event_type, cnt FROM (
+          SELECT user_id, event_type, count(*)::BIGINT AS cnt,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY count(*) DESC, event_type) rn
+          FROM events GROUP BY user_id, event_type) WHERE rn = 1
+    """,
+    "funnel_conv": """
+        SELECT user_id, t_view, t_click, t_purchase FROM (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM events GROUP BY user_id)
+        WHERE t_view < t_click AND t_click < t_purchase
+    """,
+    "basket_pairs": """
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS cnt
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 ORDER BY cnt DESC, pa, pb LIMIT 100
+    """,
     "latest_wins": """
         SELECT user_id, event_id, event_type FROM (
           SELECT user_id, event_id, event_type,
@@ -2928,6 +3149,10 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "shipping_priority": q_shipping_priority,
+    "user_mode": q_user_mode,
+    "funnel_conv": q_funnel_conv,
+    "basket_pairs": q_basket_pairs,
     "latest_wins": q_latest_wins,
     "change_counts": q_change_counts,
     "impact_closure": q_impact_closure,

@@ -619,3 +619,70 @@ def test_todays_operators_empty_inputs():
     }))
     assert len(Q.q_group_corr(li).to_pandas()) == 0
     assert len(Q.q_weighted_sample(d).to_pandas()) == 0
+
+
+# ---------------------------------------------------------------------------
+# wave: shipping_priority / user_mode / funnel_conv / basket_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_pairs_within_groups_matches_itertools():
+    """The vectorized per-segment pair generator vs itertools over a
+    ragged random grouping (incl. singleton and empty-pair groups)."""
+    import itertools
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for g in range(20):
+        vals = rng.choice(1000, size=rng.integers(1, 9), replace=False)
+        rows += [(g, int(v)) for v in vals]
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    got = Q._pairs_within_groups(df, "g", "v")
+    want = set()
+    for g, sub in df.groupby("g"):
+        for a, b in itertools.combinations(sorted(sub["v"]), 2):
+            want.add((a, b))
+    assert set(zip(got["pa"], got["pb"])) == want
+    assert (got["pa"] < got["pb"]).all()
+    # empty input
+    empty = Q._pairs_within_groups(df.iloc[:0], "g", "v")
+    assert len(empty) == 0
+
+
+def test_user_mode_tie_breaks_lexicographic():
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "ts": pd.date_range("2024-01-01", periods=4, freq="1h")
+                .astype("datetime64[us]"),
+        "user_id": np.array([1, 1, 1, 1], dtype=np.int64),
+        "event_type": ["view", "click", "click", "view"],  # tie 2-2
+        "value": [0.0] * 4,
+        "props": ["{}"] * 4,
+    })
+    got = Q.q_user_mode(_scratch_sf(events=df)).to_pandas()
+    assert got["event_type"].tolist() == ["click"] and got["cnt"].tolist() == [2]
+
+
+def test_funnel_conv_requires_strict_order():
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1 converts; user 2 clicked before viewing; user 3 lacks purchase
+    for uid, seq in [(1, [("view", 0), ("click", 1), ("purchase", 2)]),
+                     (2, [("click", 0), ("view", 1), ("purchase", 2)]),
+                     (3, [("view", 0), ("click", 1)])]:
+        for et, h in seq:
+            rows.append((len(rows), base + pd.Timedelta(hours=h), uid, et))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["value"] = 0.0
+    df["props"] = "{}"
+    got = Q.q_funnel_conv(_scratch_sf(events=df)).to_pandas()
+    assert got["user_id"].tolist() == [1]
+
+
+def test_shipping_priority_ranks_by_integer_cents():
+    got = Q.q_shipping_priority(SF).to_pandas()
+    assert len(got) <= 10
+    c = got["revenue_cents"].to_numpy()
+    assert (np.diff(c) <= 0).all()
+    assert str(got["revenue_cents"].dtype) == "int64"
