@@ -2567,7 +2567,359 @@ def _star_poly_area_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# window LAG / EXISTS semi / scalar-subquery filter / set intersect /
+# degree histogram / CUBE / grouped skewness (r3 wave 4)
+# ---------------------------------------------------------------------------
+
+
+def q_lag_delta(sf_dir: str):
+    """SQL LAG window: per customer, each order's gap in whole days
+    and cent price delta vs the SAME customer's previous order
+    (ordered by date, key; first order dropped — LAG is NULL).
+    Per-user hash partition, one sort, one vectorized shift — the
+    ordered-log \"diff vs previous row\" primitive that backs delta
+    encoding and inter-arrival features."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"o_custkey": pd.array([], dtype="int64"),
+                 "o_orderkey": pd.array([], dtype="int64"),
+                 "gap_days": pd.array([], dtype="int64"),
+                 "price_delta_cents": pd.array([], dtype="int64")}
+            )
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        # orderdates are midnight-aligned timestamps, so whole-day
+        # subtraction equals DuckDB's boundary-counting date_diff
+        day = (df["o_orderdate"].astype("datetime64[us]").astype("int64")
+               .to_numpy() // 86_400_000_000)
+        cents = _round_half_away(df["o_totalprice"].to_numpy() * 100)
+        same = df["o_custkey"].eq(df["o_custkey"].shift()).to_numpy()
+        out = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy(),
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "gap_days": day - np.roll(day, 1),
+                "price_delta_cents": cents - np.roll(cents, 1),
+            }
+        )
+        return out[same]
+
+    return joins.partitioned_map(orders, ["o_custkey"], lag,
+                                 num_partitions=32, pre_repartition=False)
+
+
+def q_late_order_counts(sf_dir: str):
+    """EXISTS / semi-join aggregate (TPC-H Q4 shape): count orders per
+    priority having at least one lineitem shipped >60 days after the
+    order date. Large-large hash join on the order key (the predicate
+    needs both sides' columns), then distinct-per-block collapses the
+    multi-lineitem orders BEFORE the count shuffle — the exchange
+    moves one row per qualifying order, not per lineitem."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = joins.hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                        num_partitions=32)
+    LATE_US = 60 * 86_400_000_000
+
+    def late(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64())
+        odate = t["o_orderdate"].cast(pa.int64())
+        keep = pc.greater(pc.subtract(ship, odate), LATE_US)
+        return t.filter(keep).select(["l_orderkey", "o_orderpriority"])
+
+    hits = joins.distinct(j.map_batches(late, batch_format="pyarrow"),
+                          ["l_orderkey", "o_orderpriority"], num_partitions=32)
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).size()
+        g["n"] = g.pop("size").astype("int64")
+        return g
+
+    def cnt2(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return joins.grouped_agg(hits, ["o_orderpriority"], cnt2,
+                             num_partitions=4, combine_fn=cnt,
+                             pre_repartition=False)
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """Scalar-subquery filter (TPC-H Q17 shape): total cent revenue of
+    lineitems whose quantity is below 0.2x their part's average
+    quantity. The per-part average is a distributed grouped aggregate
+    (combiner + hash partition) joined BACK onto lineitem with the
+    large-large hash join — at corpus scale the per-part table is
+    itself large, so no broadcast. Quantities are integer-valued
+    doubles: the sum is exact, sum/count and 0.2*aq are single IEEE
+    ops identical on both engines."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def part_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey", as_index=False).agg(
+            sq=("l_quantity", "sum"), nq=("l_quantity", "size"))
+        g["nq"] = g["nq"].astype("int64")
+        return g
+
+    def part_agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey", as_index=False).agg(
+            sq=("sq", "sum"), nq=("nq", "sum"))
+        g["nq"] = g["nq"].astype("int64")
+        return g
+
+    per_part = joins.grouped_agg(
+        li.select_columns(["l_partkey", "l_quantity"]), ["l_partkey"],
+        part_agg, num_partitions=32, combine_fn=part_combine,
+        pre_repartition=False,
+    )
+    j = joins.hash_join(
+        li, per_part, on="l_partkey", num_partitions=32,
+        # empty inputs drop every block, losing the runtime schema
+        right_schema=pa.schema([("l_partkey", pa.int64()),
+                                ("sq", pa.float64()), ("nq", pa.int64())]),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        aq = (t["sq"].to_numpy(zero_copy_only=False)
+              / t["nq"].to_numpy(zero_copy_only=False))
+        sel = q < 0.2 * aq
+        cents = _round_half_away(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100)
+        return pa.table({"revenue_cents": pa.array([int(cents.sum())]),
+                         "n": pa.array([int(sel.sum())])})
+
+    parts = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # per-block partials only (rows == block count) reach the driver;
+    # an empty join yields zero partial blocks -> zero totals
+    rev = int(parts["revenue_cents"].sum()) if len(parts) else 0
+    n = int(parts["n"].sum()) if len(parts) else 0
+    return pa.table({"revenue_cents": pa.array([rev]), "n": pa.array([n])})
+
+
+def q_set_intersect(sf_dir: str):
+    """Set INTERSECT: users who both clicked and purchased. Each side
+    is a distinct-per-block-combined key set; the intersect is the
+    hash-partitioned `joins.semi_join` — neither side is broadcast,
+    so the op holds when both sets are corpus-sized."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def side(etype: str) -> ray.data.Dataset:
+        return joins.distinct(
+            ev.map_batches(
+                lambda t, e=etype: t.filter(
+                    pc.equal(t["event_type"], e)).select(["user_id"]),
+                batch_format="pyarrow",
+            ),
+            ["user_id"], num_partitions=16,
+        )
+
+    uid = pa.schema([("user_id", pa.int64())])
+    return joins.semi_join(side("click"), side("purchase"), on="user_id",
+                           num_partitions=16,
+                           left_schema=uid, keys_schema=uid)
+
+
+def q_part_supplier_degree(sf_dir: str):
+    """Degree distribution (two-level aggregate): how many parts have
+    exactly `deg` distinct suppliers. Distinct (part, supplier) pairs
+    via the per-block combiner, per-part distinct count inside the
+    part hash partition, then a second (tiny) count shuffle keyed on
+    the degree — the classic graph-degree histogram over an edge
+    table, never materializing per-part supplier lists."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    edges = joins.distinct(li, ["l_partkey", "l_suppkey"], num_partitions=32)
+
+    def deg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey", as_index=False)["l_suppkey"].nunique()
+        g["deg"] = g.pop("l_suppkey").astype("int64")
+        return g[["deg"]]
+
+    degs = joins.partitioned_map(edges, ["l_partkey"], deg,
+                                 num_partitions=32, pre_repartition=False)
+
+    def hist_c(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("deg", as_index=False).size()
+        g["n_parts"] = g.pop("size").astype("int64")
+        return g
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("deg", as_index=False)["n_parts"].sum()
+        g["n_parts"] = g["n_parts"].astype("int64")
+        return g
+
+    return joins.grouped_agg(degs, ["deg"], hist, num_partitions=4,
+                             combine_fn=hist_c, pre_repartition=False)
+
+
+def q_status_cube(sf_dir: str):
+    """GROUP BY CUBE (all four grouping sets of two keys) in ONE scan
+    — `q_sales_rollup`'s one-pass grouping-sets shape extended to the
+    full cross of levels: the per-block combiner emits partial rows
+    for every level ('ALL' fills the rolled-up key), one final
+    hash-partitioned sum. Money is per-row integer cents, so the
+    distributed sum is exactly associative."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    LEVELS = (("status", "priority"), ("status",), ("priority",), ())
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame(
+            {
+                "status": df["o_orderstatus"],
+                "priority": df["o_orderpriority"],
+                "cents": _round_half_away(df["o_totalprice"] * 100),
+            }
+        )
+        outs = []
+        for keys in LEVELS:
+            if keys:
+                g = base.groupby(list(keys), as_index=False).agg(
+                    rev_cents=("cents", "sum"), n=("cents", "size"))
+            else:
+                g = pd.DataFrame({"rev_cents": [base["cents"].sum()],
+                                  "n": [len(base)]})
+            for c in ("status", "priority"):
+                if c not in g.columns:
+                    g[c] = "ALL"
+            outs.append(g[["status", "priority", "rev_cents", "n"]])
+        out = pd.concat(outs, ignore_index=True)
+        out["rev_cents"] = out["rev_cents"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["status", "priority"], as_index=False).agg(
+            rev_cents=("rev_cents", "sum"), n=("n", "sum"))
+        g["rev_cents"] = g["rev_cents"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return joins.grouped_agg(orders, ["status", "priority"], agg,
+                             num_partitions=8, combine_fn=combine,
+                             pre_repartition=False)
+
+
+def q_brand_size_skew(sf_dir: str):
+    """Per-group skewness from EXACT integer moment partials (the
+    third-moment sibling of `q_group_corr`): n, sum(s), sum(s^2),
+    sum(s^3) are int64 — associative and overflow-safe for p_size's
+    1..50 domain — combined per block, summed per brand partition;
+    the final skew is a fixed chain of IEEE divisions / multiplies /
+    one sqrt evaluated identically by numpy and the SQL oracle, then
+    1e-6-scaled to an integer."""
+    part = _read(sf_dir, "part", ["p_brand", "p_size"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["p_size"].to_numpy(np.int64)
+        b = pd.DataFrame({"p_brand": df["p_brand"], "s": s,
+                          "s2": s * s, "s3": s * s * s})
+        g = b.groupby("p_brand", as_index=False).agg(
+            n=("s", "size"), s1=("s", "sum"), s2=("s2", "sum"),
+            s3=("s3", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", as_index=False).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"),
+            s3=("s3", "sum"))
+        n = g["n"].to_numpy(np.float64)
+        s1 = g["s1"].to_numpy(np.float64)
+        s2 = g["s2"].to_numpy(np.float64)
+        s3 = g["s3"].to_numpy(np.float64)
+        m1 = s1 / n
+        m2 = s2 / n
+        var = m2 - m1 * m1
+        sk = (s3 / n - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / (var * np.sqrt(var))
+        keep = ((g["n"].to_numpy(np.int64) >= 2)
+                & (g["s2"].to_numpy(np.int64) * g["n"].to_numpy(np.int64)
+                   > g["s1"].to_numpy(np.int64) ** 2))
+        out = pd.DataFrame(
+            {"p_brand": g["p_brand"], "n": g["n"].astype("int64"),
+             "skew_1e6": _round_half_away(sk * 1e6)}
+        )
+        return out[keep]
+
+    return joins.grouped_agg(part, ["p_brand"], agg, num_partitions=8,
+                             combine_fn=combine, pre_repartition=False)
+
+
 ORACLE: dict[str, str] = {
+    "lag_delta": """
+        SELECT o_custkey, o_orderkey, gap_days, price_delta_cents FROM (
+          SELECT o_custkey, o_orderkey,
+                 date_diff('day', lag(o_orderdate) OVER w,
+                           o_orderdate)::BIGINT AS gap_days,
+                 round(o_totalprice * 100)::BIGINT
+                   - round(lag(o_totalprice) OVER w * 100)::BIGINT
+                   AS price_delta_cents
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey))
+        WHERE gap_days IS NOT NULL
+    """,
+    "late_order_counts": """
+        SELECT o_orderpriority, count(*)::BIGINT AS n FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "small_qty_revenue": """
+        SELECT sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+                 AS revenue_cents,
+               count(*)::BIGINT AS n
+        FROM lineitem
+        JOIN (SELECT l_partkey, sum(l_quantity) / count(*) AS aq
+              FROM lineitem GROUP BY l_partkey) a USING (l_partkey)
+        WHERE l_quantity < 0.2 * aq
+    """,
+    "set_intersect": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "part_supplier_degree": """
+        SELECT deg, count(*)::BIGINT AS n_parts FROM (
+          SELECT l_partkey, count(DISTINCT l_suppkey)::BIGINT AS deg
+          FROM lineitem GROUP BY l_partkey)
+        GROUP BY deg
+    """,
+    "status_cube": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents,
+               count(*)::BIGINT AS n
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "brand_size_skew": """
+        WITH m AS (
+          SELECT p_brand, count(*)::BIGINT AS n,
+                 sum(p_size::BIGINT)::BIGINT AS s1,
+                 sum((p_size::BIGINT) * (p_size::BIGINT))::BIGINT AS s2,
+                 sum((p_size::BIGINT) * (p_size::BIGINT)
+                     * (p_size::BIGINT))::BIGINT AS s3
+          FROM part GROUP BY p_brand)
+        SELECT p_brand, n,
+               round(((s3::DOUBLE / n
+                        - 3.0 * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+                        + 2.0 * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+                              * (s1::DOUBLE / n))
+                      / ((s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n))
+                         * sqrt(s2::DOUBLE / n
+                                - (s1::DOUBLE / n) * (s1::DOUBLE / n))))
+                     * 1e6)::BIGINT AS skew_1e6
+        FROM m WHERE n >= 2 AND s2 * n > s1 * s1
+    """,
     "shipping_priority": """
         SELECT l_orderkey AS o_orderkey, o_orderdate,
                round(sum(l_extendedprice * (1.0 - l_discount)) * 100)::BIGINT
@@ -3149,6 +3501,13 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "lag_delta": q_lag_delta,
+    "late_order_counts": q_late_order_counts,
+    "small_qty_revenue": q_small_qty_revenue,
+    "set_intersect": q_set_intersect,
+    "part_supplier_degree": q_part_supplier_degree,
+    "status_cube": q_status_cube,
+    "brand_size_skew": q_brand_size_skew,
     "shipping_priority": q_shipping_priority,
     "user_mode": q_user_mode,
     "funnel_conv": q_funnel_conv,

@@ -686,3 +686,157 @@ def test_shipping_priority_ranks_by_integer_cents():
     c = got["revenue_cents"].to_numpy()
     assert (np.diff(c) <= 0).all()
     assert str(got["revenue_cents"].dtype) == "int64"
+
+
+# ---------------------------------------------------------------------------
+# wave: lag_delta / late_order_counts / small_qty_revenue / set_intersect /
+#       part_supplier_degree / status_cube / brand_size_skew
+# ---------------------------------------------------------------------------
+
+
+def _orders_df(rows):
+    df = pd.DataFrame(rows, columns=["o_orderkey", "o_custkey",
+                                     "o_orderdate", "o_totalprice"])
+    df["o_orderkey"] = df["o_orderkey"].astype("int64")
+    df["o_custkey"] = df["o_custkey"].astype("int64")
+    df["o_orderdate"] = pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+    return df
+
+
+def test_lag_delta_per_customer_gaps():
+    d = _scratch_sf(orders=_orders_df([
+        (1, 7, "2024-01-01", 10.00),
+        (2, 7, "2024-01-04", 12.50),   # +3 days, +250 cents
+        (3, 7, "2024-01-04", 11.00),   # same-day tie -> key order, -150
+        (4, 9, "2024-02-01", 5.00),    # lone first order: dropped
+    ]))
+    got = (Q.q_lag_delta(d).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    assert got["o_orderkey"].tolist() == [2, 3]
+    assert got["gap_days"].tolist() == [3, 0]
+    assert got["price_delta_cents"].tolist() == [250, -150]
+    # single-order customers contribute nothing
+    assert 4 not in set(got["o_orderkey"])
+
+
+def test_late_order_counts_exists_boundary():
+    """>60 days strictly; an order qualifies once no matter how many
+    late lineitems it has."""
+    orders = _orders_df([
+        (1, 1, "2024-01-01", 1.0),
+        (2, 1, "2024-01-01", 1.0),
+        (3, 1, "2024-01-01", 1.0),
+    ])
+    orders["o_orderpriority"] = ["1-URGENT", "1-URGENT", "5-LOW"]
+    li = pd.DataFrame({
+        "l_orderkey": np.array([1, 1, 2, 3], dtype=np.int64),
+        # order 1: two late items (counted once); order 2: exactly 60
+        # days (NOT late); order 3: 61 days (late)
+        "l_shipdate": pd.to_datetime(
+            ["2024-03-15", "2024-04-01", "2024-03-01", "2024-03-02"]
+        ).astype("datetime64[us]"),
+    })
+    d = _scratch_sf(orders=orders[["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"]], lineitem=li)
+    got = (Q.q_late_order_counts(d).to_pandas()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    assert got["o_orderpriority"].tolist() == ["1-URGENT", "5-LOW"]
+    assert got["n"].tolist() == [1, 1]
+
+
+def test_small_qty_revenue_strict_threshold():
+    # part 10: quantities 1, 9 -> avg 5, 0.2*avg = 1.0; q=1 is NOT < 1.0
+    # part 20: quantities 1, 99 -> avg 50, 0.2*avg = 10; q=1 qualifies
+    li = pd.DataFrame({
+        "l_partkey": np.array([10, 10, 20, 20], dtype=np.int64),
+        "l_quantity": [1.0, 9.0, 1.0, 99.0],
+        "l_extendedprice": [11.11, 1.0, 22.22, 1.0],
+    })
+    got = Q.q_small_qty_revenue(_scratch_sf(lineitem=li)).to_pandas()
+    assert got["n"].tolist() == [1]
+    assert got["revenue_cents"].tolist() == [2222]
+
+
+def test_set_intersect_both_sides_required():
+    ev = pd.DataFrame({
+        "user_id": np.array([1, 1, 2, 3, 3, 4], dtype=np.int64),
+        "event_type": ["click", "purchase", "click", "purchase",
+                       "click", "view"],
+    })
+    got = Q.q_set_intersect(_scratch_sf(events=ev)).to_pandas()
+    assert sorted(got["user_id"].tolist()) == [1, 3]
+
+
+def test_part_supplier_degree_dedups_pairs():
+    li = pd.DataFrame({
+        "l_partkey": np.array([1, 1, 1, 2, 2, 3], dtype=np.int64),
+        "l_suppkey": np.array([7, 7, 8, 9, 9, 7], dtype=np.int64),
+    })  # part 1 -> deg 2; parts 2,3 -> deg 1
+    got = (Q.q_part_supplier_degree(_scratch_sf(lineitem=li)).to_pandas()
+           .sort_values("deg").reset_index(drop=True))
+    assert got["deg"].tolist() == [1, 2]
+    assert got["n_parts"].tolist() == [2, 1]
+
+
+def test_status_cube_levels_consistent():
+    got = Q.q_status_cube(SF).to_pandas()
+    base = got[(got["status"] != "ALL") & (got["priority"] != "ALL")]
+    for col, other in (("status", "priority"), ("priority", "status")):
+        marg = got[(got[col] != "ALL") & (got[other] == "ALL")]
+        want = base.groupby(col, as_index=False)[["rev_cents", "n"]].sum()
+        m = marg.sort_values(col).reset_index(drop=True)
+        w = want.sort_values(col).reset_index(drop=True)
+        assert m["rev_cents"].tolist() == w["rev_cents"].tolist()
+        assert m["n"].tolist() == w["n"].tolist()
+    total = got[(got["status"] == "ALL") & (got["priority"] == "ALL")]
+    assert total["n"].tolist() == [int(base["n"].sum())]
+    assert total["rev_cents"].tolist() == [int(base["rev_cents"].sum())]
+
+
+def test_brand_size_skew_symmetric_is_zero():
+    part = pd.DataFrame({
+        "p_brand": ["A"] * 5 + ["B"] * 4 + ["C"],
+        "p_size": np.array([1, 2, 3, 4, 5,      # symmetric -> skew 0
+                            1, 1, 1, 10,         # right-skewed -> > 0
+                            7], dtype=np.int32),  # n=1 -> dropped
+    })
+    got = (Q.q_brand_size_skew(_scratch_sf(part=part)).to_pandas()
+           .sort_values("p_brand").reset_index(drop=True))
+    assert got["p_brand"].tolist() == ["A", "B"]
+    assert got.loc[0, "skew_1e6"] == 0
+    assert got.loc[1, "skew_1e6"] > 0
+    # brute-force moment check for B
+    s = np.array([1, 1, 1, 10], dtype=np.float64)
+    m1, m2, m3 = s.mean(), (s * s).mean(), (s ** 3).mean()
+    var = m2 - m1 * m1
+    sk = (m3 - 3 * m1 * m2 + 2 * m1 ** 3) / (var * np.sqrt(var))
+    assert got.loc[1, "skew_1e6"] == int(np.floor(abs(sk) * 1e6 + 0.5)) * (1 if sk > 0 else -1)
+
+
+def test_wave4_empty_inputs():
+    orders = _orders_df([]).iloc[:0]
+    d = _scratch_sf(orders=orders)
+    assert len(Q.q_lag_delta(d).to_pandas()) == 0
+
+    li = pd.DataFrame({
+        "l_partkey": pd.Series([], dtype="int64"),
+        "l_quantity": pd.Series([], dtype="float64"),
+        "l_extendedprice": pd.Series([], dtype="float64"),
+        "l_suppkey": pd.Series([], dtype="int64"),
+    })
+    d2 = _scratch_sf(lineitem=li)
+    got = Q.q_small_qty_revenue(d2).to_pandas()
+    assert got["n"].tolist() == [0] and got["revenue_cents"].tolist() == [0]
+    assert len(Q.q_part_supplier_degree(d2).to_pandas()) == 0
+
+    ev = pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "event_type": pd.Series([], dtype="object"),
+    })
+    assert len(Q.q_set_intersect(_scratch_sf(events=ev)).to_pandas()) == 0
+
+    part = pd.DataFrame({
+        "p_brand": pd.Series([], dtype="object"),
+        "p_size": pd.Series([], dtype="int32"),
+    })
+    assert len(Q.q_brand_size_skew(_scratch_sf(part=part)).to_pandas()) == 0
