@@ -769,6 +769,61 @@ def q_image_decode(sf_dir: str):
     ).select_columns(["image_id", "w", "h", "mean_px", "phash_decoded"])
 
 
+def q_image_patches(sf_dir: str):
+    """ViT-style patchification (`image.PatchExtract`): every synth
+    image cut into 8x8 patch rows with grid coords and per-patch
+    mean/std — the fan-out layout a vision-training dataloader
+    shards. Rows-only (pixel ops not SQL-expressible); patch-byte
+    exactness is pytest-verified against direct slicing."""
+    from oluray.stages.image import PatchExtract
+
+    images = _synth_images(sf_dir)
+    return images.map_batches(
+        PatchExtract, fn_constructor_kwargs=dict(patch=8, with_bytes=False),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    )
+
+
+def q_caption_pairs(sf_dir: str):
+    """Multimodal pair curation: the (image, caption) training-pair
+    draw — synth per-doc image metadata joined back to the documents
+    table (large-large hash join on doc_id), quality-gated on the
+    text side (>= 30 whitespace tokens), emitting (doc_id, image_id,
+    caption, n_tok). Bytes never enter the join: only metadata moves
+    through the shuffle, the pair list references images by id —
+    the bytes-stay-put contract of the flagship pipeline applied to
+    pair curation. Rows-only (the caption synth is not in SQL)."""
+    from oluray.sources import fixtures
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def meta(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "image_id": pa.array([f"img{int(i):08d}" for i in ids]),
+                "caption": pa.array([fixtures.caption_for(int(i), 42)
+                                     for i in ids]),
+            }
+        )
+
+    img_meta = docs.select_columns(["doc_id"]).map_batches(
+        meta, batch_format="pyarrow")
+
+    def tokc(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern_regex(
+            t["text"], r"\s+")).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tok": n})
+
+    toks = docs.map_batches(tokc, batch_format="pyarrow")
+    j = joins.hash_join(img_meta, toks, on="doc_id", num_partitions=16)
+    return j.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_tok"], 30)),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "image_id", "caption", "n_tok"])
+
+
 # ---------------------------------------------------------------------------
 # stream-shaped operators (windows / as-of / sessions) — Ray Data has
 # no event-time windowing; these follow the ordered-log pattern:
@@ -3501,6 +3556,8 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "image_patches": q_image_patches,
+    "caption_pairs": q_caption_pairs,
     "lag_delta": q_lag_delta,
     "late_order_counts": q_late_order_counts,
     "small_qty_revenue": q_small_qty_revenue,

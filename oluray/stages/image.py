@@ -203,3 +203,78 @@ class QualityStats:
         out = out.append_column("sharpness", pa.array(np.round(sharp, 4)))
         out = out.append_column("brightness", pa.array(np.round(bright, 4)))
         return out.append_column("contrast", pa.array(np.round(contrast, 4)))
+
+
+class PatchExtract:
+    """ViT-style patchification: decode each image, crop to the
+    largest P-multiple grid (top-left anchored, the standard
+    drop-remainder behavior), and emit ONE ROW PER PATCH with grid
+    coordinates, the raw P*P*3 patch bytes, and per-patch mean/std.
+
+    Scale shape: images stay inside the actor (bytes in, patch rows
+    out — the output is re-blocked by Ray, never driver-collected);
+    per-image stats are one vectorized reshape-reduce, not a Python
+    loop over patches. Per-row decode is inherent to variable-length
+    blobs (same note as `DecodeStats`). A 100 TB corpus fans out to
+    ~(HW/P^2)x more rows but each is a fixed small payload — exactly
+    the layout a training dataloader shards."""
+
+    def __init__(self, patch: int = 8, with_bytes: bool = True):
+        if patch <= 0:
+            raise ValueError("patch must be positive")
+        self.p = patch
+        self.with_bytes = with_bytes
+        self.decode = imagecodec.decode  # codec table resolved once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.p
+        ids_out: list[str] = []
+        pys: list[np.ndarray] = []
+        pxs: list[np.ndarray] = []
+        means: list[np.ndarray] = []
+        stds: list[np.ndarray] = []
+        blobs_out: list[bytes] = []
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        for iid, b, f in zip(ids, blobs, fmts):
+            px = self.decode(b, f)
+            h, w = px.shape[0], px.shape[1]
+            gy, gx = h // p, w // p
+            if gy == 0 or gx == 0:
+                continue  # smaller than one patch: contributes nothing
+            core = px[: gy * p, : gx * p]
+            # (gy, p, gx, p, 3) -> patch-major (gy, gx, p, p, 3)
+            grid = core.reshape(gy, p, gx, p, 3).transpose(0, 2, 1, 3, 4)
+            flat = grid.reshape(gy * gx, -1).astype(np.float64)
+            means.append(flat.mean(axis=1))
+            stds.append(flat.std(axis=1))
+            yy, xx = np.divmod(np.arange(gy * gx), gx)
+            pys.append(yy)
+            pxs.append(xx)
+            ids_out.extend([iid] * (gy * gx))
+            if self.with_bytes:
+                raw = np.ascontiguousarray(grid.reshape(gy * gx, -1))
+                blobs_out.extend(raw.tobytes()[i * p * p * 3:(i + 1) * p * p * 3]
+                                 for i in range(gy * gx))
+        if not ids_out:
+            cols = {
+                "image_id": pa.array([], pa.string()),
+                "py": pa.array([], pa.int32()),
+                "px": pa.array([], pa.int32()),
+                "p_mean": pa.array([], pa.float64()),
+                "p_std": pa.array([], pa.float64()),
+            }
+            if self.with_bytes:
+                cols["patch"] = pa.array([], pa.binary())
+            return pa.table(cols)
+        cols = {
+            "image_id": pa.array(ids_out, pa.string()),
+            "py": pa.array(np.concatenate(pys).astype(np.int32)),
+            "px": pa.array(np.concatenate(pxs).astype(np.int32)),
+            "p_mean": pa.array(np.round(np.concatenate(means), 4)),
+            "p_std": pa.array(np.round(np.concatenate(stds), 4)),
+        }
+        if self.with_bytes:
+            cols["patch"] = pa.array(blobs_out, pa.binary())
+        return pa.table(cols)

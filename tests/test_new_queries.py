@@ -840,3 +840,47 @@ def test_wave4_empty_inputs():
         "p_size": pd.Series([], dtype="int32"),
     })
     assert len(Q.q_brand_size_skew(_scratch_sf(part=part)).to_pandas()) == 0
+
+
+def test_patch_extract_bytes_and_grid():
+    """Patch rows must be exact pixel slices: drop-remainder grid,
+    patch-major ordering, per-patch mean/std versus direct slicing."""
+    import pyarrow as pa
+
+    from oluray.functions import imagecodec
+    from oluray.stages.image import PatchExtract
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (20, 27, 3), dtype=np.uint8)  # 2x3 grid of 8s + remainder
+    tiny = rng.integers(0, 256, (5, 5, 3), dtype=np.uint8)  # < one patch
+    batch = pa.table({
+        "image_id": pa.array(["big", "tiny"]),
+        "bytes": pa.array([imagecodec.encode_png(px),
+                           imagecodec.encode_png(tiny)], pa.binary()),
+        "fmt": pa.array(["png", "png"]),
+    })
+    out = PatchExtract(patch=8)(batch).to_pandas()
+    assert (out["image_id"] == "big").all()  # tiny contributes nothing
+    assert len(out) == 2 * 3
+    for _, r in out.iterrows():
+        want = px[r["py"] * 8:(r["py"] + 1) * 8, r["px"] * 8:(r["px"] + 1) * 8]
+        got = np.frombuffer(r["patch"], dtype=np.uint8).reshape(8, 8, 3)
+        np.testing.assert_array_equal(got, want)
+        w = want.astype(np.float64).reshape(-1)
+        assert abs(r["p_mean"] - round(w.mean(), 4)) < 1e-9
+        assert abs(r["p_std"] - round(w.std(), 4)) < 1e-9
+    # empty batch stays typed
+    empty = PatchExtract(patch=8)(batch.slice(0, 0))
+    assert empty.num_rows == 0 and "patch" in empty.column_names
+
+
+def test_caption_pairs_gate_and_ids():
+    d = _scratch_sf(documents=pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["short text", " ".join(["tok"] * 40)],
+    }))
+    got = Q.q_caption_pairs(d).to_pandas()
+    assert got["doc_id"].tolist() == [2]
+    assert got["image_id"].tolist() == ["img00000002"]
+    assert got["n_tok"].tolist() == [40]
+    assert got["caption"].str.startswith("caption 2").all()
