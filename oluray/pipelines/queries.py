@@ -769,6 +769,91 @@ def q_image_decode(sf_dir: str):
     ).select_columns(["image_id", "w", "h", "mean_px", "phash_decoded"])
 
 
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Entity resolution / fuzzy join: all part pairs whose names are
+    within Levenshtein distance 1 (`text.fuzzy_pairs_ed1`). FastSS
+    deletion-neighborhood blocking — candidates only form inside a
+    shared-variant hash partition, verified by one vectorized gather,
+    deduped by the hash-partitioned pair shuffle. Never all-pairs:
+    cost scales with true match mass, not corpus size squared."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return text.fuzzy_pairs_ed1(part, "p_partkey", "p_name",
+                                num_partitions=32)
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Unigram language-model scoring (the perplexity-style quality
+    filter of LLM-data pipelines): every doc's summed log-probability
+    under the corpus's own unigram distribution, in exact micro-nat
+    integers. Fully distributed: Arrow-vectorized token explode,
+    hash-partitioned vocab count, per-token logprob quantized to
+    int64 ONCE on the vocab row (sum of ints is associative — no
+    float drift across the shuffle), large-large hash join of the
+    token stream against the vocab (a web corpus's vocab outgrows any
+    broadcast), per-doc integer sum. Only the scalar grand total
+    crosses the driver."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = pc.take(t["doc_id"], parent)
+        keep = pc.not_equal(flat, "")
+        return pa.table({"doc_id": ids, "tok": flat}).filter(keep)
+
+    toks = docs.map_batches(explode, batch_format="pyarrow",
+                            batch_size=8192)
+
+    def vc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False).size()
+        g["c"] = g.pop("size").astype("int64")
+        return g
+
+    def vs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False)["c"].sum()
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    vocab = joins.grouped_agg(toks, ["tok"], vs, num_partitions=16,
+                              combine_fn=vc, pre_repartition=False)
+    vocab = vocab.materialize()  # consumed twice: total + join side
+    partials = vocab.map_batches(
+        lambda t: pa.table({"n": pa.array([int(np.sum(t["c"].to_numpy()))])}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    total = int(partials["n"].sum()) if len(partials) else 0
+    if total == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "logprob_u6": pa.array([], pa.int64()),
+                         "n_tok": pa.array([], pa.int64())})
+
+    def u6(t: pa.Table, n: int = total) -> pa.Table:
+        lp = np.log(t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+                    / float(n))
+        return pa.table({"tok": t["tok"],
+                         "u6": pa.array(_round_half_away(lp * 1e6))})
+
+    vocab_u6 = vocab.map_batches(u6, batch_format="pyarrow")
+    j = joins.hash_join(toks, vocab_u6, on="tok", num_partitions=16)
+
+    def dsum_c(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            logprob_u6=("u6", "sum"), n_tok=("u6", "size"))
+        g["n_tok"] = g["n_tok"].astype("int64")
+        return g
+
+    def dsum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            logprob_u6=("logprob_u6", "sum"), n_tok=("n_tok", "sum"))
+        g["logprob_u6"] = g["logprob_u6"].astype("int64")
+        g["n_tok"] = g["n_tok"].astype("int64")
+        return g
+
+    return joins.grouped_agg(j, ["doc_id"], dsum, num_partitions=16,
+                             combine_fn=dsum_c, pre_repartition=False)
+
+
 def q_image_patches(sf_dir: str):
     """ViT-style patchification (`image.PatchExtract`): every synth
     image cut into 8x8 patch rows with grid coords and per-patch
@@ -2909,6 +2994,26 @@ def q_brand_size_skew(sf_dir: str):
 
 
 ORACLE: dict[str, str] = {
+    "fuzzy_name_pairs": """
+        SELECT a.p_partkey AS ka, b.p_partkey AS kb
+        FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+    "unigram_logprob": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\s+')) AS tok
+          FROM documents),
+        toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        vocab AS (SELECT tok, count(*)::BIGINT AS c FROM toks2 GROUP BY tok),
+        tot AS (SELECT sum(c)::BIGINT AS n FROM vocab)
+        SELECT doc_id,
+               sum(round(ln(c::DOUBLE / n::DOUBLE) * 1e6)::BIGINT)::BIGINT
+                 AS logprob_u6,
+               count(*)::BIGINT AS n_tok
+        FROM toks2 JOIN vocab USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
     "lag_delta": """
         SELECT o_custkey, o_orderkey, gap_days, price_delta_cents FROM (
           SELECT o_custkey, o_orderkey,
@@ -3558,6 +3663,8 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "image_patches": q_image_patches,
     "caption_pairs": q_caption_pairs,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "unigram_logprob": q_unigram_logprob,
     "lag_delta": q_lag_delta,
     "late_order_counts": q_late_order_counts,
     "small_qty_revenue": q_small_qty_revenue,

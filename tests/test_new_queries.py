@@ -884,3 +884,68 @@ def test_caption_pairs_gate_and_ids():
     assert got["image_id"].tolist() == ["img00000002"]
     assert got["n_tok"].tolist() == [40]
     assert got["caption"].str.startswith("caption 2").all()
+
+
+def test_fuzzy_pairs_ed1_matches_brute():
+    """FastSS blocking + vectorized verify vs brute-force Levenshtein
+    over a name pool with dupes, substitutions, indels, and misses."""
+    import ray.data
+
+    from oluray.stages.text import fuzzy_pairs_ed1
+
+    names = ["cold widget", "cold widget", "cold widgex", "cold widge",
+             "colds widget", "warm widget", "bolt", "bolt2", "xolt",
+             "completely different", "a", "", "ab"]
+    df = pd.DataFrame({"k": np.arange(len(names), dtype=np.int64),
+                       "n": names})
+    got = fuzzy_pairs_ed1(ray.data.from_pandas(df), "k", "n",
+                          num_partitions=4).to_pandas()
+    got_pairs = set(zip(got["ka"], got["kb"]))
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[n]
+
+    want = {(i, j) for i in range(len(names)) for j in range(i + 1, len(names))
+            if lev(names[i], names[j]) <= 1}
+    assert got_pairs == want
+    assert (got["ka"] < got["kb"]).all()
+
+
+def test_unigram_logprob_tiny_corpus():
+    """3-doc corpus with hand-computable unigram stats; repeated and
+    multi-whitespace tokens, case folding."""
+    d = _scratch_sf(documents=pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": ["The the  a", "b B", "a"],
+    }))
+    got = (Q.q_unigram_logprob(d).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # vocab: the x2, a x2, b x2 -> n=6; every token has p = 1/3
+    import math
+    u = int(math.floor(abs(math.log(2 / 6.0)) * 1e6 + 0.5)) * -1
+    assert got["n_tok"].tolist() == [3, 2, 1]
+    assert got["logprob_u6"].tolist() == [3 * u, 2 * u, u]
+
+
+def test_wave5_empty_inputs():
+    import ray.data
+
+    from oluray.stages.text import fuzzy_pairs_ed1
+
+    df = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                       "n": pd.Series([], dtype="object")})
+    assert len(fuzzy_pairs_ed1(ray.data.from_pandas(df), "k", "n",
+                               num_partitions=2).to_pandas()) == 0
+
+    d = _scratch_sf(documents=pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype="object"),
+    }))
+    assert len(Q.q_unigram_logprob(d).to_pandas()) == 0
