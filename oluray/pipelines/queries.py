@@ -1778,6 +1778,18 @@ def q_hll_users(sf_dir: str):
     )
 
 
+def q_hll_group_users(sf_dir: str):
+    """Per-group approximate COUNT(DISTINCT): distinct users per
+    event type via mergeable per-group HLL register blobs
+    (`sketch.hll_count_by_group`) — the shuffle moves one 4 KiB
+    sketch per (block, group), never the key stream. Rows-only by
+    design (approximate); pytest bounds per-group error vs exact."""
+    from oluray.stages import sketch
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return sketch.hll_count_by_group(ev, ["event_type"], "user_id", p=12)
+
+
 def q_bucketed_join(sf_dir: str):
     """Shuffle-free bucketed join (`io.write_bucketed` +
     `io.bucketed_join`): customers and nations each written
@@ -3719,6 +3731,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "bucketed_join": q_bucketed_join,
     "hll_users": q_hll_users,
+    "hll_group_users": q_hll_group_users,
     "length_deciles": q_length_deciles,
     "curriculum_sample": q_curriculum_sample,
     "topk_per_cust": q_topk_per_cust,

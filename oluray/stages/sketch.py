@@ -202,3 +202,73 @@ def cms_query(cms: np.ndarray, keys) -> np.ndarray:
         h = _mix64(k ^ np.uint64((0xA076_1D64_78BD_642F * (d + 1)) & 0xFFFF_FFFF_FFFF_FFFF))
         est = np.minimum(est, cms[d][(h % np.uint64(width)).astype(np.int64)])
     return est
+
+
+def hll_count_by_group(
+    ds: "ray.data.Dataset",
+    group_cols: "list[str] | tuple[str, ...]",
+    col: str,
+    p: int = 12,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Per-group approximate COUNT(DISTINCT col): the grouped form of
+    `hll_count`. Each block emits ONE register blob (2^p bytes) per
+    distinct group it contains — the shuffle moves sketches, never
+    keys — then a hash-partitioned max-merge + estimate per group.
+    Mergeable and idempotent (register max), so re-partitioning or
+    block-order changes can't alter the result.
+
+    Output: group_cols + `approx_distinct` (int64). Relative error
+    ~1.04/sqrt(2^p) (~1.6% at p=12). For exact needs use the
+    distinct + grouped-count composition instead."""
+    from oluray.stages import joins
+
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    gcols = list(group_cols)
+
+    def block_regs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: df[c] for c in gcols} | {"regs": []})
+        codes, uniques = pd.factorize(
+            pd.MultiIndex.from_frame(df[gcols]) if len(gcols) > 1
+            else df[gcols[0]]
+        )
+        h = _mix64(df[col].to_numpy(dtype=np.int64, na_value=0).view(np.uint64))
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        rank = (_nlz64(rest) + np.uint64(1)).astype(np.uint8)
+        regs = np.zeros((len(uniques), m), dtype=np.uint8)
+        np.maximum.at(regs.reshape(-1), codes * m + idx, rank)
+        out = pd.DataFrame(
+            list(uniques) if len(gcols) > 1 else {gcols[0]: uniques}
+        )
+        if len(gcols) > 1:
+            out.columns = gcols
+        out["regs"] = [r.tobytes() for r in regs]
+        return out
+
+    sketches = ds.select_columns(gcols + [col]).map_batches(
+        block_regs, batch_format="pandas", batch_size=65536
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: df[c] for c in gcols}
+                                | {"approx_distinct": pd.array([], dtype="int64")})
+
+        def est(blobs: pd.Series) -> int:
+            regs = np.frombuffer(blobs.iloc[0], np.uint8).copy()
+            for b in blobs.iloc[1:]:
+                np.maximum(regs, np.frombuffer(b, np.uint8), out=regs)
+            return int(round(hll_estimate(regs)))
+
+        g = df.groupby(gcols, as_index=False, sort=False).agg(
+            approx_distinct=("regs", est))
+        g["approx_distinct"] = g["approx_distinct"].astype("int64")
+        return g
+
+    return joins.partitioned_map(sketches, gcols, merge,
+                                 num_partitions=num_partitions,
+                                 pre_repartition=False)

@@ -124,3 +124,42 @@ def test_cms_upper_bound_and_mergeable():
     import pytest
     with pytest.raises(ValueError):
         sketch.cms_build(_ds(df, 1), "k", width=0)
+
+
+def test_hll_group_matches_exact_within_error():
+    """Per-group HLL vs exact nunique across wildly different
+    cardinalities; block order / partitioning must not matter."""
+    import ray.data
+
+    from oluray.stages.sketch import hll_count_by_group
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": ["big"] * 20000 + ["mid"] * 3000 + ["one"] * 40,
+        "v": np.concatenate([
+            rng.integers(0, 6000, 20000) + 10_000_000,
+            rng.integers(0, 250, 3000),
+            np.full(40, -7),
+        ]).astype(np.int64),
+    })
+    exact = df.groupby("g")["v"].nunique()
+    for nblocks in (2, 9):
+        got = (hll_count_by_group(
+            ray.data.from_pandas(df).repartition(nblocks), ["g"], "v", p=12)
+            .to_pandas().set_index("g")["approx_distinct"])
+        for g, e in exact.items():
+            assert abs(int(got[g]) - e) / max(e, 1) < 0.05, (g, int(got[g]), e)
+
+
+def test_hll_group_empty_and_validation():
+    import pytest
+    import ray.data
+
+    from oluray.stages.sketch import hll_count_by_group
+
+    df = pd.DataFrame({"g": pd.Series([], dtype="object"),
+                       "v": pd.Series([], dtype="int64")})
+    out = hll_count_by_group(ray.data.from_pandas(df), ["g"], "v").to_pandas()
+    assert len(out) == 0
+    with pytest.raises(ValueError):
+        hll_count_by_group(ray.data.from_pandas(df), ["g"], "v", p=3)
