@@ -769,6 +769,94 @@ def q_image_decode(sf_dir: str):
     ).select_columns(["image_id", "w", "h", "mean_px", "phash_decoded"])
 
 
+def _skyline2d(price: np.ndarray, size: np.ndarray,
+               key: np.ndarray) -> np.ndarray:
+    """Indices of the 2-D Pareto frontier (minimize price, maximize
+    size; strict domination). Sort by (price asc, size desc, key):
+    a row survives iff it carries its price-group's max size AND that
+    max strictly beats every cheaper group's running max."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    order = np.lexsort((key, -size, price))
+    p, s = price[order], size[order]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = p[1:] != p[:-1]
+    gid = np.cumsum(new_grp) - 1
+    gmax = s[new_grp][gid]          # per-row: its price-group's max size
+    grp_first_max = s[new_grp]      # one per group, in price order
+    prevmax = np.concatenate(
+        ([np.iinfo(np.int64).min if s.dtype.kind == "i" else -np.inf],
+         np.maximum.accumulate(grp_first_max)[:-1])
+    )[gid]
+    keep = (s == gmax) & (gmax > prevmax)
+    return order[keep]
+
+
+def q_part_skyline(sf_dir: str):
+    """Distributed skyline (Pareto frontier): parts not strictly
+    dominated on (lower retail price, larger size). The combiner
+    computes each BLOCK's local skyline first — sound because the
+    global frontier is a subset of every local frontier's union — so
+    only frontier candidates (typically a vanishing fraction) reach
+    the final single-partition pass. Worst case (all points on the
+    frontier) degrades to a gather of the true output, never of the
+    corpus."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        idx = _skyline2d(df["p_retailprice"].to_numpy(np.float64),
+                         df["p_size"].to_numpy(np.int64),
+                         df["p_partkey"].to_numpy(np.int64))
+        return df.iloc[np.sort(idx)]
+
+    cand = part.map_batches(local, batch_format="pandas", batch_size=65536)
+    final = cand.repartition(1).map_batches(local, batch_format="pandas")
+    return final.select_columns(["p_partkey"])
+
+
+def q_time_weighted_avg(sf_dir: str):
+    """Time-weighted aggregate per user: each event's value (cents)
+    weighted by whole seconds until the user's NEXT event — the
+    sensor-data / billing primitive behind time-weighted averages.
+    Reported as exact integer (weighted-sum, duration) pairs so the
+    distributed sum is associative; the final division is the
+    caller's (avoids a 0-duration NULL convention). One user hash
+    partition, one sort, one shift — the LEAD sibling of
+    `q_lag_delta`."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def twa(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.array([], dtype="int64"),
+                 "wsum": pd.array([], dtype="int64"),
+                 "wdur": pd.array([], dtype="int64")}
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # whole-second boundary count = trunc(us/1e6) difference,
+        # matching date_diff('second', ...)
+        sec = (df["ts"].astype("datetime64[us]").astype("int64")
+               .to_numpy() // 1_000_000)
+        cents = _round_half_away(df["value"].to_numpy() * 100)
+        nxt = np.roll(sec, -1)
+        same_next = df["user_id"].eq(df["user_id"].shift(-1)).to_numpy()
+        dur = np.where(same_next, nxt - sec, 0)
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                            "w": dur * cents, "d": dur})
+        g = out.groupby("user_id", as_index=False).agg(
+            wsum=("w", "sum"), wdur=("d", "sum"))
+        g["wsum"] = g["wsum"].astype("int64")
+        g["wdur"] = g["wdur"].astype("int64")
+        return g
+
+    return joins.partitioned_map(ev, ["user_id"], twa, num_partitions=32,
+                                 pre_repartition=False)
+
+
 def q_fuzzy_name_pairs(sf_dir: str):
     """Entity resolution / fuzzy join: all part pairs whose names are
     within Levenshtein distance 1 (`text.fuzzy_pairs_ed1`). FastSS
@@ -3006,6 +3094,30 @@ def q_brand_size_skew(sf_dir: str):
 
 
 ORACLE: dict[str, str] = {
+    "part_skyline": """
+        SELECT p_partkey FROM part a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part b
+          WHERE b.p_retailprice <= a.p_retailprice
+            AND b.p_size >= a.p_size
+            AND (b.p_retailprice < a.p_retailprice
+                 OR b.p_size > a.p_size))
+    """,
+    "time_weighted_avg": """
+        WITH s AS (
+          SELECT user_id, round(value * 100)::BIGINT AS cents, ts,
+                 lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nts
+          FROM events)
+        SELECT user_id,
+               sum(CASE WHEN nts IS NULL THEN 0
+                    ELSE date_diff('second', ts, nts)::BIGINT * cents
+                    END)::BIGINT AS wsum,
+               sum(CASE WHEN nts IS NULL THEN 0
+                    ELSE date_diff('second', ts, nts)::BIGINT
+                    END)::BIGINT AS wdur
+        FROM s GROUP BY user_id
+    """,
     "fuzzy_name_pairs": """
         SELECT a.p_partkey AS ka, b.p_partkey AS kb
         FROM part a JOIN part b ON a.p_partkey < b.p_partkey
@@ -3677,6 +3789,8 @@ QUERIES = {
     "caption_pairs": q_caption_pairs,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "unigram_logprob": q_unigram_logprob,
+    "part_skyline": q_part_skyline,
+    "time_weighted_avg": q_time_weighted_avg,
     "lag_delta": q_lag_delta,
     "late_order_counts": q_late_order_counts,
     "small_qty_revenue": q_small_qty_revenue,

@@ -949,3 +949,59 @@ def test_wave5_empty_inputs():
         "text": pd.Series([], dtype="object"),
     }))
     assert len(Q.q_unigram_logprob(d).to_pandas()) == 0
+
+
+def test_skyline2d_matches_brute():
+    rng = np.random.default_rng(9)
+    for trial in range(20):
+        n = int(rng.integers(1, 60))
+        price = rng.integers(0, 8, n).astype(np.float64)  # many ties
+        size = rng.integers(0, 8, n).astype(np.int64)
+        key = np.arange(n, dtype=np.int64)
+        got = set(Q._skyline2d(price, size, key))
+        want = set()
+        for i in range(n):
+            dominated = any(
+                price[j] <= price[i] and size[j] >= size[i]
+                and (price[j] < price[i] or size[j] > size[i])
+                for j in range(n))
+            if not dominated:
+                want.add(i)
+        assert got == want, trial
+    assert len(Q._skyline2d(np.array([]), np.array([]),
+                            np.array([], np.int64))) == 0
+
+
+def test_skyline_local_prune_is_sound():
+    """The global skyline must be identical no matter how the input
+    is blocked (local-prune soundness)."""
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "p_partkey": np.arange(400, dtype=np.int64),
+        "p_retailprice": rng.integers(0, 50, 400).astype(np.float64),
+        "p_size": rng.integers(1, 50, 400).astype(np.int32),
+    })
+    d = _scratch_sf(part=df)
+    got = sorted(Q.q_part_skyline(d).to_pandas()["p_partkey"])
+    idx = Q._skyline2d(df["p_retailprice"].to_numpy(),
+                       df["p_size"].to_numpy(np.int64),
+                       df["p_partkey"].to_numpy())
+    assert got == sorted(df["p_partkey"].to_numpy()[idx])
+
+
+def test_time_weighted_avg_known_sequence():
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    ev = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 2], dtype=np.int64),
+        "ts": pd.to_datetime([base, base + pd.Timedelta(seconds=10),
+                              base + pd.Timedelta(seconds=25),
+                              base]).astype("datetime64[us]"),
+        "value": [2.0, 4.0, 99.0, 5.0],  # last-of-user weights 0
+    })
+    got = (Q.q_time_weighted_avg(_scratch_sf(events=ev)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    # user 1: 10s*200c + 15s*400c = 8000; dur 25. user 2: single event
+    assert got["user_id"].tolist() == [1, 2]
+    assert got["wsum"].tolist() == [8000, 0]
+    assert got["wdur"].tolist() == [25, 0]
