@@ -769,6 +769,89 @@ def q_image_decode(sf_dir: str):
     ).select_columns(["image_id", "w", "h", "mean_px", "phash_decoded"])
 
 
+RADIUS_M = 2_000_000.0  # 2000 km distance-join radius
+
+
+def q_radius_join(sf_dir: str):
+    """Distance (radius) join: every (customer point, feature) pair
+    within 2000 km great-circle distance — the 'within X km of'
+    primitive complementing `knn_assign`'s nearest-only answer. The
+    feature side is tiny and broadcast-closed over every batch (one
+    vectorized 8-column haversine per block, no shuffle at all); at
+    scale the same shape holds for any lookup table that fits a
+    worker heap, with cell-cover prefiltering as the growth path
+    (`spatial.knn_join`'s k-ring machinery)."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    pts = _with_points(cust, "c_custkey")
+    fid = np.array([f[0] for f in KNN_FEATURES], dtype=np.int64)
+    flon = np.array([f[1] for f in KNN_FEATURES])
+    flat_ = np.array([f[2] for f in KNN_FEATURES])
+
+    def within(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        d = geo.haversine_m(lon[:, None], lat[:, None],
+                            flon[None, :], flat_[None, :])
+        ii, jj = np.nonzero(d < RADIUS_M)
+        return pa.table(
+            {
+                "c_custkey": pa.array(
+                    t["c_custkey"].to_numpy(zero_copy_only=False)[ii]),
+                "feature_id": pa.array(fid[jj]),
+                "dist_m": pa.array(np.round(d[ii, jj], 3)),
+            }
+        )
+
+    return pts.map_batches(within, batch_format="pyarrow")
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-class embedding centroid (the prototype/mean-vector
+    primitive of few-shot and SemDeDup-style pipelines), exact: each
+    component quantized to 1e-6 int64 once, per-block per-label
+    vector sums (one `np.add.at` scatter over label codes — the
+    shuffle carries ONE 64-dim int row per (block, label), never
+    embeddings), hash-partitioned final sum, long-format output.
+    The caller divides s_1e6 by n for the float centroid."""
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int32()),
+                             "dim": pa.array([], pa.int64()),
+                             "s_1e6": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        M = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        q = _round_half_away(M.astype(np.float64) * 1e6)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(lab)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, codes, q)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        k, dims = sums.shape
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dims).astype(lab.dtype)),
+                "dim": pa.array(np.tile(np.arange(1, dims + 1), k)),
+                "s_1e6": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(counts, dims)),
+            }
+        )
+
+    partials = emb.map_batches(partial, batch_format="pyarrow",
+                               batch_size=4096)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["label", "dim"], as_index=False).agg(
+            s_1e6=("s_1e6", "sum"), n=("n", "sum"))
+        g["s_1e6"] = g["s_1e6"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return joins.partitioned_map(partials, ["label", "dim"], agg,
+                                 num_partitions=8, pre_repartition=False)
+
+
 def _skyline2d(price: np.ndarray, size: np.ndarray,
                key: np.ndarray) -> np.ndarray:
     """Indices of the 2-D Pareto frontier (minimize price, maximize
@@ -1649,6 +1732,17 @@ def _knn_sql() -> str:
              ) AS rn
       FROM customer c CROSS JOIN (VALUES {feats}) AS f(feature_id, flon, flat)
     ) WHERE rn = 1
+    """
+
+
+def _radius_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("c_custkey")
+    feats = ", ".join(f"({fid}, {x!r}, {y!r})" for fid, x, y in KNN_FEATURES)
+    hav = geo.haversine_sql(lon, lat, "f.flon", "f.flat")
+    return f"""
+    SELECT c.c_custkey, f.feature_id, round({hav}, 3) AS dist_m
+    FROM customer c CROSS JOIN (VALUES {feats}) AS f(feature_id, flon, flat)
+    WHERE {hav} < {RADIUS_M!r}
     """
 
 
@@ -3094,6 +3188,13 @@ def q_brand_size_skew(sf_dir: str):
 
 
 ORACLE: dict[str, str] = {
+    "label_centroids": """
+        SELECT label, i AS dim,
+               sum(round(embedding[i]::DOUBLE * 1e6)::BIGINT)::BIGINT AS s_1e6,
+               count(*)::BIGINT AS n
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY label, i
+    """,
     "part_skyline": """
         SELECT p_partkey FROM part a
         WHERE NOT EXISTS (
@@ -3286,6 +3387,7 @@ ORACLE: dict[str, str] = {
     "cell_encode": _cell_sql(),
     "pip_join": _pip_union_sql(),
     "knn_assign": _knn_sql(),
+    "radius_join": _radius_sql(),
     "tile_cover": _tile_cover_sql(),
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -3790,6 +3892,8 @@ QUERIES = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "unigram_logprob": q_unigram_logprob,
     "part_skyline": q_part_skyline,
+    "radius_join": q_radius_join,
+    "label_centroids": q_label_centroids,
     "time_weighted_avg": q_time_weighted_avg,
     "lag_delta": q_lag_delta,
     "late_order_counts": q_late_order_counts,

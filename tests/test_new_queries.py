@@ -1005,3 +1005,29 @@ def test_time_weighted_avg_known_sequence():
     assert got["user_id"].tolist() == [1, 2]
     assert got["wsum"].tolist() == [8000, 0]
     assert got["wdur"].tolist() == [25, 0]
+
+
+def test_radius_join_boundary_strict():
+    """Pairs strictly inside the radius only; distance values match
+    the haversine helper to the mm rounding."""
+    got = Q.q_radius_join(SF).to_pandas()
+    assert (got["dist_m"] < Q.RADIUS_M).all()
+    # recompute one pair end-to-end
+    r = got.iloc[0]
+    lon, lat = geo.derive_lonlat(np.array([r["c_custkey"]], dtype=np.int64))
+    f = dict((fid, (x, y)) for fid, x, y in Q.KNN_FEATURES)[r["feature_id"]]
+    d = geo.haversine_m(lon, lat, np.array([f[0]]), np.array([f[1]]))[0]
+    assert abs(round(d, 3) - r["dist_m"]) < 1e-9
+
+
+def test_label_centroids_exact_sums():
+    emb = pd.DataFrame({
+        "label": np.array([1, 1, 2], dtype=np.int32),
+        "embedding": [np.array([0.5, -0.25], np.float32),
+                      np.array([1.5, 0.75], np.float32),
+                      np.array([3.0, 0.0], np.float32)],
+    })
+    got = (Q.q_label_centroids(_scratch_sf(embeddings=emb)).to_pandas()
+           .sort_values(["label", "dim"]).reset_index(drop=True))
+    assert got["s_1e6"].tolist() == [2_000_000, 500_000, 3_000_000, 0]
+    assert got["n"].tolist() == [2, 2, 1, 1]
