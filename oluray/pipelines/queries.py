@@ -805,6 +805,37 @@ def q_radius_join(sf_dir: str):
     return pts.map_batches(within, batch_format="pyarrow")
 
 
+SELF_RADIUS_M = 150_000.0  # 150 km self-join radius
+
+
+def q_distance_pairs(sf_dir: str):
+    """LARGE-LARGE distance self-join: every customer-point pair
+    within 150 km of each other (`spatial.distance_self_join`) — the
+    shape `radius_join` cannot take when the lookup side outgrows a
+    broadcast. Grid blocking at an auto-derived resolution (3x3
+    neighborhood provably complete for the radius), one-sided ghost
+    replication into smaller-id neighbor cells so each pair forms
+    exactly once, per-cell C-level merge + vectorized haversine.
+    Nothing is broadcast; the exchange carries <= 5 tiny rows per
+    point regardless of corpus size."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    pts = _with_points(cust, "c_custkey")
+    return spatial.distance_self_join(
+        pts, "c_custkey", SELF_RADIUS_M, num_partitions=32
+    )
+
+
+def _distance_pairs_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("c_custkey")
+    hav = geo.haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+    WITH p AS (SELECT c_custkey AS k, {lon} AS lon, {lat} AS lat FROM customer)
+    SELECT a.k AS ka, b.k AS kb, round({hav} * 1000.0)::BIGINT AS dist_mm
+    FROM p a JOIN p b ON a.k < b.k
+    WHERE {hav} < {SELF_RADIUS_M!r}
+    """
+
+
 def q_label_centroids(sf_dir: str):
     """Per-class embedding centroid (the prototype/mean-vector
     primitive of few-shot and SemDeDup-style pipelines), exact: each
@@ -3388,6 +3419,7 @@ ORACLE: dict[str, str] = {
     "pip_join": _pip_union_sql(),
     "knn_assign": _knn_sql(),
     "radius_join": _radius_sql(),
+    "distance_pairs": _distance_pairs_sql(),
     "tile_cover": _tile_cover_sql(),
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -3893,6 +3925,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "part_skyline": q_part_skyline,
     "radius_join": q_radius_join,
+    "distance_pairs": q_distance_pairs,
     "label_centroids": q_label_centroids,
     "time_weighted_avg": q_time_weighted_avg,
     "lag_delta": q_lag_delta,

@@ -912,3 +912,147 @@ def simplify_polys(
         return t.set_column(idx, ring_col, ring)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# large-large distance self-join (all point pairs within R meters)
+# ---------------------------------------------------------------------------
+
+
+def _self_join_res(radius_m: float, max_abs_lat: float) -> int:
+    """Finest grid resolution at which any two points within
+    `radius_m` of each other (at |lat| <= max_abs_lat) sit in cells
+    within Chebyshev distance 1 — i.e. cell spans dominate the
+    radius's lat/lon reach, so the 3x3 neighborhood is a complete
+    candidate set."""
+    # lat reach in degrees: R along a meridian
+    dlat = radius_m * 180.0 / (np.pi * geo.EARTH_RADIUS_M)
+    # lon reach at the worst (highest) latitude, from the inverse
+    # haversine with dlat = 0: sin(dlon/2) = sin(R/2Re) / cos(lat)
+    s = np.sin(radius_m / (2.0 * geo.EARTH_RADIUS_M)) / np.cos(
+        np.radians(max_abs_lat)
+    )
+    if s >= 1.0:
+        return 0  # radius reaches around the pole cap: one-cell grid
+    dlon = np.degrees(2.0 * np.arcsin(s))
+    r_lat = int(np.floor(np.log2(180.0 / dlat))) if dlat > 0 else geo.MAX_RES
+    r_lon = int(np.floor(np.log2(360.0 / dlon))) if dlon > 0 else geo.MAX_RES
+    return max(0, min(geo.MAX_RES, r_lat, r_lon))
+
+
+def distance_self_join(
+    points: ray.data.Dataset,
+    id_col: str,
+    radius_m: float,
+    max_abs_lat: float = 85.0,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Every unordered point pair within `radius_m` great-circle
+    meters, both sides LARGE (the broadcast `radius join` shape in
+    `queries.q_radius_join` covers the small-lookup case; this is the
+    self-join where neither side fits anywhere).
+
+    Shape: grid blocking + one-sided ghost replication.
+
+    - res is chosen so the 3x3 cell neighborhood provably contains
+      every partner (`_self_join_res`); points at |lat| > max_abs_lat
+      must not exist in the input (web-mercator-clipped data).
+    - each point is emitted ONCE as a "home" row in its own cell and
+      as a GHOST row into the (<= 8, deduped) adjacent cells whose id
+      is SMALLER than its home cell — so a cross-cell pair forms
+      exactly once, in the smaller cell, and a same-cell pair forms
+      once via the id ordering. No pair-dedup shuffle needed.
+    - per cell partition: one pandas hash-merge (C-level) forms
+      home x (home + ghost) candidates, one vectorized haversine
+      filters to < radius_m. The exchange moves <= 5 copies of
+      (id, lon, lat) per point — never bytes, never texts.
+
+    Returns (ka, kb, dist_mm) with ka < kb; dist_mm is the
+    exact-formula haversine rounded to integer millimeters (the SQL
+    mirror computes the identical double, `geo.haversine_sql`).
+
+    Skew note (100 TB contract): a dense city cell makes one fat
+    merge; the growth path is res+1 on hot cells only (split the
+    cell, keep this same ghost rule inside it) via
+    `sketch.approx_heavy_hitters` over cell ids — same pattern as
+    `skew.auto_salted_group_apply`, not wired here because pair
+    formation must see ALL rows of a cell together.
+    """
+    from oluray.stages import joins
+
+    res = _self_join_res(radius_m, max_abs_lat)
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        home = geo.cell_encode(lon, lat, res)
+        nbr = geo.k_ring(home, 1)  # (n, 9) incl. home
+        src = np.repeat(np.arange(len(ids)), nbr.shape[1])
+        tgt = nbr.ravel()
+        ghost = tgt < np.repeat(home, nbr.shape[1])
+        # pole-clamp duplicates: one (src, tgt) pair max
+        order = np.lexsort((tgt, src))
+        s_o, t_o = src[order], tgt[order]
+        first = np.ones(len(s_o), dtype=bool)
+        first[1:] = (s_o[1:] != s_o[:-1]) | (t_o[1:] != t_o[:-1])
+        keep = first & ghost[order]
+        g_src, g_tgt = s_o[keep], t_o[keep]
+        out_ids = np.concatenate([ids, ids[g_src]])
+        out_lon = np.concatenate([lon, lon[g_src]])
+        out_lat = np.concatenate([lat, lat[g_src]])
+        out_cell = np.concatenate([home, g_tgt])
+        out_ghost = np.concatenate(
+            [np.zeros(len(ids), dtype=bool), np.ones(len(g_src), dtype=bool)]
+        )
+        return pa.table(
+            {
+                "pid": pa.array(out_ids),
+                "lon": pa.array(out_lon),
+                "lat": pa.array(out_lat),
+                "cell": pa.array(out_cell),
+                "ghost": pa.array(out_ghost),
+            }
+        )
+
+    expanded = points.map_batches(expand, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "ka": pd.array([], dtype="int64"),
+                "kb": pd.array([], dtype="int64"),
+                "dist_mm": pd.array([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        left = df[~df["ghost"]]
+        m = left.merge(df, on="cell", suffixes=("_a", "_b"))
+        # home x home once (id order) + home x ghost (cross-cell,
+        # formed only in the smaller cell so exactly once)
+        m = m[
+            (~m["ghost_b"] & (m["pid_a"] < m["pid_b"])) | m["ghost_b"].to_numpy()
+        ]
+        if len(m) == 0:
+            return empty
+        d = geo.haversine_m(
+            m["lon_a"].to_numpy(), m["lat_a"].to_numpy(),
+            m["lon_b"].to_numpy(), m["lat_b"].to_numpy(),
+        )
+        hit = d < radius_m
+        if not hit.any():
+            return empty
+        a = m["pid_a"].to_numpy()[hit]
+        b = m["pid_b"].to_numpy()[hit]
+        return pd.DataFrame(
+            {
+                "ka": np.minimum(a, b),
+                "kb": np.maximum(a, b),
+                "dist_mm": np.round(d[hit] * 1000.0).astype(np.int64),
+            }
+        )
+
+    return joins.partitioned_map(
+        expanded, ["cell"], pairs, num_partitions, pre_repartition=False
+    )

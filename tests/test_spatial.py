@@ -251,3 +251,66 @@ def test_simplify_polys_stage():
     out2 = sp.simplify_polys(ds, eps_deg=1e-12).to_pandas()
     for i, r in enumerate(out2.sort_values("poly_id")["ring"]):
         assert len(r) == len(orig[i])
+
+
+def test_distance_self_join_brute():
+    """distance_self_join == brute-force all-pairs haversine, incl.
+    antimeridian-straddling and near-pole points and a dense cluster
+    (same-cell + cross-cell pairs)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from oluray.functions import geo
+    from oluray.stages import spatial as sp
+
+    rng = np.random.default_rng(7)
+    lon = np.concatenate([
+        rng.uniform(-180, 180, 120),
+        rng.uniform(179.0, 180.0, 15),       # east of the seam
+        rng.uniform(-180.0, -179.0, 15),     # west of the seam
+        13.3 + rng.uniform(-0.5, 0.5, 40),   # dense cluster
+        rng.uniform(-180, 180, 10),
+    ])
+    lat = np.concatenate([
+        rng.uniform(-84.9, 84.9, 120),
+        rng.uniform(-10, 10, 30),
+        52.5 + rng.uniform(-0.5, 0.5, 40),
+        rng.uniform(83.5, 84.9, 10),         # near the clip pole
+    ])
+    ids = np.arange(len(lon), dtype=np.int64)
+    radius = 300_000.0
+    ds = rd.from_arrow(pa.table({"k": pa.array(ids), "lon": pa.array(lon),
+                                 "lat": pa.array(lat)})).repartition(5)
+    got = sp.distance_self_join(ds, "k", radius).to_pandas()
+    # exactly-once emission
+    assert not got.duplicated(["ka", "kb"]).any()
+    assert (got["ka"] < got["kb"]).all()
+    d = geo.haversine_m(lon[:, None], lat[:, None], lon[None, :], lat[None, :])
+    ii, jj = np.nonzero(np.triu(d < radius, k=1))
+    want = set(zip(ii.tolist(), jj.tolist()))
+    assert set(zip(got["ka"].tolist(), got["kb"].tolist())) == want
+    assert len(want) > 50  # the fixture exercises real pair mass
+    mm = {(a, b): m for a, b, m in zip(got["ka"], got["kb"], got["dist_mm"])}
+    for (a, b), m in mm.items():
+        assert m == int(np.round(d[a, b] * 1000.0))
+
+
+def test_distance_self_join_empty_and_res():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from oluray.stages import spatial as sp
+
+    # empty input -> empty typed output
+    ds = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                 "lon": pa.array([], pa.float64()),
+                                 "lat": pa.array([], pa.float64())}))
+    out = sp.distance_self_join(ds, "k", 1000.0).to_pandas()
+    # an empty groupby.map_groups yields zero rows (schema is not
+    # preserved through an empty shuffle — engine-wide convention)
+    assert len(out) == 0
+    # res shrinks as the radius grows; enormous radius -> one cell
+    assert sp._self_join_res(1_000.0, 85.0) > sp._self_join_res(500_000.0, 85.0)
+    assert sp._self_join_res(20_000_000.0, 85.0) == 0
