@@ -1573,6 +1573,367 @@ def q_cell_pyramid(sf_dir: str):
     return out
 
 
+def q_trending_types(sf_dir: str):
+    """Per-window trending items: top-3 event types per tumbling hour
+    by count (ties to the lexicographically smaller type) — the
+    'what's hot right now' leaderboard over a stream log. Two
+    combiner-bounded stages: hourly (hour, type) counts collapse
+    per block before their shuffle, then `joins.group_topk` keeps
+    <= 3 rows per (block, hour) before ITS shuffle — the exchange
+    never carries event rows."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["hour", "event_type"], as_index=False).size()
+        g["n"] = g.pop("size").astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def csum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["hour", "event_type"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = joins.grouped_agg(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["hour", "event_type"], csum, num_partitions=32,
+        pre_repartition=False,
+    )
+    top = joins.group_topk(
+        counts, ["hour"], [("n", False), ("event_type", True)], k=3,
+        num_partitions=16,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["hour"] = df["hour"].astype("datetime64[us]")
+        return df
+
+    return top.map_batches(finish, batch_format="pandas")
+
+
+def _trending_types_sql() -> str:
+    return """
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT hour, event_type, n,
+             row_number() OVER (PARTITION BY hour
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c)
+    SELECT hour, event_type, n FROM r WHERE rn <= 3
+    """
+
+
+def q_min_price_supplier(sf_dir: str):
+    """TPC-H Q2-shaped correlated min over a multi-join: for every
+    part, the cheapest EUROPE-region supply offer (unit price from
+    lineitem) with deterministic supplier tie-break. Shape: the dim
+    chain region ⋈ nation ⋈ supplier is assembled aggregate-side and
+    attached to the offer stream via the size-probed `auto_join`
+    (broadcast here, shuffle when a dim outgrows the bounds); the
+    correlated `min` is an ALGEBRAIC argmin — a per-block combiner
+    collapses each block to one row per part BEFORE the shuffle, so
+    the exchange is bounded by distinct parts per block, never offer
+    rows."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+
+    def price(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_partkey": t["l_partkey"],
+                "s_suppkey": t["l_suppkey"],
+                "price_c": pa.array(_round_half_away(ext / qty * 100.0)),
+            }
+        )
+
+    offers = li.map_batches(price, batch_format="pyarrow")
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    reg = reg.map_batches(
+        lambda t: t.filter(pc.equal(t["r_name"], "EUROPE")),
+        batch_format="pyarrow",
+    )
+    eur = joins.auto_join(nat, reg, on="n_regionkey", right_on="r_regionkey")
+    eur_sup = joins.auto_join(sup, eur, on="s_nationkey",
+                              right_on="n_nationkey").select_columns(
+        ["s_suppkey", "s_name", "n_name"])
+
+    tagged = joins.auto_join(offers, eur_sup, on="s_suppkey")
+
+    def argmin(df: pd.DataFrame) -> pd.DataFrame:
+        # min price per part, ties to the smallest supplier key: one
+        # vectorized sort + first-row pick (C level)
+        return df.sort_values(
+            ["p_partkey", "price_c", "s_suppkey"], kind="mergesort"
+        ).drop_duplicates("p_partkey")
+
+    out = joins.grouped_agg(tagged, ["p_partkey"], argmin,
+                            num_partitions=32, combine_fn=argmin)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["min_price_cents" if c == "price_c" else c
+             for c in t.column_names]
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _min_price_supplier_sql() -> str:
+    return """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             round(l_extendedprice / l_quantity * 100.0)::BIGINT AS price_c
+      FROM lineitem),
+    eur AS (
+      SELECT s_suppkey, s_name, n_name FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    w AS (
+      SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name,
+             n_name, price_c,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY price_c, l_suppkey) AS rn
+      FROM offers JOIN eur ON l_suppkey = s_suppkey)
+    SELECT p_partkey, s_suppkey, s_name, n_name,
+           price_c AS min_price_cents
+    FROM w WHERE rn = 1
+    """
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Collocation (phrase) mining: pointwise mutual information of
+    every adjacent word pair occurring >= 2 times — the phrase-table
+    builder of tokenizer/LM data pipelines. Fully distributed: one
+    Arrow-vectorized token explode per block feeds BOTH count streams
+    (doc = row, so bigram pairing is map-side adjacency, no position
+    shuffle); unigram and bigram counts each take one combiner +
+    hash-partition sum; the bigram table is then hash-joined against
+    the vocab on each side (a web corpus's vocab outgrows any
+    broadcast). Only the two scalar totals touch the driver. PMI is
+    computed once per surviving bigram row as a single IEEE double
+    expression mirrored exactly by the SQL oracle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens(t: pa.Table):
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        return flat[keep], parent[keep]
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        flat, _ = tokens(t)
+        tok, c = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(tok),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def big_partial(t: pa.Table) -> pa.Table:
+        flat, parent = tokens(t)
+        if len(flat) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64())})
+        adj = parent[1:] == parent[:-1]
+        df = pd.DataFrame({"w1": flat[:-1][adj], "w2": flat[1:][adj]})
+        g = df.groupby(["w1", "w2"], as_index=False).size()
+        g["n_ab"] = g.pop("size").astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def usum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False)["c"].sum()
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    def bsum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["w1", "w2"], as_index=False)["n_ab"].sum()
+        g["n_ab"] = g["n_ab"].astype("int64")
+        return g
+
+    uni = joins.grouped_agg(
+        docs.map_batches(uni_partial, batch_format="pyarrow",
+                         batch_size=8192),
+        ["tok"], usum, num_partitions=32, pre_repartition=False,
+    ).materialize()  # aggregate-sized; feeds the total AND two joins
+    big = joins.grouped_agg(
+        docs.map_batches(big_partial, batch_format="pyarrow",
+                         batch_size=8192),
+        ["w1", "w2"], bsum, num_partitions=32, pre_repartition=False,
+    ).materialize()
+    t_total = uni.sum("c")
+    b_total = big.sum("n_ab")  # over ALL bigrams, pre-threshold
+
+    surviving = big.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_ab"], 2)),
+        batch_format="pyarrow",
+    )
+    j = joins.hash_join(surviving, uni, on="w1", right_on="tok",
+                        num_partitions=16)          # + c   (left word)
+    j = joins.hash_join(j, uni, on="w2", right_on="tok",
+                        num_partitions=16)          # + c_r (right word)
+
+    def pmi(t: pa.Table) -> pa.Table:
+        n_ab = t["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = t["c_r"].to_numpy(zero_copy_only=False).astype(np.float64)
+        val = np.log((n_ab * float(t_total) * float(t_total))
+                     / (float(b_total) * ca * cb)) * 1e6
+        return pa.table(
+            {
+                "w1": t["w1"], "w2": t["w2"], "n_ab": t["n_ab"],
+                "pmi_u6": pa.array(_round_half_away(val)),
+            }
+        )
+
+    return j.map_batches(pmi, batch_format="pyarrow")
+
+
+def _bigram_pmi_sql() -> str:
+    return r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+      FROM documents),
+    raw AS (
+      SELECT doc_id, i, ws[i] AS tok
+      FROM d, unnest(generate_series(1, len(ws))) AS t(i)
+      WHERE ws[i] <> ''),
+    toks AS (
+      SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS pos
+      FROM raw),
+    uni AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c)::BIGINT AS t FROM uni),
+    allbig AS (
+      SELECT a.tok AS w1, b.tok AS w2, count(*)::BIGINT AS n_ab
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.tok, b.tok),
+    btot AS (SELECT sum(n_ab)::BIGINT AS b FROM allbig)
+    SELECT w1, w2, n_ab,
+           round(ln((n_ab::DOUBLE * t::DOUBLE * t::DOUBLE)
+                    / (b::DOUBLE * ua.c::DOUBLE * ub.c::DOUBLE))
+                 * 1e6)::BIGINT AS pmi_u6
+    FROM allbig
+    JOIN uni ua ON ua.tok = w1
+    JOIN uni ub ON ub.tok = w2
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE n_ab >= 2
+    """
+
+
+FOCAL_RES = 5  # focal-statistic grid (32 x 32 cells)
+
+
+def q_focal_mean(sf_dir: str):
+    """Raster focal statistic (the GIS 3x3 moving-window mean) over
+    the cell grid: per-cell point counts, then for every occupied
+    cell the sum / count / integer mean of the counts of its occupied
+    3x3 neighborhood (x wraps at the antimeridian, y does not wrap at
+    the poles). The raster side of the raster<->vector contract:
+    works on the AGGREGATED cell table (bounded by distinct cells,
+    never corpus rows) — counts pass once through a combiner shuffle,
+    then each cell row is replicated to its <= 9 deduped neighbor
+    targets (tiny (cell, cnt) rows), summed per target, and
+    inner-joined back to the occupied-cell table."""
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    base = spatial.add_cell_column(
+        _with_points(orders, "o_orderkey"), FOCAL_RES
+    ).select_columns(["cell"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cells, counts = np.unique(
+            t["cell"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"cell": pa.array(cells),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    def ssum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("cell", as_index=False)["n"].sum()
+
+    # occupied-cell count table — aggregate-sized; pinned because both
+    # the replication branch and the final join consume it
+    counts = joins.grouped_agg(
+        base.map_batches(partial, batch_format="pyarrow"),
+        ["cell"], ssum, num_partitions=32, pre_repartition=False,
+    ).materialize()
+
+    def scatter(t: pa.Table) -> pa.Table:
+        """Each occupied cell donates its count to its 3x3 targets
+        (dedup of pole-clamp collisions so a cell contributes to a
+        neighbor at most once — mirrors the SQL adjacency join)."""
+        if t.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        src_cell = t["cell"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        nbr = geo.k_ring(src_cell, 1)
+        src = np.repeat(np.arange(len(src_cell)), nbr.shape[1])
+        tgt = nbr.ravel()
+        order = np.lexsort((tgt, src))
+        s_o, t_o = src[order], tgt[order]
+        first = np.ones(len(s_o), dtype=bool)
+        first[1:] = (s_o[1:] != s_o[:-1]) | (t_o[1:] != t_o[:-1])
+        return pa.table({"cell": pa.array(t_o[first]),
+                         "n": pa.array(n[s_o[first]])})
+
+    def fsum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False).agg(
+            focal_sum=("n", "sum"), focal_n=("n", "size"))
+        g["focal_n"] = g["focal_n"].astype("int64")
+        return g
+
+    focal = joins.grouped_agg(
+        counts.map_batches(scatter, batch_format="pyarrow"),
+        ["cell"], fsum, num_partitions=32, pre_repartition=False,
+    )
+    # inner join drops targets that are not occupied cells (a donated
+    # count can land on an empty neighbor) — focal stats are reported
+    # for occupied cells only, matching the SQL self-join
+    out = joins.hash_join(counts, focal, "cell", num_partitions=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        fs = t["focal_sum"].to_numpy(zero_copy_only=False)
+        fn = t["focal_n"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "focal_mean_e6", pa.array(fs * 1_000_000 // fn))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _focal_mean_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("o_orderkey")
+    n = 1 << FOCAL_RES
+    x = (f"LEAST(GREATEST(floor((({lon} + 180.0) / 360.0) * {float(n)!r})"
+         f"::BIGINT, 0), {n - 1})")
+    y = (f"LEAST(GREATEST(floor((({lat} + 90.0) / 180.0) * {float(n)!r})"
+         f"::BIGINT, 0), {n - 1})")
+    return f"""
+    WITH c AS (
+      SELECT x, y, ({FOCAL_RES} * {geo.RES_SHIFT} + y * {geo.Y_SHIFT} + x)
+               AS cell,
+             count(*)::BIGINT AS n
+      FROM (SELECT {x} AS x, {y} AS y FROM orders) GROUP BY x, y)
+    SELECT a.cell, a.n,
+           sum(b.n)::BIGINT AS focal_sum,
+           count(*)::BIGINT AS focal_n,
+           (sum(b.n)::BIGINT * 1000000) // count(*)::BIGINT AS focal_mean_e6
+    FROM c a JOIN c b
+      ON (((a.x - b.x) % {n}) + {n}) % {n} IN (0, 1, {n - 1})
+     AND abs(a.y - b.y) <= 1
+    GROUP BY a.cell, a.n
+    """
+
+
 def q_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user: one row per
     session with start ts + event count. Ordered-log pattern:
@@ -3420,6 +3781,10 @@ ORACLE: dict[str, str] = {
     "knn_assign": _knn_sql(),
     "radius_join": _radius_sql(),
     "distance_pairs": _distance_pairs_sql(),
+    "focal_mean": _focal_mean_sql(),
+    "bigram_pmi": _bigram_pmi_sql(),
+    "min_price_supplier": _min_price_supplier_sql(),
+    "trending_types": _trending_types_sql(),
     "tile_cover": _tile_cover_sql(),
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -3926,6 +4291,10 @@ QUERIES = {
     "part_skyline": q_part_skyline,
     "radius_join": q_radius_join,
     "distance_pairs": q_distance_pairs,
+    "focal_mean": q_focal_mean,
+    "bigram_pmi": q_bigram_pmi,
+    "min_price_supplier": q_min_price_supplier,
+    "trending_types": q_trending_types,
     "label_centroids": q_label_centroids,
     "time_weighted_avg": q_time_weighted_avg,
     "lag_delta": q_lag_delta,

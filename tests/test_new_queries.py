@@ -1031,3 +1031,106 @@ def test_label_centroids_exact_sums():
            .sort_values(["label", "dim"]).reset_index(drop=True))
     assert got["s_1e6"].tolist() == [2_000_000, 500_000, 3_000_000, 0]
     assert got["n"].tolist() == [2, 2, 1, 1]
+
+
+def _scratch_dir(**tables):
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    for name, df in tables.items():
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def test_focal_mean_antimeridian_wrap():
+    """Focal neighborhoods wrap in x: occupied cells on both sides of
+    the antimeridian see each other. Brute-force 3x3 oracle."""
+    got = Q.q_focal_mean(SF).to_pandas()
+    # brute: decode, all-pairs adjacency with x wrap
+    cell = got["cell"].to_numpy()
+    n = got["n"].to_numpy()
+    _, x, y = geo.cell_decode(cell)
+    grid = 1 << Q.FOCAL_RES
+    dx = np.abs(x[:, None] - x[None, :])
+    dx = np.minimum(dx, grid - dx)  # wrap
+    adj = (dx <= 1) & (np.abs(y[:, None] - y[None, :]) <= 1)
+    fsum = (adj * n[None, :]).sum(axis=1)
+    fn = adj.sum(axis=1)
+    assert np.array_equal(got["focal_sum"].to_numpy(), fsum)
+    assert np.array_equal(got["focal_n"].to_numpy(), fn)
+    assert np.array_equal(got["focal_mean_e6"].to_numpy(),
+                          fsum * 1_000_000 // fn)
+    # seam coverage: the sf0.001 orders spread guarantees x=0 and
+    # x=grid-1 are both occupied
+    assert 0 in x and (grid - 1) in x
+
+
+def test_bigram_pmi_crafted_docs():
+    """PMI on a corpus tiny enough to hand-verify: 'a b' occurs 3x,
+    unigrams a=4, b=4, total=10 tokens, 7 bigrams (4 + 2 + 1)."""
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a b c a b", "a b x", "b a"],
+    })
+    d = _scratch_dir(documents=docs)
+    got = Q.q_bigram_pmi(d).to_pandas().set_index(["w1", "w2"])
+    # bigrams: (a,b)x3 (b,c) (c,a) (b,x) (b,a) -> only (a,b) survives n>=2
+    assert set(got.index) == {("a", "b")}
+    row = got.loc[("a", "b")]
+    T, B, ca, cb, nab = 10.0, 7.0, 4.0, 4.0, 3.0
+    want = round(np.log(nab * T * T / (B * ca * cb)) * 1e6)
+    assert int(row["n_ab"]) == 3
+    assert abs(int(row["pmi_u6"]) - want) <= 1
+
+
+def test_min_price_supplier_tie_breaks():
+    """Equal min prices pick the smaller supplier key; non-EUROPE
+    suppliers never win even when cheaper."""
+    lineitem = pd.DataFrame({
+        "l_partkey": np.array([1, 1, 1, 2], dtype=np.int64),
+        "l_suppkey": np.array([20, 10, 30, 10], dtype=np.int64),
+        "l_extendedprice": [100.0, 100.0, 5.0, 70.0],
+        "l_quantity": [2.0, 2.0, 1.0, 7.0],
+    })
+    supplier = pd.DataFrame({
+        "s_suppkey": np.array([10, 20, 30], dtype=np.int64),
+        "s_name": ["s10", "s20", "s30"],
+        "s_nationkey": np.array([0, 0, 1], dtype=np.int64),
+    })
+    nation = pd.DataFrame({
+        "n_nationkey": np.array([0, 1], dtype=np.int64),
+        "n_name": ["GERMANY", "BRAZIL"],
+        "n_regionkey": np.array([0, 1], dtype=np.int64),
+    })
+    region = pd.DataFrame({
+        "r_regionkey": np.array([0, 1], dtype=np.int64),
+        "r_name": ["EUROPE", "AMERICA"],
+    })
+    d = _scratch_dir(lineitem=lineitem, supplier=supplier,
+                     nation=nation, region=region)
+    got = (Q.q_min_price_supplier(d).to_pandas()
+           .sort_values("p_partkey").reset_index(drop=True))
+    # part 1: suppliers 10 and 20 tie at 5000 cents (supplier 30 is
+    # cheaper but non-EUROPE) -> supplier 10 wins the tie
+    assert got.loc[0, "p_partkey"] == 1 and got.loc[0, "s_suppkey"] == 10
+    assert got.loc[0, "min_price_cents"] == 5000
+    assert got.loc[1, "p_partkey"] == 2 and got.loc[1, "s_suppkey"] == 10
+    assert len(got) == 2
+
+
+def test_trending_types_topk_per_hour():
+    got = Q.q_trending_types(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type"])
+    ev["hour"] = ev["ts"].dt.floor("h")
+    c = ev.groupby(["hour", "event_type"], as_index=False).size()
+    c = c.sort_values(["hour", "size", "event_type"],
+                      ascending=[True, False, True], kind="mergesort")
+    want = c.groupby("hour").head(3)
+    pairs = set(zip(want["hour"], want["event_type"], want["size"]))
+    assert set(zip(got["hour"], got["event_type"], got["n"])) == pairs
+    assert (got.groupby("hour").size() <= 3).all()
