@@ -530,3 +530,63 @@ def simplify_ring(lon: np.ndarray, lat: np.ndarray,
             stack.append((a, m))
             stack.append((m, b))
     return keep
+
+
+# ---------------------------------------------------------------------------
+# segment x polygon-boundary crossing (vector trajectory vs area)
+# ---------------------------------------------------------------------------
+
+
+def segments_cross_ring(
+    x1: np.ndarray, y1: np.ndarray, x2: np.ndarray, y2: np.ndarray,
+    ring_lon, ring_lat,
+) -> np.ndarray:
+    """True where segment (x1,y1)-(x2,y2) PROPERLY crosses any edge of
+    the ring (closing edge implied; strict orientation-sign test, so
+    vertex-touch / collinear-overlap do not count — measure-zero on
+    float data). Loops over edges (small), vectorizes over segments
+    (large); mirrors :func:`seg_cross_sql_expr` op-for-op so SQL
+    oracles agree bit-for-bit."""
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    rx = np.asarray(ring_lon, dtype=np.float64)
+    ry = np.asarray(ring_lat, dtype=np.float64)
+    if rx[0] == rx[-1] and ry[0] == ry[-1] and len(rx) > 1:
+        rx, ry = rx[:-1], ry[:-1]
+    out = np.zeros(x1.shape, dtype=bool)
+    nv = len(rx)
+    for i in range(nv):
+        ax, ay = rx[i], ry[i]
+        bx, by = rx[(i + 1) % nv], ry[(i + 1) % nv]
+        d1 = (bx - ax) * (y1 - ay) - (by - ay) * (x1 - ax)
+        d2 = (bx - ax) * (y2 - ay) - (by - ay) * (x2 - ax)
+        d3 = (x2 - x1) * (ay - y1) - (y2 - y1) * (ax - x1)
+        d4 = (x2 - x1) * (by - y1) - (y2 - y1) * (bx - x1)
+        out |= ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    return out
+
+
+def seg_cross_sql_expr(
+    ring_lon, ring_lat,
+    x1: str, y1: str, x2: str, y2: str,
+) -> str:
+    """SQL boolean expr computing exactly :func:`segments_cross_ring`
+    (same literals, same op order => identical IEEE doubles)."""
+    rx, ry = list(ring_lon), list(ring_lat)
+    if rx[0] == rx[-1] and ry[0] == ry[-1] and len(rx) > 1:
+        rx, ry = rx[:-1], ry[:-1]
+    terms = []
+    nv = len(rx)
+    for i in range(nv):
+        ax, ay = rx[i], ry[i]
+        bx, by = rx[(i + 1) % nv], ry[(i + 1) % nv]
+        d1 = f"(({bx!r} - {ax!r}) * (({y1}) - {ay!r}) - ({by!r} - {ay!r}) * (({x1}) - {ax!r}))"
+        d2 = f"(({bx!r} - {ax!r}) * (({y2}) - {ay!r}) - ({by!r} - {ay!r}) * (({x2}) - {ax!r}))"
+        d3 = f"((({x2}) - ({x1})) * ({ay!r} - ({y1})) - (({y2}) - ({y1})) * ({ax!r} - ({x1})))"
+        d4 = f"((({x2}) - ({x1})) * ({by!r} - ({y1})) - (({y2}) - ({y1})) * ({bx!r} - ({x1})))"
+        terms.append(
+            f"((({d1} > 0) <> ({d2} > 0)) AND (({d3} > 0) <> ({d4} > 0)))"
+        )
+    return "(" + " OR ".join(terms) + ")"

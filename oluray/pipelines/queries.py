@@ -1573,6 +1573,113 @@ def q_cell_pyramid(sf_dir: str):
     return out
 
 
+def q_track_poly_cross(sf_dir: str):
+    """Trajectory x area join: which per-user track SEGMENTS touch
+    which changeset polygons (cross the boundary or have an endpoint
+    inside) — the moving-object counterpart of `pip_join`. Segments
+    are built per user-hash partition (one sort + one shift, the
+    `track_length` shape); the tiny polygon window is closed over
+    every batch (the reference holds its whole merged diff in one
+    heap, `src/osm/OsmChangeHandler.cpp:56-72`) with a vectorized
+    bbox prefilter before the exact edge-orientation tests
+    (`geo.segments_cross_ring`) and endpoint ray-casts. At scale the
+    polygon side rides `ray.put` and a cell-cover prefilter
+    (`spatial.pip_join`'s index) — segments stream, bytes never
+    move."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def segs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.array([], dtype="int64"),
+            "seg_id": pd.array([], dtype="int64"),
+            "x1": pd.array([], dtype="float64"),
+            "y1": pd.array([], dtype="float64"),
+            "x2": pd.array([], dtype="float64"),
+            "y2": pd.array([], dtype="float64"),
+        })
+        if len(df) < 2:
+            return empty
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        lon, lat = geo.derive_lonlat(df["event_id"].to_numpy())
+        same = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+        if not same.any():
+            return empty
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy()[:-1][same],
+            "seg_id": df["event_id"].to_numpy()[:-1][same],
+            "x1": lon[:-1][same], "y1": lat[:-1][same],
+            "x2": lon[1:][same], "y2": lat[1:][same],
+        })
+
+    seg_ds = joins.partitioned_map(ev, ["user_id"], segs, 32,
+                                   pre_repartition=False)
+    polys = [(pid, np.asarray(rx), np.asarray(ry),
+              geo.polygon_bbox(np.asarray(rx), np.asarray(ry)))
+             for pid, (rx, ry) in PIP_POLYS.items()]
+
+    def hits(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "seg_id": pa.array([], pa.int64()),
+                             "poly_id": pa.array([], pa.int64())})
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        sid = t["seg_id"].to_numpy(zero_copy_only=False)
+        x1 = t["x1"].to_numpy(zero_copy_only=False)
+        y1 = t["y1"].to_numpy(zero_copy_only=False)
+        x2 = t["x2"].to_numpy(zero_copy_only=False)
+        y2 = t["y2"].to_numpy(zero_copy_only=False)
+        out_u, out_s, out_p = [], [], []
+        for pid, rx, ry, (bx0, by0, bx1, by1) in polys:
+            # bbox prefilter: segment bbox must overlap poly bbox
+            cand = ~((np.maximum(x1, x2) < bx0) | (np.minimum(x1, x2) > bx1)
+                     | (np.maximum(y1, y2) < by0) | (np.minimum(y1, y2) > by1))
+            if not cand.any():
+                continue
+            ci = np.nonzero(cand)[0]
+            hit = geo.segments_cross_ring(x1[ci], y1[ci], x2[ci], y2[ci],
+                                          rx, ry)
+            hit |= geo.point_in_polygon(x1[ci], y1[ci], rx, ry)
+            hit |= geo.point_in_polygon(x2[ci], y2[ci], rx, ry)
+            sel = ci[hit]
+            out_u.append(uid[sel])
+            out_s.append(sid[sel])
+            out_p.append(np.full(len(sel), pid, dtype=np.int64))
+        if not out_u:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "seg_id": pa.array([], pa.int64()),
+                             "poly_id": pa.array([], pa.int64())})
+        return pa.table({"user_id": pa.array(np.concatenate(out_u)),
+                         "seg_id": pa.array(np.concatenate(out_s)),
+                         "poly_id": pa.array(np.concatenate(out_p))})
+
+    return seg_ds.map_batches(hits, batch_format="pyarrow")
+
+
+def _track_poly_cross_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("event_id")
+    parts = []
+    for pid, (rx, ry) in PIP_POLYS.items():
+        cross = geo.seg_cross_sql_expr(rx, ry, "x1", "y1", "x2", "y2")
+        pip1 = geo.pip_sql_expr(rx, ry, "x1", "y1")
+        pip2 = geo.pip_sql_expr(rx, ry, "x2", "y2")
+        parts.append(
+            f"SELECT user_id, seg_id, {pid} AS poly_id FROM s"
+            f" WHERE {cross} OR {pip1} OR {pip2}"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH s AS (
+      SELECT user_id, event_id AS seg_id,
+             {lon} AS x1, {lat} AS y1,
+             lead({lon}) OVER w AS x2, lead({lat}) OVER w AS y2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      QUALIFY x2 IS NOT NULL)
+    {union}
+    """
+
+
 def q_trending_types(sf_dir: str):
     """Per-window trending items: top-3 event types per tumbling hour
     by count (ties to the lexicographically smaller type) — the
@@ -3785,6 +3892,7 @@ ORACLE: dict[str, str] = {
     "bigram_pmi": _bigram_pmi_sql(),
     "min_price_supplier": _min_price_supplier_sql(),
     "trending_types": _trending_types_sql(),
+    "track_poly_cross": _track_poly_cross_sql(),
     "tile_cover": _tile_cover_sql(),
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -4295,6 +4403,7 @@ QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "min_price_supplier": q_min_price_supplier,
     "trending_types": q_trending_types,
+    "track_poly_cross": q_track_poly_cross,
     "label_centroids": q_label_centroids,
     "time_weighted_avg": q_time_weighted_avg,
     "lag_delta": q_lag_delta,

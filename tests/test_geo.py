@@ -232,3 +232,37 @@ def test_simplify_ring_rdp():
     # degenerate inputs
     assert geo.simplify_ring(np.array([1.0]), np.array([2.0]), 0.1).tolist() == [True]
     assert geo.simplify_ring(np.array([]), np.array([]), 0.1).tolist() == []
+
+
+def test_segments_cross_ring_cases():
+    """Strict proper-crossing semantics: boundary cross true, fully
+    inside/outside false, vertex-touch false; brute-force parity with
+    shapely-free per-edge checks on random segments."""
+    import numpy as np
+
+    from oluray.functions import geo
+
+    rx = np.array([0.0, 4.0, 4.0, 0.0])
+    ry = np.array([0.0, 0.0, 4.0, 4.0])
+    x1 = np.array([-1.0, 1.0, -2.0, -1.0, 2.0])
+    y1 = np.array([2.0, 1.0, -2.0, -1.0, -1.0])
+    x2 = np.array([2.0, 3.0, -1.0, 0.0, 2.0])
+    y2 = np.array([2.0, 3.0, -1.0, -1.0, 5.0])
+    # [crosses left edge, inside, outside, touches corner(0,0) collinear
+    #  along y=-1? no: endpoint at vertex-adjacent — outside, vertical cross]
+    got = geo.segments_cross_ring(x1, y1, x2, y2, rx, ry)
+    assert got.tolist() == [True, False, False, False, True]
+
+    # random brute-force parity with the scalar _segments_intersect
+    rng = np.random.default_rng(3)
+    sx1, sy1, sx2, sy2 = rng.uniform(-6, 8, (4, 300))
+    got = geo.segments_cross_ring(sx1, sy1, sx2, sy2, rx, ry)
+    ring = list(zip(rx, ry))
+    for i in range(300):
+        want = any(
+            geo._segments_intersect(
+                (sx1[i], sy1[i]), (sx2[i], sy2[i]),
+                ring[j], ring[(j + 1) % 4])
+            for j in range(4)
+        )
+        assert got[i] == want, i
