@@ -1573,6 +1573,166 @@ def q_cell_pyramid(sf_dir: str):
     return out
 
 
+def q_embed_outliers(sf_dir: str):
+    """Embedding-space outlier detection (the label-noise filter of
+    curated training sets): top-5 vectors per label FARTHEST from
+    their own label centroid. Exactness trick: with vectors quantized
+    to 1e-3 ints q and per-(label,dim) integer sums (s, n), the
+    scaled squared distance  d2 = Σ_dim (q·n − s)²  is an exact int64
+    (no float centroid, no drift; bound documented below). Stages:
+    one combiner-bounded (label,dim) sum shuffle; the centroid table
+    (labels × dims int rows — an AGGREGATE, broadcast via one object)
+    rides into a stateless per-batch matrix pass; `joins.group_topk`
+    finishes. Overflow bound: |q·n − s| ≤ 2·max|q|·n ≈ 2e3·n, safe in
+    int64 up to n ≈ 1.5e6 rows per label per dim=64 — beyond that,
+    requantize or split labels."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int32()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        M = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        q = _round_half_away(M.astype(np.float64) * 1000.0)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(lab)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, codes, q)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        k, dims = sums.shape
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dims).astype(lab.dtype)),
+            "dim": pa.array(np.tile(np.arange(1, dims + 1), k)),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, dims)),
+        })
+
+    def csum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["label", "dim"], as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"))
+        g["s"] = g["s"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    cent = joins.grouped_agg(
+        emb.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["label", "dim"], csum, num_partitions=16, pre_repartition=False,
+    ).to_pandas()  # aggregate-sized: labels x dims int rows
+    cent = cent.sort_values(["label", "dim"])
+    labels = cent["label"].unique()
+    lab_pos = {int(l): i for i, l in enumerate(labels)}
+    dims = int(cent["dim"].max())
+    S = cent["s"].to_numpy().reshape(len(labels), dims)
+    N = cent.groupby("label", sort=True)["n"].first().to_numpy()
+    S_ref = ray.put((lab_pos, S, N))  # ships once, read per task
+
+    def d2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int32()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        lp, S, N = ray.get(S_ref)
+        M = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        q = _round_half_away(M.astype(np.float64) * 1000.0)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        pos = np.array([lp[int(x)] for x in lab], dtype=np.int64)
+        diff = q * N[pos][:, None] - S[pos]
+        return pa.table({
+            "label": t["label"],
+            "vec_id": t["vec_id"],
+            "d2": pa.array(np.einsum("ij,ij->i", diff, diff)),
+        })
+
+    scored = emb.map_batches(d2, batch_format="pyarrow", batch_size=4096)
+    return joins.group_topk(scored, ["label"],
+                            [("d2", False), ("vec_id", True)], k=5,
+                            num_partitions=8)
+
+
+def _embed_outliers_sql() -> str:
+    return """
+    WITH q AS (
+      SELECT vec_id, label, i AS dim,
+             round(embedding[i]::DOUBLE * 1000.0)::BIGINT AS qv
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+    s AS (SELECT label, dim, sum(qv)::BIGINT AS s, count(*)::BIGINT AS n
+          FROM q GROUP BY label, dim),
+    d AS (SELECT vec_id, q.label AS label,
+                 sum((qv * n - s) * (qv * n - s))::BIGINT AS d2
+          FROM q JOIN s ON q.label = s.label AND q.dim = s.dim
+          GROUP BY vec_id, q.label),
+    r AS (SELECT label, vec_id, d2,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY d2 DESC, vec_id) AS rn
+          FROM d)
+    SELECT label, vec_id, d2 FROM r WHERE rn <= 5
+    """
+
+
+def q_late_events(sf_dir: str):
+    """Out-of-order (late) event detection — the watermarking
+    primitive of stream pipelines: an event is LATE when its event
+    time precedes the running max event time of earlier arrivals
+    of the same user; lateness as an exact microsecond integer. The
+    synthetic log is time-ordered, so ARRIVAL order is simulated by a
+    deterministic Knuth-hash permutation of event_id (identical
+    HUGEINT arithmetic in the SQL oracle) — the operator itself is
+    order-agnostic. One user-hash partition, per-partition sort +
+    grouped cummax + shift — all C level, no per-user loop."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.array([], dtype="int64"),
+            "user_id": pd.array([], dtype="int64"),
+            "late_us": pd.array([], dtype="int64"),
+        })
+        if len(df) == 0:
+            return empty
+        df = df.copy(deep=False)
+        df["arr"] = (
+            df["event_id"].to_numpy().astype(np.uint64)
+            * np.uint64(2654435761)
+        ) % np.uint64(1 << 32)
+        df = df.sort_values(["user_id", "arr", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        wm = df.groupby("user_id", sort=False)["ts"].transform(
+            lambda s: s.cummax().shift())
+        m = wm.notna() & (wm > df["ts"])
+        if not m.any():
+            return empty
+        lat = (wm[m] - df.loc[m, "ts"]).to_numpy().astype(
+            "timedelta64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "event_id": df.loc[m, "event_id"].to_numpy(),
+            "user_id": df.loc[m, "user_id"].to_numpy(),
+            "late_us": lat,
+        })
+
+    return joins.partitioned_map(ev, ["user_id"], late, 32,
+                                 pre_repartition=False)
+
+
+def _late_events_sql() -> str:
+    return """
+    WITH a AS (
+      SELECT event_id, user_id, ts,
+             ((event_id::HUGEINT * 2654435761) % 4294967296)::BIGINT AS arr
+      FROM events),
+    m AS (
+      SELECT event_id, user_id, ts,
+             max(ts) OVER (PARTITION BY user_id ORDER BY arr, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm
+      FROM a)
+    SELECT event_id, user_id,
+           date_diff('microsecond', ts, wm)::BIGINT AS late_us
+    FROM m WHERE wm > ts
+    """
+
+
 def q_track_poly_cross(sf_dir: str):
     """Trajectory x area join: which per-user track SEGMENTS touch
     which changeset polygons (cross the boundary or have an endpoint
@@ -3893,6 +4053,8 @@ ORACLE: dict[str, str] = {
     "min_price_supplier": _min_price_supplier_sql(),
     "trending_types": _trending_types_sql(),
     "track_poly_cross": _track_poly_cross_sql(),
+    "embed_outliers": _embed_outliers_sql(),
+    "late_events": _late_events_sql(),
     "tile_cover": _tile_cover_sql(),
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -4404,6 +4566,8 @@ QUERIES = {
     "min_price_supplier": q_min_price_supplier,
     "trending_types": q_trending_types,
     "track_poly_cross": q_track_poly_cross,
+    "embed_outliers": q_embed_outliers,
+    "late_events": q_late_events,
     "label_centroids": q_label_centroids,
     "time_weighted_avg": q_time_weighted_avg,
     "lag_delta": q_lag_delta,

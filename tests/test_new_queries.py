@@ -1134,3 +1134,63 @@ def test_trending_types_topk_per_hour():
     pairs = set(zip(want["hour"], want["event_type"], want["size"]))
     assert set(zip(got["hour"], got["event_type"], got["n"])) == pairs
     assert (got.groupby("hour").size() <= 3).all()
+
+
+def test_embed_outliers_brute():
+    """Exact integer distance-to-centroid vs a brute float check on
+    crafted embeddings with one planted outlier per label."""
+    rng = np.random.default_rng(5)
+    n, d = 40, 8
+    emb = rng.normal(0, 0.05, (n, d)).astype(np.float32)
+    emb[7] += 3.0   # planted outlier, label 7 % 2 = 1
+    emb[12] -= 3.0  # planted outlier, label 12 % 2 = 0
+    docs = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "label": (np.arange(n) % 2).astype(np.int32),
+        "embedding": list(emb),
+    })
+    dpath = _scratch_dir(embeddings=docs)
+    got = Q.q_embed_outliers(dpath).to_pandas()
+    assert (got.groupby("label").size() == 5).all()
+    # the planted outliers rank first in their labels
+    top = got.sort_values(["label", "d2"], ascending=[True, False]) \
+             .groupby("label").head(1)
+    assert set(top["vec_id"]) == {7, 12}
+    # exact d2 recheck for one row
+    q = np.round(np.abs(emb.astype(np.float64) * 1000.0) + 0.5 - 0.5)  # placeholder
+    q = (np.sign(emb.astype(np.float64) * 1000.0)
+         * np.floor(np.abs(emb.astype(np.float64) * 1000.0) + 0.5)).astype(np.int64)
+    for lab in (0, 1):
+        m = docs["label"].to_numpy() == lab
+        s = q[m].sum(axis=0)
+        nn = int(m.sum())
+        d2 = ((q[m] * nn - s) ** 2).sum(axis=1)
+        ids = docs["vec_id"].to_numpy()[m]
+        order = np.lexsort((ids, -d2))[:5]
+        want = dict(zip(ids[order], d2[order]))
+        sub = got[got["label"] == lab]
+        assert dict(zip(sub["vec_id"], sub["d2"])) == want
+
+
+def test_late_events_hand_case():
+    """Permuted arrival order: the watermark is the running max over
+    ARRIVAL order, and lateness is an exact microsecond delta."""
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    got = Q.q_late_events(SF).to_pandas()
+    # brute force
+    ev = ev.copy()
+    ev["arr"] = (ev["event_id"].to_numpy().astype(np.uint64)
+                 * np.uint64(2654435761)) % np.uint64(1 << 32)
+    ev = ev.sort_values(["user_id", "arr", "event_id"])
+    rows = {}
+    for uid, g in ev.groupby("user_id"):
+        wm = None
+        for _, r in g.iterrows():
+            if wm is not None and wm > r["ts"]:
+                rows[int(r["event_id"])] = int(
+                    (wm - r["ts"]).to_timedelta64().astype("timedelta64[us]")
+                    .astype(np.int64))
+            wm = r["ts"] if wm is None or r["ts"] > wm else wm
+    assert dict(zip(got["event_id"], got["late_us"])) == rows
+    assert len(got) > 0
