@@ -1573,6 +1573,28 @@ def q_cell_pyramid(sf_dir: str):
     return out
 
 
+QUANTILE_QS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+def q_quantile_sketch(sf_dir: str):
+    """Mergeable approximate quantiles (`sketch.mp_quantile_sketch`,
+    deterministic Munro-Paterson) of lineitem extended price — the
+    fixed-memory streaming complement of the two EXACT quantile
+    paths (`group_quantiles`, `group_quantiles_dist`): one pass, no
+    shuffle at all, sketch persists/merges across windows. Rows-only
+    entry (approximate by design); the pytest bounds rank error
+    against exact quantiles on uniform and zipf data."""
+    from oluray.stages import sketch as sk
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    s = sk.mp_quantile_sketch(li, "l_extendedprice", k=256)
+    est = sk.mp_quantile_query(s, QUANTILE_QS)
+    return pd.DataFrame({
+        "q_e6": (np.asarray(QUANTILE_QS) * 1e6).astype(np.int64),
+        "est": est,
+    })
+
+
 def q_embed_outliers(sf_dir: str):
     """Embedding-space outlier detection (the label-noise filter of
     curated training sets): top-5 vectors per label FARTHEST from
@@ -4661,6 +4683,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "image_quality": q_image_quality,
     # rows-only (no SQL-expressible oracle): sketches, LSH, image ops
+    "quantile_sketch": q_quantile_sketch,
     "fingerprint": q_fingerprint,
     "simhash": q_simhash,
     "minhash_pairs": q_minhash_pairs,

@@ -272,3 +272,122 @@ def hll_count_by_group(
     return joins.partitioned_map(sketches, gcols, merge,
                                  num_partitions=num_partitions,
                                  pre_repartition=False)
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (deterministic Munro-Paterson compaction)
+# ---------------------------------------------------------------------------
+
+
+def _mp_block_sketch(vals: np.ndarray, k: int):
+    """Sketch of one block: sort once, chop into size-k sorted
+    buffers at level 0 (the remainder stays a weight-1 partial),
+    then compact pairs upward. Returns (buffers, partial) where
+    buffers is a list of (level, sorted np.ndarray of len k)."""
+    vals = np.sort(vals.astype(np.float64, copy=False), kind="stable")
+    nfull = len(vals) // k
+    buffers = [(0, vals[i * k:(i + 1) * k]) for i in range(nfull)]
+    partial = vals[nfull * k:]
+    return _mp_compact(buffers, k), partial
+
+
+def _mp_compact(buffers, k: int):
+    """Pairwise collapse until <= 1 buffer per level: merge two
+    sorted level-L buffers (2k values) and keep alternating elements
+    (offset flips per compaction — deterministic, no RNG) as one
+    level-L+1 buffer. Classic Munro-Paterson; a value in a level-L
+    buffer stands for 2^L input values."""
+    from collections import defaultdict
+
+    by_level = defaultdict(list)
+    for lv, buf in buffers:
+        by_level[lv].append(buf)
+    parity = 0
+    lv = 0
+    while lv <= max(by_level, default=0):
+        bl = by_level[lv]
+        # deterministic order regardless of arrival: by head value
+        bl.sort(key=lambda b: (b[0], b[-1]))
+        while len(bl) >= 2:
+            a, b = bl.pop(0), bl.pop(0)
+            m = np.sort(np.concatenate([a, b]), kind="stable")
+            by_level[lv + 1].append(m[parity::2])
+            parity ^= 1
+        lv += 1
+    return [(lv, b) for lv in sorted(by_level) for b in by_level[lv]]
+
+
+def mp_quantile_sketch(
+    ds: "ray.data.Dataset", col: str, k: int = 256,
+):
+    """Build a mergeable quantile sketch of `ds[col]` — the
+    approx-quantile primitive (Spark's approxQuantile lineage;
+    Munro & Paterson 1980, Manku et al. 1998). Deterministic: no
+    sampling RNG, compaction parity alternates by counter, and the
+    driver folds per-block sketches in a content-sorted order, so
+    the result is a pure function of the data + block layout.
+
+    Scale shape (the `hll_registers` invariant): every block reduces
+    itself to <= k*levels + k values via ONE vectorized sort; only
+    those survivors travel. Driver memory is one sketch
+    (O(k log(n/k)) values); traffic is block-count bound. Buffers are
+    plain (level, values) rows — persist them per partition and
+    merging two windows' sketches is list-concat + `_mp_compact`."""
+    import pyarrow as pa
+
+    def block(t: "pa.Table") -> "pa.Table":
+        v = t[col].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        buffers, partial = _mp_block_sketch(v, k)
+        levels = [lv for lv, _ in buffers] + [-1] * (len(partial) > 0)
+        arrs = [b for _, b in buffers] + ([partial] if len(partial) else [])
+        return pa.table({
+            "level": pa.array(levels, pa.int32()),
+            "vals": pa.array([a.tolist() for a in arrs],
+                             pa.list_(pa.float64())),
+        })
+
+    rows = ds.map_batches(block, batch_format="pyarrow",
+                          batch_size=64 * 1024)
+    buffers, partials = [], []
+    for batch in rows.iter_batches(batch_format="pyarrow"):
+        lv = batch["level"].to_pylist()
+        vs = batch["vals"].to_pylist()
+        for L, v in zip(lv, vs):
+            a = np.asarray(v, dtype=np.float64)
+            (partials if L < 0 else buffers).append(
+                a if L < 0 else (L, a))
+    # fold the weight-1 tails in as level-0 buffers + one final partial
+    tail = np.sort(np.concatenate(partials)) if partials else np.empty(0)
+    nfull = len(tail) // k
+    for i in range(nfull):
+        buffers.append((0, tail[i * k:(i + 1) * k]))
+    partial = tail[nfull * k:]
+    buffers.sort(key=lambda t: (t[0], t[1][0] if len(t[1]) else np.inf,
+                                t[1][-1] if len(t[1]) else np.inf))
+    return _mp_compact(buffers, k), partial
+
+
+def mp_quantile_query(sketch, qs) -> np.ndarray:
+    """Approximate quantiles from a sketch: expand to (value, weight
+    = 2^level) pairs (partial values weigh 1), one weighted nearest-
+    rank pick per q. Rank error is O(log(n/k) * n / k) — bounded in
+    the pytest against exact quantiles on uniform and zipf data."""
+    buffers, partial = sketch
+    vals = [b for _, b in buffers] + ([partial] if len(partial) else [])
+    wts = [np.full(len(b), 1 << lv, dtype=np.int64) for lv, b in buffers]
+    if len(partial):
+        wts.append(np.ones(len(partial), dtype=np.int64))
+    if not vals:
+        raise ValueError("empty sketch — no values were added")
+    v = np.concatenate(vals)
+    w = np.concatenate(wts)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    out = np.empty(len(qs), dtype=np.float64)
+    for i, q in enumerate(qs):
+        target = q * (total - 1) + 1  # 1-based nearest rank
+        out[i] = v[np.searchsorted(cw, target, side="left")]
+    return out

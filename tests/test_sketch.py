@@ -163,3 +163,65 @@ def test_hll_group_empty_and_validation():
     assert len(out) == 0
     with pytest.raises(ValueError):
         hll_count_by_group(ray.data.from_pandas(df), ["g"], "v", p=3)
+
+
+def test_mp_quantile_rank_error_bound():
+    """Munro-Paterson sketch rank error stays under the documented
+    bound on uniform AND heavy-tail data at three sizes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from oluray.stages import sketch as sk
+
+    k = 256
+    qs = np.array([0.01, 0.1, 0.5, 0.9, 0.99])
+    rng = np.random.default_rng(17)
+    for n in (1_000, 20_000, 120_000):
+        for data in (rng.uniform(0, 1, n), rng.pareto(1.5, n)):
+            ds = rd.from_arrow(pa.table({"v": pa.array(data)})).repartition(7)
+            s = sk.mp_quantile_sketch(ds, "v", k=k)
+            est = sk.mp_quantile_query(s, qs)
+            srt = np.sort(data)
+            # rank of the estimate vs target rank
+            for q, e in zip(qs, est):
+                rank = np.searchsorted(srt, e, side="left")
+                err = abs(rank - q * (n - 1))
+                levels = max(1, int(np.ceil(np.log2(max(n / k, 2)))))
+                assert err <= max(levels * n / (2 * k), k), (n, q, err)
+
+
+def test_mp_quantile_merge_and_determinism():
+    """The sketch is a pure function of data + block layout (no RNG),
+    and small inputs (< k values) are EXACT."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from oluray.stages import sketch as sk
+
+    vals = np.arange(100, dtype=np.float64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(4)
+    s1 = sk.mp_quantile_sketch(ds, "v", k=256)
+    s2 = sk.mp_quantile_sketch(ds, "v", k=256)
+    qs = [0.0, 0.25, 0.5, 1.0]
+    assert np.array_equal(sk.mp_quantile_query(s1, qs),
+                          sk.mp_quantile_query(s2, qs))
+    # < k values -> every value survives at weight 1 -> exact
+    got = sk.mp_quantile_query(s1, qs)
+    want = [vals[round(q * 99)] for q in qs]
+    assert np.allclose(got, want, atol=1.0)
+
+
+def test_mp_quantile_empty_raises():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from oluray.stages import sketch as sk
+
+    ds = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    s = sk.mp_quantile_sketch(ds, "v")
+    with pytest.raises(ValueError):
+        sk.mp_quantile_query(s, [0.5])
