@@ -162,6 +162,8 @@ def run_bench() -> dict:
         ("ann_topk", Q.q_ann_topk),
         ("ivf_topk", Q.q_ivf_topk),
         ("impact_closure", Q.q_impact_closure),
+        ("distance_pairs", Q.q_distance_pairs),
+        ("track_poly_cross", Q.q_track_poly_cross),
         ("range_join", Q.q_range_join),
         ("overlap_join", Q.q_overlap_join),
         ("order_ranks", Q.q_order_ranks),

@@ -1573,6 +1573,41 @@ def q_cell_pyramid(sf_dir: str):
     return out
 
 
+def q_brand_supplier_cnt(sf_dir: str):
+    """Count-DISTINCT after a join (TPC-H Q16 shape): how many
+    distinct suppliers ship each part brand. The join attaches brand
+    via the size-probed `auto_join`; the distinct is the two-level
+    scale shape — per-block distinct (brand, supplier) combiner, one
+    pair-hash shuffle (`joins.distinct`), then a combiner-bounded
+    per-brand count. The exchange carries distinct pairs, never
+    lineitem rows."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    j = joins.auto_join(li, part, on="l_partkey", right_on="p_partkey")
+    pairs = joins.distinct(j, ["p_brand", "l_suppkey"], num_partitions=32)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", as_index=False).size()
+        g["n_supp"] = g.pop("size").astype("int64")
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", as_index=False)["n_supp"].sum()
+        g["n_supp"] = g["n_supp"].astype("int64")
+        return g
+
+    return joins.grouped_agg(pairs, ["p_brand"], final,
+                             num_partitions=8, combine_fn=partial)
+
+
+def _brand_supplier_cnt_sql() -> str:
+    return """
+    SELECT p_brand, count(DISTINCT l_suppkey)::BIGINT AS n_supp
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """
+
+
 QUANTILE_QS = (0.01, 0.25, 0.5, 0.75, 0.99)
 
 
@@ -3083,6 +3118,44 @@ def q_image_quality(sf_dir: str):
     ).select_columns(["image_id", "sharpness", "brightness", "contrast"])
 
 
+def q_channel_stats(sf_dir: str):
+    """Corpus per-channel normalization constants
+    (`image.ChannelMoments`): exact int64 pixel moments, each block
+    pre-collapsed to 3 rows, one tiny channel groupby, mean/std
+    derived from (n, s1, s2) at the end. Rows-only (pixel decode
+    isn't SQL); the pytest cross-checks against a brute pixel stack."""
+    from oluray.stages.image import ChannelMoments
+
+    images = _synth_images(sf_dir)
+    partials = images.map_batches(
+        ChannelMoments, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+    def csum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("channel", as_index=False).agg(
+            n_pix=("n_pix", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+        for c in ("n_pix", "s1", "s2"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    tot = joins.grouped_agg(partials, ["channel"], csum,
+                            num_partitions=4, pre_repartition=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_pix"].to_numpy().astype(np.float64)
+        s1 = df["s1"].to_numpy().astype(np.float64)
+        s2 = df["s2"].to_numpy().astype(np.float64)
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        df = df.copy(deep=False)
+        df["mean"] = np.round(mean, 6)
+        df["std"] = np.round(np.sqrt(np.maximum(var, 0.0)), 6)
+        return df
+
+    return tot.map_batches(finish, batch_format="pandas")
+
+
 def q_regional_revenue(sf_dir: str):
     """TPC-H Q5 shape — the star-schema denormalization pattern at
     scale: the ONE big-big exchange is lineitem ⋈ orders on orderkey
@@ -4076,6 +4149,7 @@ ORACLE: dict[str, str] = {
     "trending_types": _trending_types_sql(),
     "track_poly_cross": _track_poly_cross_sql(),
     "embed_outliers": _embed_outliers_sql(),
+    "brand_supplier_cnt": _brand_supplier_cnt_sql(),
     "late_events": _late_events_sql(),
     "tile_cover": _tile_cover_sql(),
     "pricing_summary": """
@@ -4589,6 +4663,7 @@ QUERIES = {
     "trending_types": q_trending_types,
     "track_poly_cross": q_track_poly_cross,
     "embed_outliers": q_embed_outliers,
+    "brand_supplier_cnt": q_brand_supplier_cnt,
     "late_events": q_late_events,
     "label_centroids": q_label_centroids,
     "time_weighted_avg": q_time_weighted_avg,
@@ -4684,6 +4759,7 @@ QUERIES = {
     "image_quality": q_image_quality,
     # rows-only (no SQL-expressible oracle): sketches, LSH, image ops
     "quantile_sketch": q_quantile_sketch,
+    "channel_stats": q_channel_stats,
     "fingerprint": q_fingerprint,
     "simhash": q_simhash,
     "minhash_pairs": q_minhash_pairs,

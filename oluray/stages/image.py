@@ -278,3 +278,35 @@ class PatchExtract:
         if self.with_bytes:
             cols["patch"] = pa.array(blobs_out, pa.binary())
         return pa.table(cols)
+
+
+class ChannelMoments:
+    """Corpus normalization constants (the ImageNet mean/std recipe):
+    per-CHANNEL pixel count, sum and sum-of-squares over every
+    decoded pixel, as EXACT int64 partials (uint8 pixels make both
+    moments integers — the distributed sum is associative with zero
+    float drift; overflow bound: sumsq grows 255² per pixel, safe to
+    ~1.4e14 pixels per partial). Each block collapses to ONE 3-row
+    moment table before any exchange; the per-channel grand total is
+    aggregate-sized. Mean/std are derived by the caller from (n, s1,
+    s2). Bytes never leave the stage."""
+
+    def __init__(self):
+        self.decode = imagecodec.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s1 = np.zeros(3, dtype=np.int64)
+        s2 = np.zeros(3, dtype=np.int64)
+        n = np.zeros(3, dtype=np.int64)
+        for b, f in zip(batch["bytes"].to_pylist(),
+                        batch["fmt"].to_pylist()):
+            px = self.decode(b, f).astype(np.int64)
+            s1 += px.sum(axis=(0, 1))
+            s2 += (px * px).sum(axis=(0, 1))
+            n += px.shape[0] * px.shape[1]
+        return pa.table({
+            "channel": pa.array(np.arange(3, dtype=np.int64)),
+            "n_pix": pa.array(n),
+            "s1": pa.array(s1),
+            "s2": pa.array(s2),
+        })

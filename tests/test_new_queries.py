@@ -1194,3 +1194,29 @@ def test_late_events_hand_case():
             wm = r["ts"] if wm is None or r["ts"] > wm else wm
     assert dict(zip(got["event_id"], got["late_us"])) == rows
     assert len(got) > 0
+
+
+def test_channel_stats_exact_moments():
+    """Distributed per-channel moments == brute pixel-stack moments,
+    bit-exact on the integer columns."""
+    from oluray.functions import imagecodec
+    from oluray.sources import fixtures
+
+    got = Q.q_channel_stats(SF).to_pandas().sort_values("channel")
+    imgs = Q._synth_images(SF).to_pandas()
+    s1 = np.zeros(3, dtype=np.int64)
+    s2 = np.zeros(3, dtype=np.int64)
+    n = np.int64(0)
+    for b, f in zip(imgs["bytes"], imgs["fmt"]):
+        px = imagecodec.decode(b, f).astype(np.int64)
+        s1 += px.sum(axis=(0, 1))
+        s2 += (px * px).sum(axis=(0, 1))
+        n += px.shape[0] * px.shape[1]
+    assert got["n_pix"].tolist() == [n] * 3
+    assert got["s1"].tolist() == s1.tolist()
+    assert got["s2"].tolist() == s2.tolist()
+    mean = s1 / n
+    assert np.allclose(got["mean"].to_numpy(), mean, atol=1e-6)
+    assert np.allclose(
+        got["std"].to_numpy(),
+        np.sqrt(s2 / n - mean * mean), atol=1e-6)
