@@ -3941,6 +3941,175 @@ def q_brand_size_skew(sf_dir: str):
                              combine_fn=combine, pre_repartition=False)
 
 
+# spatial ANTI join: points contained by NO changeset polygon — the
+# complement of `pip_join` (the reference updates only elements whose
+# geometry intersects the diff; everything else is the pass-through
+# set this query names). Row-local decision against the broadcast
+# polygon index — zero shuffles, unlike a relational anti join.
+def q_pip_anti(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    pts = _with_points(cust, "c_custkey")
+    polys = pa.Table.from_pylist(
+        [
+            {
+                "poly_id": pid,
+                "op": "modify",
+                "ring": [{"lon": x, "lat": y} for x, y in zip(rx, ry)],
+            }
+            for pid, (rx, ry) in PIP_POLYS.items()
+        ]
+    )
+    out = spatial.pip_anti(pts, polys, res=7)
+    return out.select_columns(["c_custkey"])
+
+
+def _pip_anti_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("c_custkey")
+    nots = " AND ".join(
+        f"NOT ({geo.pip_sql_expr(rx, ry, lon, lat)})"
+        for rx, ry in PIP_POLYS.values()
+    )
+    return f"SELECT c_custkey FROM customer WHERE {nots}"
+
+
+# deterministic train/val/test split: every training-data pipeline
+# needs a stable, shuffle-free, rerun-identical split assignment. The
+# bucket is pure integer arithmetic on the id (Knuth multiplicative
+# hash mod 2^32), so the assignment is reproducible on any engine and
+# needs no coordination — each batch decides its rows alone.
+def q_hash_split(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (ids * 2654435761) % 4294967296 % 1000
+        split = np.where(bucket < 980, "train", np.where(bucket < 990, "val", "test"))
+        return pa.table(
+            {"doc_id": t["doc_id"], "bucket": pa.array(bucket),
+             "split": pa.array(split)}
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+_HASH_SPLIT_SQL = """
+    SELECT doc_id,
+           ((doc_id * 2654435761) % 4294967296 % 1000)::BIGINT AS bucket,
+           CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 980 THEN 'train'
+                WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 990 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+
+# window first/last per key (first_value/last_value): per-block
+# combiner keeps ONE candidate row per (user, extreme) plus a partial
+# count, so the shuffle is bounded by distinct users per block, not
+# rows; the per-partition merge re-runs the same pick.
+def q_first_last_events(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = df.drop_duplicates("user_id", keep="first")
+        last = df.drop_duplicates("user_id", keep="last")
+        n = df.groupby("user_id", as_index=False).size()
+        out = first.rename(columns={"ts": "fts", "event_id": "feid",
+                                    "event_type": "ftype"})
+        out = out.merge(
+            last.rename(columns={"ts": "lts", "event_id": "leid",
+                                 "event_type": "ltype"}),
+            on="user_id",
+        )
+        out = out.merge(n.rename(columns={"size": "n"}), on="user_id")
+        return out[["user_id", "fts", "feid", "ftype", "lts", "leid",
+                    "ltype", "n"]]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        f = (df.sort_values(["user_id", "fts", "feid"], kind="mergesort")
+               .drop_duplicates("user_id", keep="first"))
+        l = (df.sort_values(["user_id", "lts", "leid"], kind="mergesort")
+               .drop_duplicates("user_id", keep="last"))
+        n = df.groupby("user_id", as_index=False)["n"].sum()
+        out = f[["user_id", "ftype"]].merge(
+            l[["user_id", "ltype"]], on="user_id").merge(n, on="user_id")
+        return pd.DataFrame(
+            {"user_id": out["user_id"], "first_type": out["ftype"],
+             "last_type": out["ltype"],
+             "n_events": out["n"].astype("int64")}
+        )
+
+    return joins.grouped_agg(ev, ["user_id"], merge, num_partitions=32,
+                             combine_fn=combine, pre_repartition=False)
+
+
+_FIRST_LAST_SQL = """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_d,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events)
+    SELECT a.user_id, a.event_type AS first_type, d.event_type AS last_type,
+           a.n::BIGINT AS n_events
+    FROM r a JOIN r d ON a.user_id = d.user_id
+    WHERE a.rn_a = 1 AND d.rn_d = 1
+"""
+
+
+# per-"relation" convex hull (rows-only; brute-force pytest oracle):
+# the derived-geometry family osm2rdf emits per element
+# (`/root/reference/tests/data/node.ttl:33-37` — envelope is the
+# oracle query `rel_envelope`, hull/obb ride `update.apply_update`'s
+# hull_delta; this exposes the hull as a standalone catalog operator).
+# Exact integer output: member points snap to e6 microdegrees before
+# the hull, and the area is the integer shoelace 2*area in those
+# units, so the result is bit-stable across partitionings.
+def q_rel_hull(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def member_points(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ok % 50 == 0))
+        lon, lat = geo.derive_lonlat(t["l_partkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "lon_e6": pa.array(_round_half_away(lon * 1e6)),
+                "lat_e6": pa.array(_round_half_away(lat * 1e6)),
+            }
+        )
+
+    pts = li.map_batches(member_points, batch_format="pyarrow")
+
+    _HULL_COLS = ["o_orderkey", "n_pts", "n_distinct", "n_hull", "area2_e12"]
+
+    def hull_one(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # typed empty: schema-stable across partitions
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in _HULL_COLS})
+        outs = []
+        for ok, g in df.groupby("o_orderkey", sort=False):
+            x = g["lon_e6"].to_numpy(np.int64)
+            y = g["lat_e6"].to_numpy(np.int64)
+            u = np.unique(np.stack([x, y], axis=1), axis=0)
+            hx, hy = geo.convex_hull(u[:, 0].astype(np.float64),
+                                     u[:, 1].astype(np.float64))
+            hxi, hyi = hx.astype(np.int64), hy.astype(np.int64)
+            # integer shoelace on the CCW hull: 2*area, exact
+            area2 = int(
+                np.sum(hxi * np.roll(hyi, -1) - np.roll(hxi, -1) * hyi)
+            ) if len(hxi) >= 3 else 0
+            outs.append((ok, len(g), len(u), len(hxi), abs(area2)))
+        return pd.DataFrame(outs, columns=_HULL_COLS).astype(
+            {c: "int64" for c in _HULL_COLS})
+
+    return joins.partitioned_map(pts, ["o_orderkey"], hull_one,
+                                 num_partitions=32, pre_repartition=False)
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -4647,6 +4816,9 @@ ORACLE: dict[str, str] = {
                COALESCE(cu.acctbal_cents, -1)::BIGINT AS acctbal_cents
         FROM ev FULL OUTER JOIN cu ON ev.user_id = cu.c_custkey
     """,
+    "pip_anti": _pip_anti_sql(),
+    "hash_split": _HASH_SPLIT_SQL,
+    "first_last_events": _FIRST_LAST_SQL,
 }
 
 QUERIES = {
@@ -4771,4 +4943,8 @@ QUERIES = {
     "cosine_pairs": q_cosine_pairs,
     "image_decode": q_image_decode,
     "thumbnails": q_thumbnails,
+    "pip_anti": q_pip_anti,
+    "hash_split": q_hash_split,
+    "first_last_events": q_first_last_events,
+    "rel_hull": q_rel_hull,
 }

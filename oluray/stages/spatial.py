@@ -106,9 +106,11 @@ class PolygonIndexStage:
         self.idx_offs = offs
         self.idx_polys = np.array(flat, dtype=np.int64)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
-        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+    def _hits(self, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(row indices, polygon indices) of every containment hit —
+        the shared core of the join (`__call__`) and the anti filter
+        (`hit_mask`): cell-cover prefilter via CSR binary search, then
+        exact ray-casting refine per candidate polygon."""
         cells = geo.cell_encode(lon, lat, self.res)
         # fully vectorized candidate generation: binary-search each
         # point's cell in the CSR index, expand to (row, poly) pairs
@@ -147,11 +149,20 @@ class PolygonIndexStage:
                 out_rows.append(hit)
                 out_poly.append(np.full(len(hit), pi, dtype=np.int64))
         if out_rows:
-            rows_idx = np.concatenate(out_rows)
-            poly_idx = np.concatenate(out_poly)
-        else:
-            rows_idx = np.array([], dtype=np.int64)
-            poly_idx = np.array([], dtype=np.int64)
+            return np.concatenate(out_rows), np.concatenate(out_poly)
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+
+    def hit_mask(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        """Boolean per row: inside at least one polygon."""
+        mask = np.zeros(len(lon), dtype=bool)
+        rows_idx, _ = self._hits(lon, lat)
+        mask[rows_idx] = True
+        return mask
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        rows_idx, poly_idx = self._hits(lon, lat)
         cols = {
             self.id_col: pa.compute.take(batch[self.id_col], pa.array(rows_idx)),
             "poly_id": pa.array([self.polys[i]["poly_id"] for i in poly_idx], pa.int64()),
@@ -216,6 +227,39 @@ def pip_join(
         concurrency=concurrency
         if isinstance(concurrency, tuple)
         else (1, concurrency),
+    )
+
+
+def _pip_anti_task(batch: pa.Table, polys_ref, res, lon_col, lat_col) -> pa.Table:
+    key = (polys_ref.hex(), res, "__anti__")
+    stage = _PIP_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = PolygonIndexStage(polys_ref, res=res, lon_col=lon_col,
+                                  lat_col=lat_col)
+        _PIP_STAGE_CACHE.clear()
+        _PIP_STAGE_CACHE[key] = stage
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    return batch.filter(pa.array(~stage.hit_mask(lon, lat)))
+
+
+def pip_anti(
+    points: ray.data.Dataset, polys: pa.Table, res: int = 8,
+    lon_col: str = "lon", lat_col: str = "lat", batch_size: int = 32768,
+) -> ray.data.Dataset:
+    """Spatial ANTI join: points contained by NO polygon. Pure
+    per-batch filter against the broadcast polygon index — no shuffle
+    and no hit-set collection: containment is decided row-locally, so
+    the anti side never needs the join output (contrast a relational
+    anti join, which must see the matched key set). All input columns
+    pass through."""
+    polys_ref = ray.put(polygons_to_numpy(polys))
+    return points.map_batches(
+        _pip_anti_task,
+        fn_kwargs=dict(polys_ref=polys_ref, res=res, lon_col=lon_col,
+                       lat_col=lat_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
     )
 
 

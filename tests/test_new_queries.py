@@ -1220,3 +1220,88 @@ def test_channel_stats_exact_moments():
     assert np.allclose(
         got["std"].to_numpy(),
         np.sqrt(s2 / n - mean * mean), atol=1e-6)
+
+
+def test_pip_anti_complements_pip_join():
+    """pip_anti ∪ pip_join's hit ids == all customers, disjointly —
+    and every anti row really is outside every polygon (brute
+    ray-cast per point)."""
+    anti = Q.q_pip_anti(SF).to_pandas()
+    hits = Q.q_pip_join(SF).to_pandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    anti_ids = set(anti["c_custkey"])
+    hit_ids = set(hits["c_custkey"])
+    assert anti_ids.isdisjoint(hit_ids)
+    assert anti_ids | hit_ids == set(cust["c_custkey"])
+    lon, lat = geo.derive_lonlat(anti["c_custkey"].to_numpy())
+    for rx, ry in Q.PIP_POLYS.values():
+        inside = geo.point_in_polygon(lon, lat, np.array(rx), np.array(ry))
+        assert not inside.any()
+
+
+def test_hash_split_deterministic_and_proportioned():
+    got = Q.q_hash_split(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert len(got) == len(docs)
+    ids = got["doc_id"].to_numpy(np.int64)
+    expect = (ids * 2654435761) % 4294967296 % 1000
+    assert (got["bucket"].to_numpy(np.int64) == expect).all()
+    # rerun-identical (stable split is the operator's whole contract)
+    again = Q.q_hash_split(SF).to_pandas().sort_values("doc_id")
+    assert again.reset_index(drop=True).equals(
+        got.sort_values("doc_id").reset_index(drop=True))
+    frac_train = (got["split"] == "train").mean()
+    assert 0.9 < frac_train <= 1.0
+
+
+def test_first_last_events_brute():
+    got = (Q.q_first_last_events(SF).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    f = ev.drop_duplicates("user_id", keep="first")
+    l = ev.drop_duplicates("user_id", keep="last")
+    n = ev.groupby("user_id", as_index=False).size()
+    exp = (f[["user_id", "event_type"]]
+           .rename(columns={"event_type": "first_type"})
+           .merge(l[["user_id", "event_type"]]
+                  .rename(columns={"event_type": "last_type"}), on="user_id")
+           .merge(n.rename(columns={"size": "n_events"}), on="user_id")
+           .sort_values("user_id").reset_index(drop=True))
+    exp["n_events"] = exp["n_events"].astype("int64")
+    assert got.equals(exp[got.columns.tolist()])
+
+
+def test_rel_hull_brute():
+    """Distributed per-relation hull == the same hull computed in one
+    driver pass (verifies the grouping/shuffle; hull math itself is
+    property-tested in test_geo)."""
+    got = (Q.q_rel_hull(SF).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    li = li[li["l_orderkey"] % 50 == 0]
+    lon, lat = geo.derive_lonlat(li["l_partkey"].to_numpy())
+
+    def _rha(v):  # same half-away rounding as the query
+        a = np.asarray(v, dtype=np.float64)
+        return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+
+    df = pd.DataFrame({"o_orderkey": li["l_orderkey"].to_numpy(),
+                       "lon_e6": _rha(lon * 1e6), "lat_e6": _rha(lat * 1e6)})
+    rows = []
+    for ok, g in df.groupby("o_orderkey"):
+        u = np.unique(np.stack([g["lon_e6"].to_numpy(np.int64),
+                                g["lat_e6"].to_numpy(np.int64)], axis=1), axis=0)
+        hx, hy = geo.convex_hull(u[:, 0].astype(np.float64),
+                                 u[:, 1].astype(np.float64))
+        hxi, hyi = hx.astype(np.int64), hy.astype(np.int64)
+        area2 = int(np.sum(hxi * np.roll(hyi, -1) - np.roll(hxi, -1) * hyi)) \
+            if len(hxi) >= 3 else 0
+        rows.append((ok, len(g), len(u), len(hxi), abs(area2)))
+    exp = pd.DataFrame(rows, columns=got.columns.tolist()).astype("int64")
+    assert got.equals(exp.sort_values("o_orderkey").reset_index(drop=True))
+    # sanity: hull never exceeds distinct points, area only with >=3
+    assert (got["n_hull"] <= got["n_distinct"]).all()
+    assert (got.loc[got["n_hull"] < 3, "area2_e12"] == 0).all()
