@@ -4110,6 +4110,62 @@ def q_rel_hull(sf_dir: str):
                                  num_partitions=32, pre_repartition=False)
 
 
+# LARGE-LARGE bbox intersection join: customer-footprint envelopes x
+# supplier-extent envelopes via PBSM grid partitioning with
+# reference-point dedup (`spatial.rect_intersect_join`) — the
+# envelope/bbox form of the spatial join, neither side broadcast.
+# Rect corners are exact integer microdegrees (same half-away rounding
+# as the envelope oracle), half-extents pure key arithmetic, so the
+# SQL mirror is bit-identical.
+RECT_CELL_E6 = 2_000_000  # 2-degree PBSM grid, >= the max rect extent
+
+
+def _rects(ds, key: str) -> ray.data.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = geo.derive_lonlat(k)
+        xc = _round_half_away(lon * 1e6)
+        yc = _round_half_away(lat * 1e6)
+        hw = (k % 7 + 1) * 100000
+        hh = (k % 5 + 1) * 100000
+        return pa.table(
+            {"id": pa.array(k), "xmin": pa.array(xc - hw),
+             "xmax": pa.array(xc + hw), "ymin": pa.array(yc - hh),
+             "ymax": pa.array(yc + hh)}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_rect_join(sf_dir: str):
+    cust = _rects(_read(sf_dir, "customer", ["c_custkey"]), "c_custkey")
+    sup = _rects(_read(sf_dir, "supplier", ["s_suppkey"]), "s_suppkey")
+    return spatial.rect_intersect_join(cust, sup, RECT_CELL_E6,
+                                       num_partitions=32)
+
+
+def _rect_join_sql() -> str:
+    def cte(table: str, key: str) -> str:
+        lon, lat = geo.derive_lonlat_sql(key)
+        return f"""
+          SELECT {key} AS id,
+                 round({lon} * 1000000.0)::BIGINT - ({key} % 7 + 1) * 100000 AS xmin,
+                 round({lon} * 1000000.0)::BIGINT + ({key} % 7 + 1) * 100000 AS xmax,
+                 round({lat} * 1000000.0)::BIGINT - ({key} % 5 + 1) * 100000 AS ymin,
+                 round({lat} * 1000000.0)::BIGINT + ({key} % 5 + 1) * 100000 AS ymax
+          FROM {table}"""
+
+    return f"""
+    WITH a AS ({cte('customer', 'c_custkey')}), b AS ({cte('supplier', 's_suppkey')})
+    SELECT a.id AS a_id, b.id AS b_id,
+           ((LEAST(a.xmax, b.xmax) - GREATEST(a.xmin, b.xmin))
+            * (LEAST(a.ymax, b.ymax) - GREATEST(a.ymin, b.ymin)))::BIGINT AS inter_area
+    FROM a JOIN b
+      ON a.xmin <= b.xmax AND b.xmin <= a.xmax
+     AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+    """
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -4819,6 +4875,7 @@ ORACLE: dict[str, str] = {
     "pip_anti": _pip_anti_sql(),
     "hash_split": _HASH_SPLIT_SQL,
     "first_last_events": _FIRST_LAST_SQL,
+    "rect_join": _rect_join_sql(),
 }
 
 QUERIES = {
@@ -4947,4 +5004,5 @@ QUERIES = {
     "hash_split": q_hash_split,
     "first_last_events": q_first_last_events,
     "rel_hull": q_rel_hull,
+    "rect_join": q_rect_join,
 }

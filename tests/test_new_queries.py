@@ -1305,3 +1305,57 @@ def test_rel_hull_brute():
     # sanity: hull never exceeds distinct points, area only with >=3
     assert (got["n_hull"] <= got["n_distinct"]).all()
     assert (got.loc[got["n_hull"] < 3, "area2_e12"] == 0).all()
+
+
+def test_rect_join_brute_and_no_dup_pairs():
+    """PBSM reference-point dedup: distributed rect join == brute
+    O(n*m) intersection, with every pair formed exactly once."""
+    got = (Q.q_rect_join(SF).to_pandas()
+           .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    assert not got.duplicated(["a_id", "b_id"]).any()
+
+    def rects(path, key):
+        df = pd.read_parquet(path, columns=[key])
+        k = df[key].to_numpy(np.int64)
+        lon, lat = geo.derive_lonlat(k)
+        xc = np.sign(lon * 1e6) * np.floor(np.abs(lon * 1e6) + 0.5)
+        yc = np.sign(lat * 1e6) * np.floor(np.abs(lat * 1e6) + 0.5)
+        return pd.DataFrame({"id": k,
+                             "xmin": xc.astype(np.int64) - (k % 7 + 1) * 100000,
+                             "xmax": xc.astype(np.int64) + (k % 7 + 1) * 100000,
+                             "ymin": yc.astype(np.int64) - (k % 5 + 1) * 100000,
+                             "ymax": yc.astype(np.int64) + (k % 5 + 1) * 100000})
+
+    A = rects(f"{SF}/customer.parquet", "c_custkey")
+    B = rects(f"{SF}/supplier.parquet", "s_suppkey")
+    m = A.merge(B, how="cross", suffixes=("_a", "_b"))
+    ok = ((m["xmin_a"] <= m["xmax_b"]) & (m["xmin_b"] <= m["xmax_a"])
+          & (m["ymin_a"] <= m["ymax_b"]) & (m["ymin_b"] <= m["ymax_a"]))
+    m = m[ok]
+    inter = ((np.minimum(m["xmax_a"], m["xmax_b"])
+              - np.maximum(m["xmin_a"], m["xmin_b"]))
+             * (np.minimum(m["ymax_a"], m["ymax_b"])
+                - np.maximum(m["ymin_a"], m["ymin_b"]))).astype(np.int64)
+    exp = (pd.DataFrame({"a_id": m["id_a"].to_numpy(),
+                         "b_id": m["id_b"].to_numpy(),
+                         "inter_area": inter})
+           .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    assert got.equals(exp)
+
+
+def test_rect_join_cross_cell_pair():
+    """A pair whose rects overlap across a grid-cell boundary is
+    found once — the reference-point rule, not cell co-residence,
+    owns the pair."""
+    import ray.data as rd
+    from oluray.stages import spatial as sp
+    g = 1000
+    a = rd.from_pandas(pd.DataFrame(
+        {"id": [1], "xmin": [-2500], "xmax": [1500],
+         "ymin": [-500], "ymax": [500]}))
+    b = rd.from_pandas(pd.DataFrame(
+        {"id": [7], "xmin": [900], "xmax": [3100],
+         "ymin": [-100], "ymax": [2100]}))
+    out = sp.rect_intersect_join(a, b, g, num_partitions=4).to_pandas()
+    assert out.to_dict("records") == [
+        {"a_id": 1, "b_id": 7, "inter_area": (1500 - 900) * (500 - (-100))}]
