@@ -4166,6 +4166,50 @@ def _rect_join_sql() -> str:
     """
 
 
+# LARGE-LARGE exact nearest-neighbor join (planar integer coords):
+# every customer's closest supplier by squared Euclidean microdegree
+# distance — `spatial.nn_join_planar`'s iterative grid escalation,
+# neither side broadcast (the broadcast-feature case is `knn_assign`).
+NN_START_CELL = 20_000_000  # 20-degree round-1 grid
+
+
+def _xy_points(ds, key: str) -> ray.data.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = geo.derive_lonlat(k)
+        return pa.table(
+            {"id": pa.array(k),
+             "x": pa.array(_round_half_away(lon * 1e6)),
+             "y": pa.array(_round_half_away(lat * 1e6))}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_nn_join(sf_dir: str):
+    cust = _xy_points(_read(sf_dir, "customer", ["c_custkey"]), "c_custkey")
+    sup = _xy_points(_read(sf_dir, "supplier", ["s_suppkey"]), "s_suppkey")
+    return spatial.nn_join_planar(cust, sup, NN_START_CELL,
+                                  num_partitions=32)
+
+
+def _nn_join_sql() -> str:
+    def cte(table: str, key: str) -> str:
+        lon, lat = geo.derive_lonlat_sql(key)
+        return (f"SELECT {key} AS id, round({lon} * 1000000.0)::BIGINT AS x, "
+                f"round({lat} * 1000000.0)::BIGINT AS y FROM {table}")
+
+    d2 = "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)"
+    return f"""
+    WITH a AS ({cte('customer', 'c_custkey')}), b AS ({cte('supplier', 's_suppkey')})
+    SELECT id AS a_id, b_id, d2 FROM (
+      SELECT a.id, b.id AS b_id, ({d2})::BIGINT AS d2,
+             row_number() OVER (PARTITION BY a.id
+                                ORDER BY {d2} ASC, b.id ASC) AS rn
+      FROM a CROSS JOIN b) WHERE rn = 1
+    """
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -4876,6 +4920,7 @@ ORACLE: dict[str, str] = {
     "hash_split": _HASH_SPLIT_SQL,
     "first_last_events": _FIRST_LAST_SQL,
     "rect_join": _rect_join_sql(),
+    "nn_join": _nn_join_sql(),
 }
 
 QUERIES = {
@@ -5005,4 +5050,5 @@ QUERIES = {
     "first_last_events": q_first_last_events,
     "rel_hull": q_rel_hull,
     "rect_join": q_rect_join,
+    "nn_join": q_nn_join,
 }

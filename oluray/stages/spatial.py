@@ -379,6 +379,177 @@ def rect_intersect_join(
     )
 
 
+def nn_join_planar(
+    a: ray.data.Dataset, b: ray.data.Dataset, start_cell: int,
+    num_partitions: int = 32, coord_span: int = 360_000_000,
+) -> ray.data.Dataset:
+    """LARGE-LARGE exact nearest-neighbor join in planar integer
+    coordinates (web-mercator / pixel / microdegree space): for every
+    A point, its closest B point by squared Euclidean distance, ties
+    by lower B id. Neither side is broadcast — the geographic
+    small-feature case is `knn_join`; this is the shape where the
+    feature side is itself a corpus.
+
+    Inputs: Datasets with (id, x, y) int64 columns. Output
+    (a_id, b_id, d2) int64 — d2 exact (|coords| <= 2e8 keeps x^2+y^2
+    far under int64), so the SQL mirror is bit-identical and the
+    tie-break is deterministic.
+
+    Shape: iterative grid escalation, each round fully distributed:
+
+      round r (cell size g = start_cell * 2^r): B replicates into the
+      3x3 neighborhood of its cell (<= 9 small rows per B point); the
+      per-cell partition merge finds each unresolved A point's best
+      candidate in its neighborhood; the candidate is PROVABLY the
+      global NN iff best_d2 < margin^2, where margin = the point's
+      integer distance to its own 3x3 box boundary (any exterior
+      point differs by >= margin on one axis). Resolved rows are
+      emitted; unresolved A points (empty neighborhood, or a best
+      that an exterior point could still beat) go to round r+1 with
+      the cell size doubled — the doubled box strictly contains the
+      old one, so no cross-round state is carried.
+
+    Rounds are bounded by log2(coord_span / start_cell): once g
+    reaches the span the neighborhood covers the whole plane and every
+    remaining point resolves by definition. Pick `start_cell` near the
+    typical NN distance — each round costs one 9x-B-row exchange, and
+    a too-fine round 1 resolves nothing while a too-coarse one packs
+    the corpus into few cells (same dense-cell note as
+    `distance_self_join`). The driver sees one unresolved-count scalar
+    per round, never rows."""
+    from oluray.stages import joins
+
+    def _cells(t: pa.Table, g: int, side: int) -> pa.Table:
+        n = t.num_rows
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if side == 0:
+            cell = (x // g) * (1 << _RECT_KEY_SHIFT) + y // g
+            rep_i = np.arange(n)
+        else:
+            cx, cy = x // g, y // g
+            off = np.array([-1, 0, 1], dtype=np.int64)
+            ox, oy = np.meshgrid(off, off, indexing="ij")
+            cell = ((cx[:, None] + ox.ravel()[None, :]) * (1 << _RECT_KEY_SHIFT)
+                    + (cy[:, None] + oy.ravel()[None, :])).ravel()
+            rep_i = np.repeat(np.arange(n), 9)
+        m = len(rep_i)
+        return pa.table(
+            {"cell": pa.array(cell),
+             "side": pa.array(np.full(m, side, dtype=np.int64)),
+             "pid": pa.array(ids[rep_i]),
+             "x": pa.array(x[rep_i]), "y": pa.array(y[rep_i])}
+        )
+
+    _OUT = ["a_id", "b_id", "d2"]
+    empty_pd = pd.DataFrame({c: pd.Series([], dtype="int64") for c in _OUT})
+    empty_un = pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ["id", "x", "y"]})
+
+    unresolved = a.select_columns(["id", "x", "y"])
+    n_left = unresolved.count()
+    if n_left == 0 or b.count() == 0:
+        import ray.data as _rd
+        return _rd.from_pandas(empty_pd)
+
+    g = int(start_cell)
+    resolved_parts: list[ray.data.Dataset] = []
+    while n_left > 0:
+        full_cover = g >= coord_span
+
+        def emit(df: pd.DataFrame, g=g, full=full_cover) -> pd.DataFrame:
+            A = df[df["side"] == 0]
+            B = df[df["side"] == 1]
+            if len(A) == 0:
+                return pd.DataFrame(
+                    {"a_id": pd.Series([], dtype="int64"),
+                     "b_id": pd.Series([], dtype="int64"),
+                     "d2": pd.Series([], dtype="int64"),
+                     "x": pd.Series([], dtype="int64"),
+                     "y": pd.Series([], dtype="int64"),
+                     "ok": pd.Series([], dtype="bool")}
+                )
+            # INNER merge keeps every id an int64 end to end (a left
+            # merge's NaN rows upcast ids to float64 — silent
+            # corruption above 2^53, the same hazard joins.py guards);
+            # neighborhood-less A rows are re-added below.
+            m = A.merge(B, on="cell", suffixes=("_a", "_b"))
+            if len(m):
+                xa = m["x_a"].to_numpy(np.int64)
+                ya = m["y_a"].to_numpy(np.int64)
+                dx = xa - m["x_b"].to_numpy(np.int64)
+                dy = ya - m["y_b"].to_numpy(np.int64)
+                cand = pd.DataFrame(
+                    {"a_id": m["pid_a"].to_numpy(np.int64),
+                     "b_id": m["pid_b"].to_numpy(np.int64),
+                     "d2": dx * dx + dy * dy, "x": xa, "y": ya}
+                )
+                cand = cand.sort_values(["a_id", "d2", "b_id"],
+                                        kind="mergesort")
+                best = cand.drop_duplicates("a_id", keep="first").copy()
+                if full:
+                    ok = np.ones(len(best), dtype=bool)
+                else:
+                    x0 = best["x"].to_numpy()
+                    y0 = best["y"].to_numpy()
+                    mx = g + np.minimum(x0 % g, g - (x0 % g))
+                    my = g + np.minimum(y0 % g, g - (y0 % g))
+                    margin = np.minimum(mx, my)
+                    ok = best["d2"].to_numpy() < margin * margin
+                best["ok"] = ok
+            else:
+                best = pd.DataFrame(
+                    {"a_id": pd.Series([], dtype="int64"),
+                     "b_id": pd.Series([], dtype="int64"),
+                     "d2": pd.Series([], dtype="int64"),
+                     "x": pd.Series([], dtype="int64"),
+                     "y": pd.Series([], dtype="int64"),
+                     "ok": pd.Series([], dtype="bool")}
+                )
+            lone = A[~A["pid"].isin(best["a_id"])]
+            if len(lone):
+                best = pd.concat(
+                    [best,
+                     pd.DataFrame(
+                         {"a_id": lone["pid"].to_numpy(np.int64),
+                          "b_id": np.int64(-1), "d2": np.int64(0),
+                          "x": lone["x"].to_numpy(np.int64),
+                          "y": lone["y"].to_numpy(np.int64),
+                          "ok": False})],
+                    ignore_index=True)
+            return best
+
+        a_rows = unresolved.map_batches(
+            lambda t, g=g: _cells(t, g, 0), batch_format="pyarrow")
+        b_rows = b.select_columns(["id", "x", "y"]).map_batches(
+            lambda t, g=g: _cells(t, g, 1), batch_format="pyarrow")
+        round_out = joins.partitioned_map(
+            a_rows.union(b_rows), ["cell"], emit,
+            num_partitions=num_partitions, pre_repartition=False,
+        ).materialize()
+
+        resolved_parts.append(
+            round_out.map_batches(
+                lambda df: df[df["ok"]][_OUT] if len(df)
+                else empty_pd, batch_format="pandas"))
+        unresolved = (
+            round_out.map_batches(
+                lambda df: df[~df["ok"]]
+                .rename(columns={"a_id": "id"})[["id", "x", "y"]]
+                if len(df) else empty_un,
+                batch_format="pandas")
+            .materialize()
+        )
+        n_left = unresolved.count()
+        g *= 2
+
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.union(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # kNN
 # ---------------------------------------------------------------------------

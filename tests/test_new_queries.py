@@ -1359,3 +1359,49 @@ def test_rect_join_cross_cell_pair():
     out = sp.rect_intersect_join(a, b, g, num_partitions=4).to_pandas()
     assert out.to_dict("records") == [
         {"a_id": 1, "b_id": 7, "inter_area": (1500 - 900) * (500 - (-100))}]
+
+
+def test_nn_join_brute():
+    got = (Q.q_nn_join(SF).to_pandas()
+           .sort_values("a_id").reset_index(drop=True))
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    sup = pd.read_parquet(f"{SF}/supplier.parquet", columns=["s_suppkey"])
+
+    def xy(k):
+        lon, lat = geo.derive_lonlat(k)
+        r = lambda v: (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        return r(lon * 1e6), r(lat * 1e6)
+
+    ax, ay = xy(cust["c_custkey"].to_numpy(np.int64))
+    bx, by = xy(sup["s_suppkey"].to_numpy(np.int64))
+    bid = sup["s_suppkey"].to_numpy(np.int64)
+    order = np.argsort(bid, kind="stable")  # tie-break by lower b id
+    bx, by, bid = bx[order], by[order], bid[order]
+    d2 = ((ax[:, None] - bx[None, :]) ** 2
+          + (ay[:, None] - by[None, :]) ** 2)
+    j = np.argmin(d2, axis=1)  # first min = lowest id on ties
+    exp = pd.DataFrame({"a_id": cust["c_custkey"].to_numpy(np.int64),
+                        "b_id": bid[j],
+                        "d2": d2[np.arange(len(ax)), j]}) \
+        .sort_values("a_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got[["a_id", "b_id", "d2"]].equals(exp)
+
+
+def test_nn_join_escalates_rounds_and_breaks_ties():
+    """A lone faraway B forces multiple doubling rounds (round-1
+    neighborhood is empty); equal-distance Bs resolve to the lower
+    id — both the escalation loop and the oracle tie rule."""
+    import ray.data as rd
+    from oluray.stages import spatial as sp
+    a = rd.from_pandas(pd.DataFrame(
+        {"id": [1, 2], "x": [0, 1_000_000], "y": [0, 0]}))
+    # B: one point 50e6 away (escalation), plus an exact tie pair
+    # around A id 2 at distance 500_000 on each side
+    b = rd.from_pandas(pd.DataFrame(
+        {"id": [9, 5, 3], "x": [50_000_000, 500_000, 1_500_000],
+         "y": [0, 0, 0]}))
+    out = (sp.nn_join_planar(a, b, start_cell=10_000_000, num_partitions=4)
+           .to_pandas().sort_values("a_id").reset_index(drop=True))
+    assert out.loc[0].tolist() == [1, 5, 500_000 ** 2]
+    assert out.loc[1].tolist() == [2, 3, 500_000 ** 2]  # tie -> lower id
