@@ -4210,6 +4210,125 @@ def _nn_join_sql() -> str:
     """
 
 
+# IQR outlier flagging: per-group exact discrete quartiles (same
+# order statistic as the `group_quantiles` oracle) -> Tukey fences ->
+# row filter. The bounds table is one row per group key (tiny by
+# construction — group cardinality, not corpus size), broadcast once;
+# the corpus streams through a vectorized filter.
+def q_iqr_outliers(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def quant(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy(np.float64))
+            n = len(v)
+            q25 = v[int(np.floor(0.25 * (n - 1)))]
+            q75 = v[int(np.floor(0.75 * (n - 1)))]
+            rows.append((et, q25, q75))
+        return pd.DataFrame(rows, columns=["event_type", "q25", "q75"])
+
+    bounds = joins.grouped_agg(
+        ev.select_columns(["event_type", "value"]), ["event_type"], quant,
+        num_partitions=8, pre_repartition=False,
+    ).to_pandas()
+    # identical float op order on both sides: lo = q25 - 1.5*(q75-q25)
+    q25 = bounds["q25"].to_numpy(np.float64)
+    q75 = bounds["q75"].to_numpy(np.float64)
+    lo = dict(zip(bounds["event_type"], q25 - 1.5 * (q75 - q25)))
+    hi = dict(zip(bounds["event_type"], q75 + 1.5 * (q75 - q25)))
+    ref = ray.put((lo, hi))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        lo_m, hi_m = ray.get(ref)
+        v = df["value"].to_numpy(np.float64)
+        keep = (v < df["event_type"].map(lo_m).to_numpy(np.float64)) | (
+            v > df["event_type"].map(hi_m).to_numpy(np.float64))
+        return df[keep][["event_id", "event_type", "value"]]
+
+    return ev.map_batches(flag, batch_format="pandas")
+
+
+_IQR_SQL = """
+    WITH q AS (
+      SELECT event_type,
+        list_extract(list(value ORDER BY value),
+          CAST(floor(0.25*(count(*)-1)) AS BIGINT)+1) AS q25,
+        list_extract(list(value ORDER BY value),
+          CAST(floor(0.75*(count(*)-1)) AS BIGINT)+1) AS q75
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN q USING (event_type)
+    WHERE e.value < q.q25 - 1.5*(q.q75 - q.q25)
+       OR e.value > q.q75 + 1.5*(q.q75 - q.q25)
+"""
+
+
+# retention cohorts: users grouped by first-activity day, counted per
+# (cohort day, day offset) — the standard growth-analytics rollup.
+# Three distributed stages: per-user first-ts (combiner-bounded
+# grouped min), distinct active (user, day) pairs, then a LARGE-LARGE
+# hash join of activity onto cohorts and a small grouped count.
+def q_retention_cohorts(sf_dir: str):
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)["ts"].min()
+        return g.rename(columns={"ts": "fts"})
+
+    def first_total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False)["fts"].min()
+
+    firsts = joins.grouped_agg(
+        ev.map_batches(first_partial, batch_format="pandas"),
+        ["user_id"], first_total, num_partitions=32, pre_repartition=False,
+    )
+
+    def day_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": df["user_id"],
+                            "day": df["ts"].dt.floor("D")})
+        return out.drop_duplicates()
+
+    active = joins.distinct(
+        ev.map_batches(day_rows, batch_format="pandas"),
+        ["user_id", "day"], num_partitions=32,
+    )
+
+    _ACT = pa.schema([("user_id", pa.int64()), ("day", pa.timestamp("us"))])
+    _FST = pa.schema([("user_id", pa.int64()), ("fts", pa.timestamp("us"))])
+    j = joins.hash_join(active, firsts, on="user_id", num_partitions=32,
+                        left_schema=_ACT, right_schema=_FST)
+
+    def to_cohort(df: pd.DataFrame) -> pd.DataFrame:
+        cohort = df["fts"].dt.floor("D")
+        off = ((df["day"] - cohort).dt.days).astype("int64")
+        g = (pd.DataFrame({"cohort_day": cohort, "offset_days": off})
+             .groupby(["cohort_day", "offset_days"], as_index=False).size())
+        return g.rename(columns={"size": "n_users"})
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cohort_day", "offset_days"], as_index=False)["n_users"].sum()
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    return joins.grouped_agg(
+        j.map_batches(to_cohort, batch_format="pandas"),
+        ["cohort_day", "offset_days"], total,
+        num_partitions=8, pre_repartition=False,
+    )
+
+
+_RETENTION_SQL = """
+    WITH f AS (SELECT user_id, min(ts) AS fts FROM events GROUP BY user_id),
+    d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+    SELECT date_trunc('day', f.fts) AS cohort_day,
+           date_diff('day', date_trunc('day', f.fts), d.day)::BIGINT AS offset_days,
+           count(*)::BIGINT AS n_users
+    FROM d JOIN f USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -4921,6 +5040,8 @@ ORACLE: dict[str, str] = {
     "first_last_events": _FIRST_LAST_SQL,
     "rect_join": _rect_join_sql(),
     "nn_join": _nn_join_sql(),
+    "iqr_outliers": _IQR_SQL,
+    "retention_cohorts": _RETENTION_SQL,
 }
 
 QUERIES = {
@@ -5051,4 +5172,6 @@ QUERIES = {
     "rel_hull": q_rel_hull,
     "rect_join": q_rect_join,
     "nn_join": q_nn_join,
+    "iqr_outliers": q_iqr_outliers,
+    "retention_cohorts": q_retention_cohorts,
 }

@@ -1405,3 +1405,40 @@ def test_nn_join_escalates_rounds_and_breaks_ties():
            .to_pandas().sort_values("a_id").reset_index(drop=True))
     assert out.loc[0].tolist() == [1, 5, 500_000 ** 2]
     assert out.loc[1].tolist() == [2, 3, 500_000 ** 2]  # tie -> lower id
+
+
+def test_iqr_outliers_brute():
+    got = (Q.q_iqr_outliers(SF).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    keep = np.zeros(len(ev), dtype=bool)
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy(np.float64))
+        n = len(v)
+        q25 = v[int(np.floor(0.25 * (n - 1)))]
+        q75 = v[int(np.floor(0.75 * (n - 1)))]
+        lo, hi = q25 - 1.5 * (q75 - q25), q75 + 1.5 * (q75 - q25)
+        keep[g.index] = (g["value"] < lo) | (g["value"] > hi)
+    exp = ev[keep].sort_values("event_id").reset_index(drop=True)
+    assert got.equals(exp[got.columns.tolist()])
+    assert len(got) > 0  # the fixture data has outliers to flag
+
+
+def test_retention_cohorts_brute():
+    got = (Q.q_retention_cohorts(SF).to_pandas()
+           .sort_values(["cohort_day", "offset_days"]).reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    f = ev.groupby("user_id")["ts"].min().dt.floor("D").rename("cohort_day")
+    d = (pd.DataFrame({"user_id": ev["user_id"], "day": ev["ts"].dt.floor("D")})
+         .drop_duplicates())
+    j = d.join(f, on="user_id")
+    j["offset_days"] = (j["day"] - j["cohort_day"]).dt.days.astype("int64")
+    exp = (j.groupby(["cohort_day", "offset_days"], as_index=False).size()
+           .rename(columns={"size": "n_users"})
+           .sort_values(["cohort_day", "offset_days"]).reset_index(drop=True))
+    exp["n_users"] = exp["n_users"].astype("int64")
+    assert got.equals(exp[got.columns.tolist()])
+    # day-0 row exists for every cohort (a user is active on their first day)
+    day0 = set(exp.loc[exp["offset_days"] == 0, "cohort_day"])
+    assert set(exp["cohort_day"]) == day0
