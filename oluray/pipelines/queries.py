@@ -4210,6 +4210,40 @@ def _nn_join_sql() -> str:
     """
 
 
+# per-tile image mosaic (rows-only; crc-exact pytest oracle): the
+# raster side of tile materialization — every tile cell gets a
+# deterministic contact-sheet of its images. Scale contract: the
+# decode+downscale actor pool runs BEFORE the cell shuffle, so the
+# exchange moves t*t*3-byte raw thumbnails (768 B at t=16), never the
+# source blobs; per-cell composition is one vectorized pass.
+MOSAIC_RES = 3
+MOSAIC_T = 16
+MOSAIC_K = 9
+
+
+def q_tile_mosaic(sf_dir: str):
+    from oluray.stages.image import MosaicThumbs, compose_mosaics
+
+    def with_cell(t: pa.Table) -> pa.Table:
+        ids = pc.cast(
+            pc.utf8_slice_codeunits(t["image_id"], 3, 11), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        lon, lat = geo.derive_lonlat(ids)
+        return t.append_column(
+            "cell", pa.array(geo.cell_encode(lon, lat, MOSAIC_RES)))
+
+    imgs = _synth_images(sf_dir).map_batches(with_cell, batch_format="pyarrow")
+    thumbs = imgs.map_batches(
+        MosaicThumbs, fn_constructor_kwargs=dict(t=MOSAIC_T),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    )
+    return joins.partitioned_map(
+        thumbs.select_columns(["cell", "image_id", "thumb_raw"]), ["cell"],
+        lambda df: compose_mosaics(df, t=MOSAIC_T, k=MOSAIC_K),
+        num_partitions=16, pre_repartition=False,
+    )
+
+
 # IQR outlier flagging: per-group exact discrete quartiles (same
 # order statistic as the `group_quantiles` oracle) -> Tukey fences ->
 # row filter. The bounds table is one row per group key (tiny by
@@ -5174,4 +5208,5 @@ QUERIES = {
     "nn_join": q_nn_join,
     "iqr_outliers": q_iqr_outliers,
     "retention_cohorts": q_retention_cohorts,
+    "tile_mosaic": q_tile_mosaic,
 }

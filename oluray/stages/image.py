@@ -310,3 +310,68 @@ class ChannelMoments:
             "s1": pa.array(s1),
             "s2": pa.array(s2),
         })
+
+
+class MosaicThumbs:
+    """Decode + downscale to a raw t x t x 3 thumbnail — the
+    pre-shuffle half of tile mosaicking. Emitting the RAW thumbnail
+    (t*t*3 bytes, 768 B at t=16) instead of the original blob is the
+    scale contract: the per-cell compose shuffle moves thumbnails,
+    never source bytes (a 12 MP jpeg stays where it was read)."""
+
+    def __init__(self, t: int = 16):
+        self.t = t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.t
+        thumbs = []
+        for b, f in zip(batch["bytes"].to_pylist(), batch["fmt"].to_pylist()):
+            px = imagecodec.decode(b, f)
+            h, w, _ = px.shape
+            ys = (np.arange(t) * h) // t
+            xs = (np.arange(t) * w) // t
+            thumbs.append(px[ys][:, xs].tobytes())
+        out = batch.drop_columns(["bytes", "fmt"])
+        return out.append_column("thumb_raw", pa.array(thumbs, pa.binary()))
+
+
+def compose_mosaics(df, t: int = 16, k: int = 16):
+    """Per-cell mosaic composition (the partitioned_map stage): up to
+    `k` thumbnails per cell — lowest image_id first, overflow dropped
+    deterministically — tiled row-major into a ceil(sqrt(n))-wide
+    grid, zero-padded. Returns one row per cell: grid PNG bytes plus
+    a crc32 of the raw pixel array (the cheap equality handle for
+    goldens and resume checks)."""
+    import math
+    import zlib
+
+    import pandas as pd
+
+    cols = ["cell", "n_images", "n_used", "grid", "mosaic_w", "mosaic_h",
+            "crc", "mosaic_png"]
+    if len(df) == 0:
+        return pd.DataFrame(
+            {"cell": pd.Series([], dtype="int64"),
+             "n_images": pd.Series([], dtype="int64"),
+             "n_used": pd.Series([], dtype="int64"),
+             "grid": pd.Series([], dtype="int64"),
+             "mosaic_w": pd.Series([], dtype="int64"),
+             "mosaic_h": pd.Series([], dtype="int64"),
+             "crc": pd.Series([], dtype="int64"),
+             "mosaic_png": pd.Series([], dtype="object")})
+    rows = []
+    for cell, g in df.groupby("cell", sort=False):
+        g = g.sort_values("image_id", kind="mergesort")
+        n_images = len(g)
+        use = g.iloc[:k]
+        n = len(use)
+        side = int(math.ceil(math.sqrt(n)))
+        canvas = np.zeros((side * t, side * t, 3), dtype=np.uint8)
+        for i, raw in enumerate(use["thumb_raw"]):
+            px = np.frombuffer(raw, dtype=np.uint8).reshape(t, t, 3)
+            r, c = divmod(i, side)
+            canvas[r * t:(r + 1) * t, c * t:(c + 1) * t] = px
+        rows.append((int(cell), n_images, n, side, side * t, side * t,
+                     np.int64(zlib.crc32(canvas.tobytes())),
+                     imagecodec.encode_png(canvas)))
+    return pd.DataFrame(rows, columns=cols)

@@ -1442,3 +1442,50 @@ def test_retention_cohorts_brute():
     # day-0 row exists for every cohort (a user is active on their first day)
     day0 = set(exp.loc[exp["offset_days"] == 0, "cohort_day"])
     assert set(exp["cohort_day"]) == day0
+
+
+def test_tile_mosaic_crc_brute():
+    """Distributed mosaic == single-pass driver mosaic, crc-exact:
+    same per-cell image pick (lowest ids), same grid layout."""
+    import math
+    import zlib
+    from oluray.functions import imagecodec
+    from oluray.sources import fixtures
+
+    got = (Q.q_tile_mosaic(SF).to_pandas()
+           .sort_values("cell").reset_index(drop=True))
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy(np.int64)
+    lon, lat = geo.derive_lonlat(ids)
+    cells = geo.cell_encode(lon, lat, Q.MOSAIC_RES)
+    t, k = Q.MOSAIC_T, Q.MOSAIC_K
+    exp_rows = []
+    df = pd.DataFrame({"i": ids, "cell": cells,
+                       "image_id": [f"img{int(i):08d}" for i in ids]})
+    for cell, g in df.groupby("cell"):
+        g = g.sort_values("image_id")
+        use = g.iloc[:k]
+        side = int(math.ceil(math.sqrt(len(use))))
+        canvas = np.zeros((side * t, side * t, 3), dtype=np.uint8)
+        for j, i in enumerate(use["i"]):
+            w = h = fixtures.SIZES[int(i) % len(fixtures.SIZES)]
+            fmt = fixtures.FMTS[int(i) % len(fixtures.FMTS)]
+            # decode what the engine decodes: the ENCODED blob (the
+            # fake-jpeg path is deterministically lossy)
+            px = imagecodec.decode(
+                imagecodec.encode(fixtures._pixels(int(i), w, h, 42), fmt),
+                fmt)
+            ys = (np.arange(t) * h) // t
+            xs = (np.arange(t) * w) // t
+            th = px[ys][:, xs]
+            r, c = divmod(j, side)
+            canvas[r * t:(r + 1) * t, c * t:(c + 1) * t] = th
+        exp_rows.append((int(cell), len(g), len(use),
+                         np.int64(zlib.crc32(canvas.tobytes()))))
+    exp = (pd.DataFrame(exp_rows,
+                        columns=["cell", "n_images", "n_used", "crc"])
+           .sort_values("cell").reset_index(drop=True))
+    assert got[["cell", "n_images", "n_used", "crc"]].equals(exp)
+    # the emitted PNG decodes back to the crc'd pixels (round-trip)
+    px = imagecodec.decode_png(got.loc[0, "mosaic_png"])
+    assert np.int64(zlib.crc32(px.tobytes())) == got.loc[0, "crc"]
