@@ -105,3 +105,35 @@ def test_resume_with_encoded_string_partition_keys(tmp_path):
         for f in glob.glob(os.path.join(out, "part=*", "*.parquet"))
     )
     assert total == 4  # no duplicate rows after the rerun
+
+
+def test_run_job_entrypoint(tmp_path):
+    """`tools/run_job.py` (the `ray job submit` entrypoint): runs a
+    window from parquet paths, prints metrics, and a re-submission is
+    a per-partition no-op."""
+    import json
+    import pyarrow.parquet as pq
+    from oluray.sources import fixtures
+    from tools.run_job import main
+
+    images = fixtures.make_images(200, 7)
+    lon, lat = fixtures.footprint_from_phash(images["phash"].to_numpy())
+    centers = list(zip(lon.tolist(), lat.tolist()))[:4]
+    polys = fixtures.make_change_polys(4, 7, centers=centers)
+    img_path = str(tmp_path / "images.parquet")
+    poly_path = str(tmp_path / "polys.parquet")
+    pq.write_table(images, img_path)
+    pq.write_table(polys, poly_path)
+    out = str(tmp_path / "out")
+
+    m1 = main(["--images", img_path, "--polys", poly_path,
+               "--out", out, "--window-id", "wjob"])
+    assert m1["rows"] > 0 and m1["partitions"] >= 1
+    man1 = json.load(open(f"{out}/_manifest.json"))
+    t1 = {k: v["finished_at"] for k, v in man1["partitions"].items()}
+
+    m2 = main(["--images", img_path, "--polys", poly_path,
+               "--out", out, "--window-id", "wjob"])
+    man2 = json.load(open(f"{out}/_manifest.json"))
+    assert {k: v["finished_at"] for k, v in man2["partitions"].items()} == t1
+    assert m2["rows"] == m1["rows"]  # metrics read from the manifest
