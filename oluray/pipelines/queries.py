@@ -4244,6 +4244,50 @@ def q_tile_mosaic(sf_dir: str):
     )
 
 
+# quadkeys: the Bing-maps/tile-server string form of the z-order code
+# (one base-4 digit per zoom level, MSB first) — the key a tile CDN
+# or a hive `part=` layout wants. Pure per-batch map; the string is
+# assembled with a fixed-width byte-matrix view, no per-row loop.
+def q_quadkeys(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    pts = spatial.add_cell_column(_with_points(cust, "c_custkey"), CELL_RES)
+
+    def qk(t: pa.Table) -> pa.Table:
+        m = geo.morton_code(t["cell"].to_numpy(zero_copy_only=False))
+        n = len(m)
+        if n == 0:
+            return pa.table({"c_custkey": t["c_custkey"],
+                             "quadkey": pa.array([], pa.string())})
+        digits = np.stack(
+            [(m >> (2 * (CELL_RES - 1 - i))) & 3 for i in range(CELL_RES)],
+            axis=1,
+        ).astype(np.uint8) + 48  # ascii '0'..'3'
+        qks = np.frombuffer(digits.tobytes(), dtype=f"S{CELL_RES}")
+        return pa.table(
+            {"c_custkey": t["c_custkey"],
+             "quadkey": pa.array(qks.astype("U"))}
+        )
+
+    return pts.map_batches(qk, batch_format="pyarrow")
+
+
+def _quadkeys_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("c_custkey")
+    cell = geo.cell_encode_sql(lon, lat, CELL_RES)
+    morton = geo.morton_sql("x", "y", CELL_RES)
+    ymask = geo.Y_SHIFT - 1
+    concat = " || ".join(
+        f"CAST((m >> {2 * (CELL_RES - 1 - i)}) & 3 AS VARCHAR)"
+        for i in range(CELL_RES)
+    )
+    return f"""
+    SELECT c_custkey, {concat} AS quadkey FROM (
+      SELECT c_custkey, {morton} AS m FROM (
+        SELECT c_custkey, cell & {ymask} AS x, (cell >> 29) & {ymask} AS y
+        FROM (SELECT c_custkey, {cell} AS cell FROM customer)))
+    """
+
+
 # IQR outlier flagging: per-group exact discrete quartiles (same
 # order statistic as the `group_quantiles` oracle) -> Tukey fences ->
 # row filter. The bounds table is one row per group key (tiny by
@@ -5076,6 +5120,7 @@ ORACLE: dict[str, str] = {
     "nn_join": _nn_join_sql(),
     "iqr_outliers": _IQR_SQL,
     "retention_cohorts": _RETENTION_SQL,
+    "quadkeys": _quadkeys_sql(),
 }
 
 QUERIES = {
@@ -5209,4 +5254,5 @@ QUERIES = {
     "iqr_outliers": q_iqr_outliers,
     "retention_cohorts": q_retention_cohorts,
     "tile_mosaic": q_tile_mosaic,
+    "quadkeys": q_quadkeys,
 }

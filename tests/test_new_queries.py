@@ -1489,3 +1489,22 @@ def test_tile_mosaic_crc_brute():
     # the emitted PNG decodes back to the crc'd pixels (round-trip)
     px = imagecodec.decode_png(got.loc[0, "mosaic_png"])
     assert np.int64(zlib.crc32(px.tobytes())) == got.loc[0, "crc"]
+
+
+def test_quadkeys_brute_and_prefix_property():
+    got = (Q.q_quadkeys(SF).to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    lon, lat = geo.derive_lonlat(cust["c_custkey"].to_numpy(np.int64))
+    cells = geo.cell_encode(lon, lat, Q.CELL_RES)
+    m = geo.morton_code(cells)
+    exp = ["".join(str((int(v) >> (2 * (Q.CELL_RES - 1 - i))) & 3)
+                   for i in range(Q.CELL_RES)) for v in m]
+    exp_sorted = [q for _, q in sorted(zip(cust["c_custkey"], exp))]
+    assert got["quadkey"].tolist() == exp_sorted
+    # zoom prefix: the parent cell's quadkey is the child's minus one digit
+    par = geo.cell_parent(cells, Q.CELL_RES - 1)
+    mp = geo.morton_code(par)
+    exp_p = ["".join(str((int(v) >> (2 * (Q.CELL_RES - 2 - i))) & 3)
+                     for i in range(Q.CELL_RES - 1)) for v in mp]
+    assert all(c[:-1] == p for c, p in zip(exp, exp_p))
