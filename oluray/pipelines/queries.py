@@ -4407,6 +4407,150 @@ _RETENTION_SQL = """
 """
 
 
+# geofence enter/exit detection: the continuous-monitoring twin of the
+# PIP join — per-ping inside-any-fence state, then a per-user ordered
+# LAG comparison emits one event per state CHANGE. Composition of the
+# M2-style predicate with the O4-style ordered scan (reference redoes
+# the full membership query per window, `src/osm/OsmChangeHandler.cpp`
+# delete/insert cycle; here only transitions leave the stage). Scale
+# shape: PIP state is a stateless per-batch map; the window is one
+# user-hash partition sort, rows out = state changes only.
+def q_geofence_transitions(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def state(t: pa.Table) -> pa.Table:
+        lon, lat = geo.derive_lonlat(t["event_id"].to_numpy(zero_copy_only=False))
+        inside = np.zeros(len(lon), dtype=bool)
+        for rx, ry in PIP_POLYS.values():
+            inside |= geo.point_in_polygon(lon, lat, np.array(rx), np.array(ry))
+        return t.append_column("inside", pa.array(inside))
+
+    st = ev.map_batches(state, batch_format="pyarrow")
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "event_id": pd.Series([], dtype="int64"),
+                 "op": pd.Series([], dtype="string")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        uid = df["user_id"].to_numpy()
+        ins = df["inside"].to_numpy()
+        chg = np.zeros(len(df), dtype=bool)
+        chg[1:] = (uid[1:] == uid[:-1]) & (ins[1:] != ins[:-1])
+        out = df[chg]
+        return pd.DataFrame(
+            {"user_id": out["user_id"].to_numpy(),
+             "event_id": out["event_id"].to_numpy(),
+             "op": np.where(out["inside"].to_numpy(), "enter", "exit")})
+
+    return joins.partitioned_map(st, ["user_id"], transitions,
+                                 num_partitions=16, pre_repartition=False)
+
+
+def _geofence_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("event_id")
+    inside = " OR ".join(geo.pip_sql_expr(rx, ry, lon, lat)
+                         for rx, ry in PIP_POLYS.values())
+    return f"""
+    WITH s AS (
+      SELECT user_id, event_id, ts, ({inside}) AS inside FROM events),
+    w AS (
+      SELECT user_id, event_id, inside,
+             lag(inside) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+      FROM s)
+    SELECT user_id, event_id,
+           CASE WHEN inside THEN 'enter' ELSE 'exit' END AS op
+    FROM w WHERE prev IS NOT NULL AND inside <> prev
+    """
+
+
+# exact corpus heavy hitters (see text.heavy_terms: 2-pass MG-candidate
+# + broadcast-recount plan; vocabulary never shuffles)
+def q_heavy_terms(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.heavy_terms(docs, k=HEAVY_K, num_partitions=16)
+
+
+HEAVY_K = 500
+
+_HEAVY_TERMS_SQL = f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents),
+    t AS (SELECT term, count(*)::BIGINT AS cnt
+          FROM tok WHERE term <> '' GROUP BY term),
+    n AS (SELECT sum(cnt) AS total FROM t)
+    SELECT term, cnt FROM t, n WHERE cnt * {HEAVY_K} >= total
+"""
+
+
+# geohash: the OTHER ubiquitous hierarchical cell string (base-32,
+# lon-first bit interleave over binary fractions of the lon/lat
+# ranges) — complements `quadkeys` (z-order base-4). 8 chars = 40
+# bits = 20 lon + 20 lat. Pure per-batch map, fixed-width byte matrix
+# assembly, no per-row loop.
+GEOHASH_CHARS = 8
+_GH_BITS = 5 * GEOHASH_CHARS // 2  # per-axis bits (even total bits)
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def q_geohash(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    pts = _with_points(cust, "c_custkey")
+    amax = np.int64((1 << _GH_BITS) - 1)
+    alpha = np.frombuffer(_GH_ALPHABET.encode(), dtype=np.uint8)
+
+    def gh(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"c_custkey": t["c_custkey"],
+                             "geohash": pa.array([], pa.string())})
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        scale = np.float64(1 << _GH_BITS)
+        x = np.minimum(np.floor((lon + 180.0) / 360.0 * scale).astype(np.int64), amax)
+        y = np.minimum(np.floor((lat + 90.0) / 180.0 * scale).astype(np.int64), amax)
+        m = np.zeros(n, dtype=np.int64)
+        for j in range(_GH_BITS):  # lon on even bit positions (MSB first)
+            m |= (((x >> (_GH_BITS - 1 - j)) & 1) << (2 * _GH_BITS - 1 - 2 * j))
+            m |= (((y >> (_GH_BITS - 1 - j)) & 1) << (2 * _GH_BITS - 2 - 2 * j))
+        digits = np.stack(
+            [(m >> (5 * (GEOHASH_CHARS - 1 - c))) & 31
+             for c in range(GEOHASH_CHARS)], axis=1)
+        chars = alpha[digits]
+        s = np.frombuffer(chars.tobytes(), dtype=f"S{GEOHASH_CHARS}")
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "geohash": pa.array(s.astype("U"))})
+
+    return pts.map_batches(gh, batch_format="pyarrow")
+
+
+def _geohash_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("c_custkey")
+    amax = (1 << _GH_BITS) - 1
+    inter = " + ".join(
+        f"(((x >> {_GH_BITS - 1 - j}) & 1) * {1 << (2 * _GH_BITS - 1 - 2 * j)})"
+        f" + (((y >> {_GH_BITS - 1 - j}) & 1) * {1 << (2 * _GH_BITS - 2 - 2 * j)})"
+        for j in range(_GH_BITS)
+    )
+    concat = " || ".join(
+        f"substr('{_GH_ALPHABET}', "
+        f"CAST(((m >> {5 * (GEOHASH_CHARS - 1 - c)}) & 31) AS INT) + 1, 1)"
+        for c in range(GEOHASH_CHARS)
+    )
+    return f"""
+    SELECT c_custkey, {concat} AS geohash FROM (
+      SELECT c_custkey, {inter} AS m FROM (
+        SELECT c_custkey,
+               LEAST(CAST(floor((({lon}) + 180.0) / 360.0 * {float(1 << _GH_BITS)!r}) AS BIGINT), {amax}) AS x,
+               LEAST(CAST(floor((({lat}) + 90.0) / 180.0 * {float(1 << _GH_BITS)!r}) AS BIGINT), {amax}) AS y
+        FROM customer))
+    """
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -5121,6 +5265,9 @@ ORACLE: dict[str, str] = {
     "iqr_outliers": _IQR_SQL,
     "retention_cohorts": _RETENTION_SQL,
     "quadkeys": _quadkeys_sql(),
+    "geofence_transitions": _geofence_sql(),
+    "heavy_terms": _HEAVY_TERMS_SQL,
+    "geohash": _geohash_sql(),
 }
 
 QUERIES = {
@@ -5255,4 +5402,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "tile_mosaic": q_tile_mosaic,
     "quadkeys": q_quadkeys,
+    "geofence_transitions": q_geofence_transitions,
+    "heavy_terms": q_heavy_terms,
+    "geohash": q_geohash,
 }

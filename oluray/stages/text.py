@@ -813,3 +813,77 @@ def fuzzy_pairs_ed1(
                                  pre_repartition=False)
     return joins.pair_dedup(cand, ("ka", "kb"),
                             num_partitions=num_partitions)
+
+
+def heavy_terms(docs, k: int = 200,
+                num_partitions: int = 32) -> "ray.data.Dataset":
+    """EXACT corpus heavy hitters: every term whose collection
+    frequency is >= 1/k of all token occurrences, with its exact
+    count — WITHOUT shuffling the vocabulary (the classic 2-pass
+    Misra-Gries-candidates + broadcast-recount plan; reference
+    computes nothing like this, it is a training-data op).
+
+    Pass 1 (one streaming scan): each block emits the terms that are
+    locally heavy (cnt_b * k >= ntok_b) plus one sentinel row
+    (term='', cnt=ntok_b) carrying the block's token total. The
+    pigeonhole argument makes the union a SUPERSET of the global
+    heavy set: if cnt * k >= ntok globally and every block had
+    cnt_b * k < ntok_b, summing the strict inequalities over blocks
+    contradicts the global one. Driver state is <= (k+1) rows per
+    block — bounded by k x #blocks, never by vocabulary size.
+
+    Pass 2 (one streaming scan): the candidate terms are broadcast
+    (ray.put, read once per task), each block counts ONLY candidate
+    occurrences, and a tiny grouped sum + the exact global threshold
+    filter produce the answer. Shuffle volume = candidates x blocks
+    count rows; the token stream never moves.
+
+    Empty terms from the splitter are dropped on both passes, so ''
+    is free to use as the sentinel key."""
+    import ray
+    import ray.data
+
+    from oluray.stages import joins
+
+    def pass1(batch: pd.DataFrame) -> pd.DataFrame:
+        tok = _explode_terms(batch)
+        ntok = len(tok)
+        if ntok == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        vc = tok.groupby("term", sort=False).size()
+        vc = vc[vc * k >= ntok]
+        return pd.DataFrame(
+            {"term": np.concatenate([vc.index.to_numpy(dtype=object),
+                                     [""]]),
+             "cnt": np.concatenate([vc.to_numpy(dtype=np.int64),
+                                    [ntok]]).astype(np.int64)}
+        )
+
+    cand = docs.map_batches(pass1, batch_format="pandas").to_pandas()
+    total = int(cand.loc[cand["term"] == "", "cnt"].sum())
+    terms = pd.unique(cand.loc[cand["term"] != "", "term"])
+    if total == 0 or len(terms) == 0:
+        return ray.data.from_arrow(pa.table(
+            {"term": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())}))
+    cand_ref = ray.put(set(terms.tolist()))
+
+    def pass2(batch: pd.DataFrame) -> pd.DataFrame:
+        tok = _explode_terms(batch)
+        want = ray.get(cand_ref)
+        tok = tok[tok["term"].isin(want)]
+        vc = tok.groupby("term", sort=False).size()
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    partial = docs.map_batches(pass2, batch_format="pandas")
+
+    def agg(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("term", as_index=False)["cnt"].sum()
+        g["cnt"] = g["cnt"].astype("int64")
+        return g[g["cnt"] * k >= total].reset_index(drop=True)
+
+    return joins.grouped_agg(partial, ["term"], agg,
+                             num_partitions=num_partitions,
+                             pre_repartition=False)
