@@ -4551,6 +4551,177 @@ def _geohash_sql() -> str:
     """
 
 
+# integer PageRank over the supplier->part bipartite graph (node ids
+# disambiguated as 2*suppkey / 2*partkey+1). The oracle unrolls the
+# same power iteration as chained CTEs — every quantity int64/HUGEINT
+# with floor division, so the match is hash-exact with no float
+# tolerance (see joins.pagerank for the order-independence argument).
+PR_ITERS = 10
+PR_SCALE = 10**12
+
+
+def q_pagerank(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        s = pc.multiply(t["l_suppkey"], pa.scalar(2, pa.int64()))
+        p = pc.add(pc.multiply(t["l_partkey"], pa.scalar(2, pa.int64())),
+                   pa.scalar(1, pa.int64()))
+        return pa.table({"src": s, "dst": p})
+
+    e = li.map_batches(as_edges, batch_format="pyarrow")
+    return joins.pagerank(e, iters=PR_ITERS, scale=PR_SCALE,
+                          num_partitions=16)
+
+
+def _pagerank_sql() -> str:
+    dn, dd_ = 85, 100
+    base = PR_SCALE * (dd_ - dn) // dd_
+    ctes = [
+        ("e AS (SELECT DISTINCT l_suppkey*2 AS src, l_partkey*2+1 AS dst"
+         " FROM lineitem)"),
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, {PR_SCALE}::BIGINT AS r FROM nodes)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"r{i} AS (SELECT n.node, ({base}::BIGINT + "
+            f"COALESCE(SUM((r.r * {dn} // {dd_}) // od.d), 0))::BIGINT AS r"
+            f" FROM nodes n LEFT JOIN e ON e.dst = n.node"
+            f" LEFT JOIN r{i - 1} r ON r.node = e.src"
+            f" LEFT JOIN od ON od.src = e.src GROUP BY n.node)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, r FROM r{PR_ITERS}")
+
+
+# origin->destination flow matrix: each user's first and last ping
+# cell (ordered by ts, event_id), counted per (o_cell, d_cell) pair —
+# the standard mobility rollup over the same cell grid the tiling
+# path uses. One user-hash partition sort + a tiny pair groupby.
+def q_od_matrix(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def ends(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"o_cell": pd.Series([], dtype="int64"),
+                 "d_cell": pd.Series([], dtype="int64"),
+                 "n_users": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        g = df.groupby("user_id", as_index=False).agg(
+            o_eid=("event_id", "first"), d_eid=("event_id", "last"))
+        olon, olat = geo.derive_lonlat(g["o_eid"].to_numpy(np.int64))
+        dlon, dlat = geo.derive_lonlat(g["d_eid"].to_numpy(np.int64))
+        out = pd.DataFrame(
+            {"o_cell": geo.cell_encode(olon, olat, CELL_RES),
+             "d_cell": geo.cell_encode(dlon, dlat, CELL_RES)})
+        out = out.groupby(["o_cell", "d_cell"], as_index=False).size(
+        ).rename(columns={"size": "n_users"})
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    ends_d = joins.partitioned_map(ev, ["user_id"], ends,
+                                   num_partitions=16,
+                                   pre_repartition=False)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_cell", "d_cell"], as_index=False)["n_users"].sum()
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    return joins.grouped_agg(ends_d, ["o_cell", "d_cell"], total,
+                             num_partitions=16, pre_repartition=False)
+
+
+def _od_matrix_sql() -> str:
+    olon, olat = geo.derive_lonlat_sql("o_eid")
+    dlon, dlat = geo.derive_lonlat_sql("d_eid")
+    ocell = geo.cell_encode_sql(olon, olat, CELL_RES)
+    dcell = geo.cell_encode_sql(dlon, dlat, CELL_RES)
+    return f"""
+    WITH ends AS (
+      SELECT user_id,
+             first_value(event_id) OVER w AS o_eid,
+             last_value(event_id) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS d_eid,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    u AS (SELECT o_eid, d_eid FROM ends WHERE rn = 1)
+    SELECT {ocell} AS o_cell, {dcell} AS d_cell,
+           count(*)::BIGINT AS n_users
+    FROM u GROUP BY 1, 2
+    """
+
+
+# per-group z-score normalization of money amounts — the two-pass
+# (tiny stats -> broadcast back) feature-scaling pattern every
+# training pipeline runs. Stats are EXACT integers (cents; partial
+# per-block int64 sums merged as Python bigints so n*sumsq never
+# wraps), the per-row z is one subtraction/divide from those ints
+# with identical op order both sides, rounded to 1e-6.
+def q_zscore_norm(sf_dir: str):
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag",
+                "l_extendedprice"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        c = _round_half_away(df["l_extendedprice"].to_numpy() * 100.0)
+        g = pd.DataFrame({"f": df["l_returnflag"], "c": c, "c2": c * c})
+        out = g.groupby("f", as_index=False).agg(
+            n=("c", "size"), s=("c", "sum"), s2=("c2", "sum"))
+        return out
+
+    stats = li.map_batches(partials, batch_format="pandas").to_pandas()
+    # merge block partials as Python bigints — the s2 total overflows
+    # int64 well before the PER-BLOCK partials do
+    stats[["n", "s", "s2"]] = stats[["n", "s", "s2"]].astype(object)
+    stats = stats.groupby("f", as_index=False).sum()
+    # Python bigints: n*s2 - s*s exceeds int64 at sf>=0.1
+    den = {
+        r.f: float(int(r.n) * int(r.s2) - int(r.s) * int(r.s))
+        for r in stats.itertuples()
+    }
+    nmap = {r.f: int(r.n) for r in stats.itertuples()}
+    smap = {r.f: int(r.s) for r in stats.itertuples()}
+
+    def z(df: pd.DataFrame) -> pd.DataFrame:
+        c = _round_half_away(df["l_extendedprice"].to_numpy() * 100.0)
+        f = df["l_returnflag"]
+        n = f.map(nmap).to_numpy(dtype=np.float64)
+        s = f.map(smap).to_numpy(dtype=np.float64)
+        d = np.sqrt(f.map(den).to_numpy(dtype=np.float64))
+        zv = (c.astype(np.float64) * n - s) / d
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"],
+             "l_linenumber": df["l_linenumber"],
+             "z_1e6": _round_half_away(zv * 1e6)})
+
+    return li.map_batches(z, batch_format="pandas")
+
+
+_ZSCORE_SQL = """
+    WITH c AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             round(l_extendedprice * 100.0, 0)::BIGINT AS cents
+      FROM lineitem),
+    st AS (
+      SELECT l_returnflag, count(*)::HUGEINT AS n,
+             sum(cents)::HUGEINT AS s,
+             sum(cents::HUGEINT * cents)::HUGEINT AS s2
+      FROM c GROUP BY l_returnflag)
+    SELECT l_orderkey, l_linenumber,
+           round((cents::DOUBLE * n::DOUBLE - s::DOUBLE)
+                 / sqrt((n * s2 - s * s)::DOUBLE) * 1e6, 0)::BIGINT AS z_1e6
+    FROM c JOIN st USING (l_returnflag)
+"""
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -5268,6 +5439,9 @@ ORACLE: dict[str, str] = {
     "geofence_transitions": _geofence_sql(),
     "heavy_terms": _HEAVY_TERMS_SQL,
     "geohash": _geohash_sql(),
+    "pagerank": _pagerank_sql(),
+    "od_matrix": _od_matrix_sql(),
+    "zscore_norm": _ZSCORE_SQL,
 }
 
 QUERIES = {
@@ -5405,4 +5579,7 @@ QUERIES = {
     "geofence_transitions": q_geofence_transitions,
     "heavy_terms": q_heavy_terms,
     "geohash": q_geohash,
+    "pagerank": q_pagerank,
+    "od_matrix": q_od_matrix,
+    "zscore_norm": q_zscore_norm,
 }

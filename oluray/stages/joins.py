@@ -1139,3 +1139,133 @@ def group_topk(
     combined = ds.map_batches(topk, batch_format="pandas", batch_size=65536)
     return partitioned_map(combined, keys, topk, num_partitions,
                            pre_repartition=False)
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 10,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Integer-arithmetic PageRank over a directed edge Dataset:
+    `iters` rounds of the power iteration with EVERY quantity an
+    int64 — rank mass in `scale` units, damping applied as the exact
+    fraction damp_num/damp_den by floor division. Floor-division
+    contributions make each round's sums order-independent, so the
+    result is bit-identical across partitionings/block orders and
+    hash-exact against a SQL oracle with no float tolerance.
+
+    Per round: ONE `hash_join` (edge.src -> rank) + one
+    hash-partitioned grouped sum + one `semi_join(anti=True)`
+    re-adding in-degree-0 nodes at the base rank. The deduped edge
+    set (with its out-degree pre-joined) is materialized once and
+    re-read every round; ranks materialize per round so lineage stays
+    one round deep (the `connected_components` discipline — the
+    driver only ever holds per-round counts, never the graph).
+    Dangling-node mass is dropped (the usual simplification; the
+    oracle does the same by construction).
+
+    int64 bound: a node's incoming sum is < |nodes| * scale and each
+    per-edge product is r * damp_num; keep |nodes| * scale * damp_num
+    < 2^63 (shrink `scale` for graphs beyond ~1e5 nodes at the
+    default). numpy wraps silently on overflow — the bound is the
+    caller's contract, documented here rather than probed per batch.
+
+    Returns Dataset (node, r): int64 node id, int64 rank in `scale`
+    units.
+    """
+    _EDGE = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    _OD = pa.schema([("src", pa.int64()), ("d", pa.int64())])
+    _ED = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("d", pa.int64())]
+    )
+    _RANK = pa.schema([("node", pa.int64()), ("r", pa.int64())])
+    _NODE = pa.schema([("node", pa.int64())])
+
+    def as_e(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": t[src_col].combine_chunks().cast(pa.int64()),
+             "dst": t[dst_col].combine_chunks().cast(pa.int64())}
+        )
+
+    e = distinct(edges.map_batches(as_e, batch_format="pyarrow"),
+                 ["src", "dst"], num_partitions).materialize()
+    # per-round fixed shuffle cost scales with partition count — adapt
+    # the width to the pinned edge count (same calibration as
+    # connected_components)
+    n_edges = e.count()
+    num_partitions = max(4, min(num_partitions, (n_edges or 1) // 20_000 + 4))
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src", as_index=False).size().rename(
+            columns={"size": "d"})
+        g["d"] = g["d"].astype("int64")
+        return g
+
+    od = grouped_agg(e, ["src"], cnt, num_partitions,
+                     pre_repartition=False)
+    ed = hash_join(e, od, on="src", num_partitions=num_partitions,
+                   left_schema=_EDGE, right_schema=_OD).materialize()
+
+    def as_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["src"].combine_chunks(), t["dst"].combine_chunks()])})
+
+    nodes = distinct(e.map_batches(as_nodes, batch_format="pyarrow"),
+                     ["node"], num_partitions).materialize()
+
+    base = scale * (damp_den - damp_num) // damp_den
+
+    def init_r(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["node"],
+             "r": pa.array(np.full(t.num_rows, scale, np.int64))}
+        )
+
+    ranks = nodes.map_batches(init_r, batch_format="pyarrow").materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        c = (r * damp_num) // damp_den // d
+        return pa.table({"dst": t["dst"], "c": pa.array(c)})
+
+    def csum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dst", as_index=False)["c"].sum()
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    def to_rank(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["dst"],
+             "r": pc.add(t["c"].combine_chunks().cast(pa.int64()),
+                         pa.scalar(base, pa.int64()))}
+        )
+
+    def base_rank(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["node"],
+             "r": pa.array(np.full(t.num_rows, base, np.int64))}
+        )
+
+    _SUM = pa.schema([("dst", pa.int64()), ("c", pa.int64())])
+    for _ in range(iters):
+        j = hash_join(ed, ranks, on="src", right_on="node",
+                      num_partitions=num_partitions,
+                      left_schema=_ED, right_schema=_RANK)
+        sums = grouped_agg(
+            j.map_batches(contrib, batch_format="pyarrow"), ["dst"], csum,
+            num_partitions, combine_fn=csum, pre_repartition=False,
+        ).materialize()
+        got = sums.map_batches(to_rank, batch_format="pyarrow")
+        missing = semi_join(
+            nodes, sums, on="node", key_col="dst", anti=True,
+            num_partitions=num_partitions,
+            left_schema=_NODE, keys_schema=_SUM,
+        ).map_batches(base_rank, batch_format="pyarrow")
+        ranks = got.union(missing).materialize()
+    return ranks

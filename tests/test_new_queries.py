@@ -1604,3 +1604,95 @@ def test_geohash_brute_and_prefix_property():
         row = got[got["c_custkey"] == cust["c_custkey"].iloc[i]]
         assert row["geohash"].iloc[0] == ref_geohash(
             lon[i], lat[i], Q.GEOHASH_CHARS), (lon[i], lat[i])
+
+
+def test_pagerank_brute_and_block_invariance():
+    import ray
+    import ray.data
+
+    from oluray.stages import joins as J
+
+    # small directed graph incl. a chain, a hub, and a dangling node
+    edges = pd.DataFrame({
+        "src": [1, 2, 3, 4, 5, 1, 2, 6, 7],
+        "dst": [2, 3, 4, 5, 1, 3, 1, 1, 6],
+    })
+    scale, dn, dd_, iters = 10**9, 85, 100, 7
+    base = scale * (dd_ - dn) // dd_
+
+    def brute() -> dict[int, int]:
+        nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+        out: dict[int, list[int]] = {}
+        for s, d in zip(edges["src"], edges["dst"]):
+            out.setdefault(s, []).append(d)
+        r = {n: scale for n in nodes}
+        for _ in range(iters):
+            nxt = {n: base for n in nodes}
+            for s, ds in out.items():
+                c = (r[s] * dn) // dd_ // len(ds)
+                for d in ds:
+                    nxt[d] += c
+            r = nxt
+        return r
+
+    exp = brute()
+    for blocks in (1, 5):
+        ds = ray.data.from_pandas(edges).repartition(blocks)
+        got = J.pagerank(ds, iters=iters, scale=scale,
+                         num_partitions=4).to_pandas()
+        gm = dict(zip(got["node"], got["r"]))
+        assert gm == exp, f"blocks={blocks}"
+
+
+def test_od_matrix_brute():
+    got = (Q.q_od_matrix(SF).to_pandas()
+           .sort_values(["o_cell", "d_cell"]).reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    g = ev.groupby("user_id").agg(o=("event_id", "first"),
+                                  d=("event_id", "last"))
+    olon, olat = geo.derive_lonlat(g["o"].to_numpy(np.int64))
+    dlon, dlat = geo.derive_lonlat(g["d"].to_numpy(np.int64))
+    exp = (pd.DataFrame({"o_cell": geo.cell_encode(olon, olat, Q.CELL_RES),
+                         "d_cell": geo.cell_encode(dlon, dlat, Q.CELL_RES)})
+           .groupby(["o_cell", "d_cell"], as_index=False).size()
+           .rename(columns={"size": "n_users"})
+           .sort_values(["o_cell", "d_cell"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert int(got["n_users"].sum()) == ev["user_id"].nunique()
+
+
+def test_zscore_norm_moments():
+    got = Q.q_zscore_norm(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_returnflag", "l_extendedprice"])
+    assert len(got) == len(li)
+    # brute per-row expectation (bigint stats, same formula); compare
+    # as multisets — (l_orderkey, l_linenumber) is NOT unique in the
+    # synthetic lineitem, so no keyed merge
+    cents = np.sign(li["l_extendedprice"].to_numpy() * 100.0) * np.floor(
+        np.abs(li["l_extendedprice"].to_numpy() * 100.0) + 0.5)
+    li = li.assign(c=cents.astype(np.int64))
+    exp_rows = []
+    for _, g in li.groupby("l_returnflag"):
+        n = len(g)
+        s = int(g["c"].sum())
+        s2 = int((g["c"].astype(object) ** 2).sum())
+        d = float(n * s2 - s * s) ** 0.5
+        z = (g["c"].to_numpy(np.float64) * float(n) - float(s)) / d
+        exp_rows.append(pd.DataFrame(
+            {"l_orderkey": g["l_orderkey"], "l_linenumber": g["l_linenumber"],
+             "z_1e6": (np.sign(z) * np.floor(np.abs(z * 1e6) + 0.5)
+                       ).astype(np.int64),
+             "zf": z}))
+    exp = pd.concat(exp_rows)
+    key = ["l_orderkey", "l_linenumber", "z_1e6"]
+    gs = got.sort_values(key).reset_index(drop=True)
+    es = exp[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(gs, es, check_dtype=False)
+    # normalized: mean ~0, population var ~1 overall per flag
+    zz = exp["zf"].to_numpy()
+    assert np.isfinite(zz).all()
+    assert abs(zz.mean()) < 1e-6 and abs(zz.std() - 1.0) < 1e-3
