@@ -2559,15 +2559,12 @@ def _rel_envelope_sql() -> str:
 # ---------------------------------------------------------------------------
 
 
-def q_cc_labels(sf_dir: str):
-    """Distributed connected components, oracle-verified: build a
-    user-interaction graph (consecutive events on the same `props`
-    stream within 3600 s link their users) and label every endpoint
-    with its component's minimum user id via `joins.
-    connected_components` — the hash-min label-propagation loop that
-    replaced round 2's driver union-find. The DuckDB oracle computes
-    the same labels with a recursive reachability CTE, upgrading the
-    CC machinery from rows-only to hash-exact verification."""
+def _interaction_edges(sf_dir: str) -> ray.data.Dataset:
+    """User-interaction graph shared by the graph-analytics queries
+    (cc_labels / triangle_count / bfs_hops): consecutive events on the
+    same `props` stream within 3600 s link their users. One props-hash
+    partition sort, vectorized shift — edges (a, b), both orders may
+    appear."""
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "props"])
 
     def edges(df: pd.DataFrame) -> pd.DataFrame:
@@ -2581,8 +2578,34 @@ def q_cc_labels(sf_dir: str):
              "b": nxt_user[keep].astype("int64")}
         ).reset_index(drop=True)
 
-    e = joins.partitioned_map(ev, ["props"], edges, num_partitions=32,
-                              pre_repartition=False)
+    return joins.partitioned_map(ev, ["props"], edges, num_partitions=32,
+                                 pre_repartition=False)
+
+
+# the CTE prefix computing the same edge set in SQL (both orders)
+_EDGES_CTE = """
+    raw AS (
+      SELECT user_id AS a,
+             lead(user_id) OVER (PARTITION BY props
+                                 ORDER BY ts, event_id) AS b,
+             lead(ts) OVER (PARTITION BY props ORDER BY ts, event_id)
+               - ts AS gap
+      FROM events),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE b IS NOT NULL AND gap <= INTERVAL 3600 SECOND AND a <> b)
+"""
+
+
+def q_cc_labels(sf_dir: str):
+    """Distributed connected components, oracle-verified: label every
+    endpoint of the interaction graph with its component's minimum
+    user id via `joins.connected_components` — the hash-min
+    label-propagation loop that replaced round 2's driver union-find.
+    The DuckDB oracle computes the same labels with a recursive
+    reachability CTE, upgrading the CC machinery from rows-only to
+    hash-exact verification."""
+    e = _interaction_edges(sf_dir)
     return joins.connected_components(e, "a", "b", num_partitions=32)
 
 
@@ -4722,6 +4745,126 @@ _ZSCORE_SQL = """
 """
 
 
+# per-node triangle counts: canonical a<b edges -> wedge join
+# (e1.hi = e2.lo gives a<b<c for free) -> closing-edge semi join on an
+# exact string pair key (no hash-collision risk) -> 3 rows per
+# triangle grouped per node. The classic 2-join triangle enumeration;
+# each stage is a hash-partitioned exchange, nothing touches the
+# driver.
+def q_triangle_count(sf_dir: str):
+    e = _interaction_edges(sf_dir)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        lo = np.minimum(df["a"].to_numpy(), df["b"].to_numpy())
+        hi = np.maximum(df["a"].to_numpy(), df["b"].to_numpy())
+        return pd.DataFrame({"lo": lo, "hi": hi}).drop_duplicates()
+
+    ce = joins.distinct(
+        e.map_batches(canon, batch_format="pandas"), ["lo", "hi"],
+        num_partitions=8,
+    ).materialize()
+
+    _E = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    def ren2(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["lo2", "hi2"])
+
+    e2 = ce.map_batches(ren2, batch_format="pyarrow")
+    wedges = joins.hash_join(
+        ce, e2, on="hi", right_on="lo2", num_partitions=8,
+        left_schema=_E,
+        right_schema=pa.schema([("lo2", pa.int64()), ("hi2", pa.int64())]),
+    )
+
+    def wkey(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t["lo"], pa.string()), pc.cast(t["hi2"], pa.string()),
+            ",")
+        return t.append_column("k", k)
+
+    def ekey(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t["lo"], pa.string()), pc.cast(t["hi"], pa.string()),
+            ",")
+        return pa.table({"k": k})
+
+    tri = joins.semi_join(
+        wedges.map_batches(wkey, batch_format="pyarrow"),
+        ce.map_batches(ekey, batch_format="pyarrow"),
+        on="k", num_partitions=8,
+        left_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                               ("hi2", pa.int64()), ("k", pa.string())]),
+        keys_schema=pa.schema([("k", pa.string())]),
+    )
+
+    def corners(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["lo"].combine_chunks(), t["hi"].combine_chunks(),
+             t["hi2"].combine_chunks()])})
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False).size().rename(
+            columns={"size": "n_tri"})
+        g["n_tri"] = g["n_tri"].astype("int64")
+        return g
+
+    return joins.grouped_agg(
+        tri.map_batches(corners, batch_format="pyarrow"), ["node"], cnt,
+        num_partitions=8, combine_fn=cnt, pre_repartition=False,
+    )
+
+
+_TRIANGLE_SQL = f"""
+    WITH {_EDGES_CTE},
+    canon AS (SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+              FROM edges),
+    tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+            FROM canon e1
+            JOIN canon e2 ON e2.lo = e1.hi
+            JOIN canon e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+    SELECT node, count(*)::BIGINT AS n_tri FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    GROUP BY node
+"""
+
+
+BFS_SEED_MOD = 7
+BFS_MAX_HOPS = 6
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS (joins.bfs_hops): hop distance from the seed
+    users (user_id % BFS_SEED_MOD == 0, restricted to graph nodes) over
+    the interaction graph — frontier-expansion reachability, verified
+    hash-exact against a recursive-CTE oracle."""
+    e = _interaction_edges(sf_dir).materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        node = np.concatenate(
+            [t["a"].to_numpy(zero_copy_only=False),
+             t["b"].to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(node[node % BFS_SEED_MOD == 0])})
+
+    seeds = e.map_batches(seed, batch_format="pyarrow")
+    return joins.bfs_hops(e, seeds, src_col="a", dst_col="b",
+                          max_hops=BFS_MAX_HOPS, num_partitions=8)
+
+
+_BFS_SQL = f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    sym AS (SELECT a AS src, b AS dst FROM edges
+            UNION SELECT b, a FROM edges),
+    seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % {BFS_SEED_MOD} = 0),
+    walk AS (SELECT node, 0 AS hop FROM seeds
+             UNION
+             SELECT s.dst, w.hop + 1 FROM walk w
+             JOIN sym s ON s.src = w.node WHERE w.hop < {BFS_MAX_HOPS})
+    SELECT node, min(hop)::BIGINT AS hop FROM walk GROUP BY node
+"""
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -5442,6 +5585,8 @@ ORACLE: dict[str, str] = {
     "pagerank": _pagerank_sql(),
     "od_matrix": _od_matrix_sql(),
     "zscore_norm": _ZSCORE_SQL,
+    "triangle_count": _TRIANGLE_SQL,
+    "bfs_hops": _BFS_SQL,
 }
 
 QUERIES = {
@@ -5582,4 +5727,6 @@ QUERIES = {
     "pagerank": q_pagerank,
     "od_matrix": q_od_matrix,
     "zscore_norm": q_zscore_norm,
+    "triangle_count": q_triangle_count,
+    "bfs_hops": q_bfs_hops,
 }

@@ -1269,3 +1269,90 @@ def pagerank(
         ).map_batches(base_rank, batch_format="pyarrow")
         ranks = got.union(missing).materialize()
     return ranks
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 6,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Distributed multi-source BFS over an undirected edge Dataset:
+    hop(node) = minimum edge count from ANY seed, bounded by
+    `max_hops`. The third iterative-graph primitive next to
+    `connected_components` (label propagation) and `pagerank` (value
+    iteration) — this one is FRONTIER expansion, the shape reachability
+    / impact-radius queries want (the reference's 2-hop closure,
+    `src/osm/OsmChangeHandler.cpp:217-262`, is this loop unrolled
+    twice with broadcast sets).
+
+    Per round: one `hash_join` (frontier -> neighbors) + one
+    `semi_join(anti=True)` against the already-labeled set + a
+    distinct. The symmetric edge set is materialized once and re-read
+    per round; labels materialize per round so lineage stays one round
+    deep. The driver sees only per-round frontier COUNTS. Early-exits
+    when a frontier is empty.
+
+    Returns Dataset (node, hop) for every node within `max_hops` of a
+    seed — including the seeds at hop 0. Seeds are taken as given
+    (callers pass in-graph ids; an isolated seed still labels itself).
+    """
+    _EDGE = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    _NODE = pa.schema([("node", pa.int64())])
+    _LAB = pa.schema([("node", pa.int64()), ("hop", pa.int64())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t[src_col].combine_chunks().cast(pa.int64())
+        b = t[dst_col].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]),
+             "dst": pa.concat_arrays([b, a])}
+        )
+
+    e = distinct(edges.map_batches(sym, batch_format="pyarrow"),
+                 ["src", "dst"], num_partitions).materialize()
+    n_edges = e.count()
+    num_partitions = max(4, min(num_partitions, (n_edges or 1) // 20_000 + 4))
+
+    def as_seed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t[seed_col].combine_chunks().cast(pa.int64()),
+             "hop": pa.array(np.zeros(t.num_rows, np.int64))}
+        )
+
+    labels = distinct(seeds.select_columns([seed_col]), [seed_col],
+                      num_partitions).map_batches(
+        as_seed, batch_format="pyarrow").materialize()
+    frontier = labels
+
+    for h in range(1, max_hops + 1):
+        nbrs = hash_join(
+            e, frontier.select_columns(["node"]), on="src",
+            right_on="node", num_partitions=num_partitions,
+            left_schema=_EDGE, right_schema=_NODE,
+        )
+
+        def as_node(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["dst"]})
+
+        cand = distinct(nbrs.map_batches(as_node, batch_format="pyarrow"),
+                        ["node"], num_partitions)
+        fresh = semi_join(cand, labels, on="node", anti=True,
+                          num_partitions=num_partitions,
+                          left_schema=_NODE, keys_schema=_LAB)
+
+        def lab(t: pa.Table, _h: int = h) -> pa.Table:
+            return pa.table(
+                {"node": t["node"],
+                 "hop": pa.array(np.full(t.num_rows, _h, np.int64))}
+            )
+
+        fresh = fresh.map_batches(lab, batch_format="pyarrow").materialize()
+        if fresh.count() == 0:
+            break
+        labels = labels.union(fresh).materialize()
+        frontier = fresh
+    return labels

@@ -1696,3 +1696,57 @@ def test_zscore_norm_moments():
     zz = exp["zf"].to_numpy()
     assert np.isfinite(zz).all()
     assert abs(zz.mean()) < 1e-6 and abs(zz.std() - 1.0) < 1e-3
+
+
+def test_triangle_count_brute():
+    got = (Q.q_triangle_count(SF).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    e = Q._interaction_edges(SF).to_pandas()
+    canon = set()
+    for a, b in zip(e["a"], e["b"]):
+        canon.add((min(a, b), max(a, b)))
+    nodes = sorted({x for p in canon for x in p})
+    cnt: dict[int, int] = {}
+    import itertools
+    for x, y, z in itertools.combinations(nodes, 3):
+        if {(x, y), (y, z), (x, z)} <= canon:
+            for n in (x, y, z):
+                cnt[n] = cnt.get(n, 0) + 1
+    exp = (pd.DataFrame({"node": list(cnt), "n_tri": list(cnt.values())})
+           .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_bfs_hops_long_chain_and_brute():
+    import ray
+    import ray.data
+
+    from oluray.stages import joins as J
+
+    # chain 0-1-2-...-9 plus a branch: needs one round PER hop — a
+    # chain longer than any single round's reach
+    edges = pd.DataFrame({"src": [0, 1, 2, 3, 4, 5, 6, 7, 8, 3],
+                          "dst": [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]})
+    seeds = pd.DataFrame({"node": [0]})
+    got = J.bfs_hops(ray.data.from_pandas(edges).repartition(3),
+                     ray.data.from_pandas(seeds), max_hops=6,
+                     num_partitions=4).to_pandas()
+    gm = dict(zip(got["node"], got["hop"]))
+    exp = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 100: 4}
+    assert gm == exp  # 7,8,9 are beyond max_hops and absent
+    # catalog query agrees with per-node Dijkstra-ish brute force
+    cat = Q.q_bfs_hops(SF).to_pandas()
+    e = Q._interaction_edges(SF).to_pandas()
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(e["a"], e["b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds2 = sorted(n for n in adj if n % Q.BFS_SEED_MOD == 0)
+    hop = {n: 0 for n in seeds2}
+    frontier = set(seeds2)
+    for h in range(1, Q.BFS_MAX_HOPS + 1):
+        nxt = {m for n in frontier for m in adj[n]} - hop.keys()
+        for m in nxt:
+            hop[m] = h
+        frontier = nxt
+    assert dict(zip(cat["node"], cat["hop"])) == hop
