@@ -4865,6 +4865,138 @@ _BFS_SQL = f"""
 """
 
 
+# chi-square independence audit of the (lang, source) contingency —
+# the data-balance check every corpus curation run wants. Counting is
+# distributed; the contingency arithmetic runs on the TINY
+# langs x sources table with Python bigints (the squared numerator
+# exceeds int64 long before the table stops fitting on a postcard),
+# one float division + 1e-6 rounding with identical op order both
+# sides -> hash-exact.
+def q_chi2_lang_source(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], as_index=False).size().rename(
+            columns={"size": "o"})
+        g["o"] = g["o"].astype("int64")
+        return g
+
+    def csum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], as_index=False)["o"].sum()
+        g["o"] = g["o"].astype("int64")
+        return g
+
+    obs = joins.grouped_agg(
+        docs.map_batches(cnt, batch_format="pandas"), ["lang", "source"],
+        csum, num_partitions=8, pre_repartition=False,
+    ).to_pandas()  # langs x sources rows — postcard-sized by schema
+    n = int(obs["o"].sum())
+    rt = obs.groupby("lang")["o"].sum().to_dict()
+    ct = obs.groupby("source")["o"].sum().to_dict()
+    num = np.array(
+        [int(o) * n - int(rt[l]) * int(ct[s])
+         for o, l, s in zip(obs["o"], obs["lang"], obs["source"])],
+        dtype=object)
+    den = np.array(
+        [n * int(rt[l]) * int(ct[s])
+         for l, s in zip(obs["lang"], obs["source"])], dtype=object)
+    chi = np.array(
+        [float(a * a) / float(b) for a, b in zip(num, den)],
+        dtype=np.float64)
+    out = pd.DataFrame(
+        {"lang": obs["lang"], "source": obs["source"],
+         "o": obs["o"].astype("int64"),
+         "chi2_1e6": _round_half_away(chi * 1e6)})
+    return out
+
+
+_CHI2_SQL = """
+    WITH o AS (
+      SELECT lang, source, count(*)::BIGINT AS o
+      FROM documents GROUP BY lang, source),
+    rt AS (SELECT lang, sum(o)::BIGINT AS rt FROM o GROUP BY lang),
+    ct AS (SELECT source, sum(o)::BIGINT AS ct FROM o GROUP BY source),
+    n AS (SELECT sum(o)::BIGINT AS n FROM o)
+    SELECT o.lang, o.source, o.o,
+           round(((o.o::HUGEINT * n.n - rt.rt::HUGEINT * ct.ct)
+                  * (o.o::HUGEINT * n.n - rt.rt::HUGEINT * ct.ct))::DOUBLE
+                 / (n.n::HUGEINT * rt.rt * ct.ct)::DOUBLE * 1e6,
+                 0)::BIGINT AS chi2_1e6
+    FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+"""
+
+
+# per-segment GPS speed: LAG + haversine + epoch delta, all-integer
+# output (mm, s, um/s via floor division) so the window derivation is
+# hash-exact. Zero-dt pairs are skipped (division is total).
+def q_track_speed(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def speed(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "event_id": pd.Series([], dtype="int64"),
+                 "dist_mm": pd.Series([], dtype="int64"),
+                 "dt_s": pd.Series([], dtype="int64"),
+                 "speed_um_s": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        lon, lat = geo.derive_lonlat(df["event_id"].to_numpy(np.int64))
+        uid = df["user_id"].to_numpy()
+        tse = df["ts"].astype("int64").to_numpy() // 1_000_000  # us -> s
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        dmm = np.zeros(len(df), dtype=np.int64)
+        dts = np.zeros(len(df), dtype=np.int64)
+        if len(df) > 1:
+            d = geo.haversine_m(lon[:-1], lat[:-1], lon[1:], lat[1:])
+            dmm[1:] = _round_half_away(d * 1000.0)
+            dts[1:] = tse[1:] - tse[:-1]
+        keep = same & (dts > 0)
+        out = pd.DataFrame(
+            {"user_id": uid[keep], "event_id": df["event_id"].to_numpy()[keep],
+             "dist_mm": dmm[keep], "dt_s": dts[keep],
+             "speed_um_s": (dmm[keep] * 1000) // dts[keep]})
+        return out
+
+    return joins.partitioned_map(ev, ["user_id"], speed,
+                                 num_partitions=16, pre_repartition=False)
+
+
+def _track_speed_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("event_id")
+    plon, plat = geo.derive_lonlat_sql("p_eid")
+    hav = geo.haversine_sql(plon, plat, lon, lat)
+    return f"""
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+             lag(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS p_eid,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS p_ts
+      FROM events),
+    seg AS (
+      SELECT user_id, event_id,
+             round({hav} * 1000.0, 0)::BIGINT AS dist_mm,
+             date_diff('second', p_ts, ts)::BIGINT AS dt_s
+      FROM w WHERE p_eid IS NOT NULL)
+    SELECT user_id, event_id, dist_mm, dt_s,
+           (dist_mm * 1000 // dt_s)::BIGINT AS speed_um_s
+    FROM seg WHERE dt_s > 0
+    """
+
+
+def q_bpe_merges(sf_dir: str):
+    """Tokenizer training: first 8 BPE merge rules learned over the
+    corpus (text.bpe_merges — one corpus pass for the vocab, merge
+    rounds over the vocab Dataset). Rows-only: the iterative
+    argmax-and-rewrite isn't SQL; verified against a pure-Python BPE
+    in pytest."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.bpe_merges(docs, n_merges=8, num_partitions=8)
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -5587,6 +5719,8 @@ ORACLE: dict[str, str] = {
     "zscore_norm": _ZSCORE_SQL,
     "triangle_count": _TRIANGLE_SQL,
     "bfs_hops": _BFS_SQL,
+    "chi2_lang_source": _CHI2_SQL,
+    "track_speed": _track_speed_sql(),
 }
 
 QUERIES = {
@@ -5729,4 +5863,7 @@ QUERIES = {
     "zscore_norm": q_zscore_norm,
     "triangle_count": q_triangle_count,
     "bfs_hops": q_bfs_hops,
+    "chi2_lang_source": q_chi2_lang_source,
+    "track_speed": q_track_speed,
+    "bpe_merges": q_bpe_merges,
 }

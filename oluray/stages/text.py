@@ -887,3 +887,119 @@ def heavy_terms(docs, k: int = 200,
     return joins.grouped_agg(partial, ["term"], agg,
                              num_partitions=num_partitions,
                              pre_repartition=False)
+
+
+def bpe_merges(docs, n_merges: int = 8,
+               num_partitions: int = 16) -> pd.DataFrame:
+    """Learn the first `n_merges` BPE merge rules over the corpus —
+    the tokenizer-training op. Classic two-level plan:
+
+    1. ONE distributed pass builds the (word, freq) vocabulary
+       (`_explode_terms` + per-block combiner + hash-partitioned sum)
+       — the only stage that touches the token stream.
+    2. The merge loop runs over the VOCABULARY Dataset: each round a
+       `map_batches` counts adjacent-symbol pairs weighted by word
+       freq, a hash-partitioned grouped sum reduces them, the winning
+       pair (max count, lexicographic tie-break) comes back as ONE
+       row, and a broadcast `map_batches` rewrites the vocab symbols.
+       The vocab materializes per round (one-round-deep lineage).
+
+    This mirrors real BPE trainers: corpus-sized work happens once;
+    the iteration is over the much smaller distinct-word table, which
+    still lives in the object store as a Dataset (a 100 TB crawl's
+    vocab is millions of rows — shuffleable, not driver-holdable).
+    Driver state per round = one (pair, count) row.
+
+    Symbols start as single characters; a merge joins two adjacent
+    symbols into one. Returns pandas (rank, left, right, pair_count)
+    — n_merges rows, deterministic for a given corpus.
+    """
+    import ray
+    import ray.data
+
+    from oluray.stages import joins
+
+    def wc(batch: pd.DataFrame) -> pd.DataFrame:
+        tok = _explode_terms(batch)
+        g = tok.groupby("term", sort=False).size()
+        return pd.DataFrame({"word": g.index.to_numpy(dtype=object),
+                             "freq": g.to_numpy(dtype=np.int64)})
+
+    def wsum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", as_index=False)["freq"].sum()
+        g["freq"] = g["freq"].astype("int64")
+        return g
+
+    vocab = joins.grouped_agg(
+        docs.map_batches(wc, batch_format="pandas"), ["word"], wsum,
+        num_partitions=num_partitions, pre_repartition=False,
+    )
+
+    def to_syms(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"syms": [list(w) for w in df["word"]],
+             "freq": df["freq"].to_numpy(dtype=np.int64)}
+        )
+
+    vocab = vocab.map_batches(to_syms, batch_format="pandas").materialize()
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[tuple[str, str], int] = {}
+        for syms, f in zip(df["syms"], df["freq"]):
+            f = int(f)
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                rows[k] = rows.get(k, 0) + f
+        if not rows:
+            return pd.DataFrame({"left": pd.Series([], dtype="string"),
+                                 "right": pd.Series([], dtype="string"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        ks = list(rows)
+        return pd.DataFrame(
+            {"left": [k[0] for k in ks], "right": [k[1] for k in ks],
+             "cnt": np.fromiter(rows.values(), np.int64, len(rows))}
+        )
+
+    def psum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["left", "right"], as_index=False)["cnt"].sum()
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts = joins.grouped_agg(
+            vocab.map_batches(pair_counts, batch_format="pandas"),
+            ["left", "right"], psum,
+            num_partitions=num_partitions, pre_repartition=False,
+        )
+        top = counts.sort(
+            ["cnt", "left", "right"], descending=[True, False, False]
+        ).limit(1).to_pandas()
+        if len(top) == 0 or int(top.loc[0, "cnt"]) == 0:
+            break
+        lft, rgt, cnt = (str(top.loc[0, "left"]), str(top.loc[0, "right"]),
+                         int(top.loc[0, "cnt"]))
+        merges.append((rank, lft, rgt, cnt))
+
+        def apply(df: pd.DataFrame, _l: str = lft, _r: str = rgt
+                  ) -> pd.DataFrame:
+            out = []
+            for syms in df["syms"]:
+                syms = list(syms)
+                i, res = 0, []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == _l
+                            and syms[i + 1] == _r):
+                        res.append(_l + _r)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pd.DataFrame(
+                {"syms": out, "freq": df["freq"].to_numpy(dtype=np.int64)})
+
+        vocab = vocab.map_batches(apply, batch_format="pandas").materialize()
+
+    return pd.DataFrame(merges,
+                        columns=["rank", "left", "right", "pair_count"])

@@ -1750,3 +1750,91 @@ def test_bfs_hops_long_chain_and_brute():
             hop[m] = h
         frontier = nxt
     assert dict(zip(cat["node"], cat["hop"])) == hop
+
+
+def test_chi2_lang_source_brute():
+    got = (Q.q_chi2_lang_source(SF)
+           .sort_values(["lang", "source"]).reset_index(drop=True))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["lang", "source"])
+    obs = docs.groupby(["lang", "source"], as_index=False).size()
+    n = len(docs)
+    rt = docs.groupby("lang").size()
+    ct = docs.groupby("source").size()
+    rows = []
+    for _, r in obs.iterrows():
+        o, l, s = int(r["size"]), r["lang"], r["source"]
+        e = rt[l] * ct[s] / n
+        rows.append((l, s, o, (o - e) ** 2 / e))
+    exp = pd.DataFrame(rows, columns=["lang", "source", "o", "chi2"]) \
+        .sort_values(["lang", "source"]).reset_index(drop=True)
+    assert got["o"].tolist() == exp["o"].tolist()
+    np.testing.assert_allclose(got["chi2_1e6"].to_numpy() / 1e6,
+                               exp["chi2"].to_numpy(), rtol=1e-6, atol=2e-6)
+
+
+def test_track_speed_brute():
+    got = (Q.q_track_speed(SF).to_pandas()
+           .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    lon, lat = geo.derive_lonlat(ev["event_id"].to_numpy(np.int64))
+    rows = []
+    for i in range(1, len(ev)):
+        if ev["user_id"].iloc[i] != ev["user_id"].iloc[i - 1]:
+            continue
+        # date_diff('second', a, b) counts boundary crossings ==
+        # floor-each-epoch-then-subtract (NOT truncation of the delta)
+        dt = (int(ev["ts"].iloc[i].value // 10**9)
+              - int(ev["ts"].iloc[i - 1].value // 10**9))
+        if dt <= 0:
+            continue
+        d = float(geo.haversine_m(np.array([lon[i - 1]]), np.array([lat[i - 1]]),
+                                  np.array([lon[i]]), np.array([lat[i]]))[0])
+        mm = int(np.sign(d) * np.floor(abs(d * 1000.0) + 0.5))
+        rows.append((ev["user_id"].iloc[i], ev["event_id"].iloc[i],
+                     mm, dt, mm * 1000 // dt))
+    exp = pd.DataFrame(rows, columns=["user_id", "event_id", "dist_mm",
+                                      "dt_s", "speed_um_s"]) \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_bpe_merges_matches_pure_python():
+    got = Q.q_bpe_merges(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = (docs["text"].str.lower()
+            .str.split(r"[^a-z]+", regex=True).explode())
+    toks = toks[toks.notna() & (toks != "")]
+    vocab = {w: int(f) for w, f in toks.value_counts().items()}
+    syms = {w: list(w) for w in vocab}
+    exp = []
+    for rank in range(8):
+        pc_: dict[tuple[str, str], int] = {}
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc_[(s[i], s[i + 1])] = pc_.get((s[i], s[i + 1]), 0) + f
+        if not pc_:
+            break
+        # max count, lexicographic tie-break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), c = best
+        exp.append((rank, l, r, c))
+        for w in syms:
+            s = syms[w]
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            syms[w] = res
+    expdf = pd.DataFrame(exp, columns=["rank", "left", "right", "pair_count"])
+    pd.testing.assert_frame_equal(got, expdf, check_dtype=False)
+    # merges are real bigrams: each learned pair occurred in the corpus
+    assert (got["pair_count"] > 0).all()
