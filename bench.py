@@ -167,6 +167,9 @@ def run_bench() -> dict:
         ("range_join", Q.q_range_join),
         ("overlap_join", Q.q_overlap_join),
         ("order_ranks", Q.q_order_ranks),
+        # r3 graph-analytics wave: value iteration + frontier expansion
+        ("pagerank", Q.q_pagerank),
+        ("bfs_hops", Q.q_bfs_hops),
     ]
     for name, fn in bench_queries:
         # best of 2: this shared-host VM shows +/-2-3x run-to-run noise

@@ -4746,13 +4746,21 @@ _ZSCORE_SQL = """
 
 
 # per-node triangle counts: canonical a<b edges -> wedge join
-# (e1.hi = e2.lo gives a<b<c for free) -> closing-edge semi join on an
-# exact string pair key (no hash-collision risk) -> 3 rows per
-# triangle grouped per node. The classic 2-join triangle enumeration;
-# each stage is a hash-partitioned exchange, nothing touches the
-# driver.
-def q_triangle_count(sf_dir: str):
-    e = _interaction_edges(sf_dir)
+# (e1.hi = e2.lo gives a<b<c for free) -> closing-edge check -> 3 rows
+# per triangle grouped per node. Size-probed (the auto_join
+# discipline): when the canonical edge set fits the broadcast budget
+# it ships once via ray.put and the wedge join + closing check run
+# MAP-SIDE as two vectorized pandas merges per block — zero wedge
+# exchange (r3 profiling: the shuffled variant spent 145 s at sf0.1
+# sorting 2.4M wedge rows with string pair keys; this path does it
+# in seconds). Beyond the budget it falls back to the
+# hash-partitioned wedge join + a semi join on an exact string pair
+# key (no hash-collision risk) — every stage distributed, nothing on
+# the driver.
+def _triangle_counts(e: ray.data.Dataset, num_partitions: int = 8,
+                     broadcast_rows: int | None = None):
+    if broadcast_rows is None:
+        broadcast_rows = joins.DEFAULT_BROADCAST_JOIN_ROWS
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         lo = np.minimum(df["a"].to_numpy(), df["b"].to_numpy())
@@ -4761,8 +4769,39 @@ def q_triangle_count(sf_dir: str):
 
     ce = joins.distinct(
         e.map_batches(canon, batch_format="pandas"), ["lo", "hi"],
-        num_partitions=8,
+        num_partitions=num_partitions,
     ).materialize()
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False).size().rename(
+            columns={"size": "n_tri"})
+        g["n_tri"] = g["n_tri"].astype("int64")
+        return g
+
+    def nsum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["n_tri"].sum()
+        g["n_tri"] = g["n_tri"].astype("int64")
+        return g
+
+    if ce.count() <= broadcast_rows:
+        cref = ray.put(ce.to_pandas())
+
+        def wedge_close(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            w = df.merge(
+                c.rename(columns={"lo": "lo2", "hi": "hi2"}),
+                left_on="hi", right_on="lo2")
+            t = w.merge(c, left_on=["lo", "hi2"],
+                        right_on=["lo", "hi"], suffixes=("", "_e3"))
+            corners = pd.DataFrame({"node": np.concatenate(
+                [t["lo"].to_numpy(), t["hi"].to_numpy(),
+                 t["hi2"].to_numpy()])})
+            return cnt(corners)
+
+        partial = ce.map_batches(wedge_close, batch_format="pandas")
+        return joins.grouped_agg(partial, ["node"], nsum,
+                                 num_partitions=num_partitions,
+                                 pre_repartition=False)
 
     _E = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
 
@@ -4771,7 +4810,7 @@ def q_triangle_count(sf_dir: str):
 
     e2 = ce.map_batches(ren2, batch_format="pyarrow")
     wedges = joins.hash_join(
-        ce, e2, on="hi", right_on="lo2", num_partitions=8,
+        ce, e2, on="hi", right_on="lo2", num_partitions=num_partitions,
         left_schema=_E,
         right_schema=pa.schema([("lo2", pa.int64()), ("hi2", pa.int64())]),
     )
@@ -4791,7 +4830,7 @@ def q_triangle_count(sf_dir: str):
     tri = joins.semi_join(
         wedges.map_batches(wkey, batch_format="pyarrow"),
         ce.map_batches(ekey, batch_format="pyarrow"),
-        on="k", num_partitions=8,
+        on="k", num_partitions=num_partitions,
         left_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
                                ("hi2", pa.int64()), ("k", pa.string())]),
         keys_schema=pa.schema([("k", pa.string())]),
@@ -4802,16 +4841,15 @@ def q_triangle_count(sf_dir: str):
             [t["lo"].combine_chunks(), t["hi"].combine_chunks(),
              t["hi2"].combine_chunks()])})
 
-    def cnt(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", as_index=False).size().rename(
-            columns={"size": "n_tri"})
-        g["n_tri"] = g["n_tri"].astype("int64")
-        return g
-
     return joins.grouped_agg(
-        tri.map_batches(corners, batch_format="pyarrow"), ["node"], cnt,
-        num_partitions=8, combine_fn=cnt, pre_repartition=False,
+        tri.map_batches(corners, batch_format="pyarrow"), ["node"], nsum,
+        num_partitions=num_partitions, combine_fn=cnt,
+        pre_repartition=False,
     )
+
+
+def q_triangle_count(sf_dir: str):
+    return _triangle_counts(_interaction_edges(sf_dir))
 
 
 _TRIANGLE_SQL = f"""
@@ -4995,6 +5033,147 @@ def q_bpe_merges(sf_dir: str):
     in pytest."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return text.bpe_merges(docs, n_merges=8, num_partitions=8)
+
+
+# grid DBSCAN (DBSCAN-lite): cells with >= MINPTS points are core;
+# 8-adjacent core cells (x wraps the antimeridian, y clamps at the
+# poles — k_ring semantics) merge into one cluster via the SAME
+# distributed hash-min CC loop the dedup path uses; points in core
+# cells get their cluster's min-cell-id label, the rest are noise
+# (absent). Every stage is a grouped count / k-ring explode /
+# semi-join / CC round — nothing corpus-sized touches the driver.
+GRID_RES = 4
+GRID_MINPTS = 2
+
+
+def q_grid_clusters(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    pts = spatial.add_cell_column(_with_points(cust, "c_custkey"), GRID_RES)
+    pts = pts.select_columns(["c_custkey", "cell"])
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False).size().rename(
+            columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def core(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False)["n"].sum()
+        return g.loc[g["n"] >= GRID_MINPTS, ["cell"]]
+
+    core_d = joins.grouped_agg(
+        pts.map_batches(cnt, batch_format="pandas"), ["cell"], core,
+        num_partitions=8, pre_repartition=False,
+    ).materialize()
+
+    def ring(t: pa.Table) -> pa.Table:
+        c = t["cell"].to_numpy(zero_copy_only=False)
+        if len(c) == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "nbr": pa.array([], pa.int64())})
+        nb = geo.k_ring(c, 1)
+        return pa.table(
+            {"cell": pa.array(np.repeat(c, nb.shape[1])),
+             "nbr": pa.array(nb.ravel())})
+
+    cand = core_d.map_batches(ring, batch_format="pyarrow")
+    edges = joins.semi_join(
+        cand, core_d, on="nbr", key_col="cell", num_partitions=8,
+        left_schema=pa.schema([("cell", pa.int64()), ("nbr", pa.int64())]),
+        keys_schema=pa.schema([("cell", pa.int64())]),
+    )
+    labels = joins.connected_components(edges, "cell", "nbr",
+                                        num_partitions=8)
+    # labels are one row per CORE CELL (bounded by the grid, not the
+    # corpus) — auto_join ships them map-side below the broadcast
+    # budget and falls back to the hash join beyond it
+    out = joins.auto_join(
+        pts, labels, on="cell", right_on="node", num_partitions=8,
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("cell", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()),
+                                ("label", pa.int64())]),
+    )
+    return out.select_columns(["c_custkey", "cell", "label"])
+
+
+def _grid_clusters_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("c_custkey")
+    cell = geo.cell_encode_sql(lon, lat, GRID_RES)
+    n = 1 << GRID_RES
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey, {cell} AS cell FROM customer),
+    cnt AS (SELECT cell, count(*)::BIGINT AS n FROM pts GROUP BY cell),
+    core AS (
+      SELECT cell, cell % {geo.Y_SHIFT} AS x,
+             (cell % {geo.RES_SHIFT}) // {geo.Y_SHIFT} AS y
+      FROM cnt WHERE n >= {GRID_MINPTS}),
+    adj AS (
+      SELECT a.cell AS ca, b.cell AS cb FROM core a JOIN core b
+      ON (abs(a.x - b.x) <= 1 OR abs(a.x - b.x) = {n - 1})
+         AND abs(a.y - b.y) <= 1),
+    walk AS (
+      SELECT ca AS node, cb AS reach FROM adj
+      UNION
+      SELECT w.node, a.cb FROM walk w JOIN adj a ON a.ca = w.reach),
+    lab AS (SELECT node, least(node, min(reach)) AS label
+            FROM walk GROUP BY node)
+    SELECT p.c_custkey, p.cell, l.label
+    FROM pts p JOIN lab l ON l.node = p.cell
+    """
+
+
+# exact weighted median (quantity-weighted price) per group: smallest
+# cents value whose running weight doubles past the total — one
+# group-hash partition sort + cumsum, vs the identical window cumsum
+# in SQL. The robust-statistics counterpart to `group_quantiles`.
+def q_weighted_median(sf_dir: str):
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"f": df["l_returnflag"],
+             "cents": _round_half_away(
+                 df["l_extendedprice"].to_numpy() * 100.0),
+             "w": _round_half_away(df["l_quantity"].to_numpy())})
+
+    def wmed(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"l_returnflag": pd.Series([], dtype="string"),
+                 "wmedian_cents": pd.Series([], dtype="int64")})
+        df = df.sort_values(["f", "cents"], kind="mergesort")
+        g = df.groupby("f", sort=False)
+        cum = g["w"].cumsum()
+        tot = df["f"].map(g["w"].sum())
+        pick = df[cum * 2 >= tot].groupby("f", as_index=False).first()
+        return pd.DataFrame({"l_returnflag": pick["f"],
+                             "wmedian_cents": pick["cents"].astype("int64")})
+
+    return joins.partitioned_map(
+        li.map_batches(prep, batch_format="pandas"), ["f"], wmed,
+        num_partitions=8, pre_repartition=False,
+    )
+
+
+_WMEDIAN_SQL = """
+    WITH c AS (
+      SELECT l_returnflag AS f,
+             round(l_extendedprice * 100.0, 0)::BIGINT AS cents,
+             round(l_quantity, 0)::BIGINT AS w
+      FROM lineitem),
+    r AS (
+      SELECT f, cents,
+             sum(w) OVER (PARTITION BY f ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum,
+             sum(w) OVER (PARTITION BY f) AS tot
+      FROM c)
+    SELECT f AS l_returnflag, min(cents)::BIGINT AS wmedian_cents
+    FROM r WHERE cum * 2 >= tot GROUP BY f
+"""
 
 
 ORACLE: dict[str, str] = {
@@ -5721,6 +5900,8 @@ ORACLE: dict[str, str] = {
     "bfs_hops": _BFS_SQL,
     "chi2_lang_source": _CHI2_SQL,
     "track_speed": _track_speed_sql(),
+    "grid_clusters": _grid_clusters_sql(),
+    "weighted_median": _WMEDIAN_SQL,
 }
 
 QUERIES = {
@@ -5866,4 +6047,6 @@ QUERIES = {
     "chi2_lang_source": q_chi2_lang_source,
     "track_speed": q_track_speed,
     "bpe_merges": q_bpe_merges,
+    "grid_clusters": q_grid_clusters,
+    "weighted_median": q_weighted_median,
 }

@@ -494,7 +494,21 @@ def _tag_and_pad(side: int, key: str, full_schema: pa.Schema, num_partitions: in
         cols = {name: t[name] for name in t.column_names}
         for field in full_schema:
             if field.name not in cols:
-                cols[field.name] = pa.nulls(n, field.type)
+                # pad INTEGER columns with zeros, not nulls: a null-
+                # padded int64 column that round-trips through pandas
+                # anywhere in the exchange (Ray's sort does this on
+                # some lineages) upcasts to float64 and SILENTLY
+                # corrupts values above 2^53 — e.g. grid-cell ids
+                # (res * 2^58). The pad is never read: every consumer
+                # filters on __side before selecting its own side's
+                # columns. Non-integer types keep nulls (NaN/NaT
+                # survive a pandas round-trip losslessly).
+                if pa.types.is_integer(field.type):
+                    cols[field.name] = pa.array(
+                        np.zeros(n, dtype=field.type.to_pandas_dtype()),
+                        type=field.type)
+                else:
+                    cols[field.name] = pa.nulls(n, field.type)
         out = pa.table({f.name: cols[f.name] for f in full_schema})
         out = out.append_column("__side", pa.array(np.full(n, side, np.int8)))
         return out.append_column(PART_COL, _codes_from_table(t, key, num_partitions))
@@ -1159,15 +1173,21 @@ def pagerank(
     result is bit-identical across partitionings/block orders and
     hash-exact against a SQL oracle with no float tolerance.
 
-    Per round: ONE `hash_join` (edge.src -> rank) + one
-    hash-partitioned grouped sum + one `semi_join(anti=True)`
-    re-adding in-degree-0 nodes at the base rank. The deduped edge
-    set (with its out-degree pre-joined) is materialized once and
-    re-read every round; ranks materialize per round so lineage stays
-    one round deep (the `connected_components` discipline — the
-    driver only ever holds per-round counts, never the graph).
-    Dangling-node mass is dropped (the usual simplification; the
-    oracle does the same by construction).
+    Per round: ONE size-probed join (`auto_join`: the rank table
+    rides map-side as a broadcast when it fits the broadcast budget,
+    and falls to the hash-partitioned exchange beyond it) + one
+    hash-partitioned grouped sum. The in-degree-0 node set is
+    ROUND-INVARIANT, so its base-rank rows are computed once with a
+    single anti `semi_join` before the loop and unioned back each
+    round — r3 profiling showed the original per-round anti join
+    tripled the round cost at bench scale for a set that never
+    changes. The deduped edge set (with its out-degree pre-joined) is
+    materialized once and re-read every round; ranks materialize per
+    round so lineage stays one round deep (the
+    `connected_components` discipline — the driver only ever holds
+    per-round counts, never the graph). Dangling-node mass is dropped
+    (the usual simplification; the oracle does the same by
+    construction).
 
     int64 bound: a node's incoming sum is < |nodes| * scale and each
     per-edge product is r * damp_num; keep |nodes| * scale * damp_num
@@ -1252,22 +1272,25 @@ def pagerank(
              "r": pa.array(np.full(t.num_rows, base, np.int64))}
         )
 
-    _SUM = pa.schema([("dst", pa.int64()), ("c", pa.int64())])
+    # nodes that never receive a contribution (in-degree 0) keep the
+    # base rank in EVERY round after the first — compute their rows
+    # once, not once per round
+    no_in = semi_join(
+        nodes, e, on="node", key_col="dst", anti=True,
+        num_partitions=num_partitions,
+        left_schema=_NODE, keys_schema=_EDGE,
+    ).map_batches(base_rank, batch_format="pyarrow").materialize()
+
     for _ in range(iters):
-        j = hash_join(ed, ranks, on="src", right_on="node",
+        j = auto_join(ed, ranks, on="src", right_on="node",
                       num_partitions=num_partitions,
                       left_schema=_ED, right_schema=_RANK)
         sums = grouped_agg(
             j.map_batches(contrib, batch_format="pyarrow"), ["dst"], csum,
             num_partitions, combine_fn=csum, pre_repartition=False,
-        ).materialize()
-        got = sums.map_batches(to_rank, batch_format="pyarrow")
-        missing = semi_join(
-            nodes, sums, on="node", key_col="dst", anti=True,
-            num_partitions=num_partitions,
-            left_schema=_NODE, keys_schema=_SUM,
-        ).map_batches(base_rank, batch_format="pyarrow")
-        ranks = got.union(missing).materialize()
+        )
+        ranks = sums.map_batches(to_rank, batch_format="pyarrow").union(
+            no_in).materialize()
     return ranks
 
 

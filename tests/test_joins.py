@@ -598,3 +598,46 @@ def test_auto_join_survives_stale_projected_schema():
         sel, on="k", num_partitions=2).to_pandas()
     assert sorted(out.columns) == ["a", "k", "x"]
     assert len(out) == 8
+
+
+def test_semi_join_big_keys_survive_pandas_sort_lineage():
+    """Regression: keys above 2^53 fed through a partitioned_map
+    (pandas map_groups) lineage used to corrupt inside semi_join —
+    Ray's sort round-trips some lineages through pandas, and a
+    NULL-padded int64 column upcasts to float64, silently rounding
+    res*2^58-scale cell ids. _tag_and_pad now zero-pads integer
+    columns so no null-driven upcast can happen."""
+    big = np.int64(4) * np.int64(2**58) + np.arange(40, dtype=np.int64) * 7919
+    src = _ds(pd.DataFrame({"cell": big}), blocks=4)
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["cell"]]
+
+    # pandas-block lineage with sparse/empty partitions, like a real
+    # grouped_agg output
+    keys = joins.partitioned_map(src, ["cell"], ident, num_partitions=8)
+    left = pd.DataFrame({"cell": np.concatenate([big, big]),
+                         "nbr": np.concatenate([big, big + 1])})
+    out = joins.semi_join(
+        _ds(left, 4), keys, on="nbr", key_col="cell", num_partitions=8,
+        left_schema=pa.schema([("cell", pa.int64()), ("nbr", pa.int64())]),
+        keys_schema=pa.schema([("cell", pa.int64())]),
+    ).to_pandas()
+    # exactly the rows whose nbr is a real key — bit-exact values
+    assert len(out) == 40
+    assert sorted(out["nbr"]) == sorted(big)
+    assert sorted(out["cell"]) == sorted(big)
+
+    # same guarantee for hash_join carried columns
+    right = pd.DataFrame({"k": big, "v": big * 0 + 7})
+    j = joins.hash_join(
+        _ds(left.rename(columns={"nbr": "k"}), 4),
+        joins.partitioned_map(_ds(right, 4), ["k"], lambda d: d,
+                              num_partitions=8),
+        on="k", num_partitions=8,
+        left_schema=pa.schema([("cell", pa.int64()), ("k", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+    ).to_pandas()
+    assert len(j) == 40
+    assert sorted(j["k"]) == sorted(big)
+    assert sorted(j["cell"]) == sorted(big)

@@ -1838,3 +1838,70 @@ def test_bpe_merges_matches_pure_python():
     pd.testing.assert_frame_equal(got, expdf, check_dtype=False)
     # merges are real bigrams: each learned pair occurred in the corpus
     assert (got["pair_count"] > 0).all()
+
+
+def test_grid_clusters_brute():
+    got = (Q.q_grid_clusters(SF).to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    lon, lat = geo.derive_lonlat(cust["c_custkey"].to_numpy(np.int64))
+    cells = geo.cell_encode(lon, lat, Q.GRID_RES)
+    vc = pd.Series(cells).value_counts()
+    core = sorted(vc[vc >= Q.GRID_MINPTS].index)
+    # brute union-find over 8-adjacency (x wraps, y clamps = k_ring)
+    idx = {c: i for i, c in enumerate(core)}
+    parent = list(range(len(core)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    n = 1 << Q.GRID_RES
+    _, xs, ys = geo.cell_decode(np.array(core))
+    pos = {(int(a), int(b)): i for i, (a, b) in enumerate(zip(xs, ys))}
+    for i, (a, b) in enumerate(zip(xs, ys)):
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                j = pos.get(((int(a) + dx) % n,
+                             min(max(int(b) + dy, 0), n - 1)))
+                if j is not None:
+                    parent[find(i)] = find(j)
+    label = {c: core[min(find(idx[d]) for d in core
+                         if find(idx[d]) == find(idx[c]))]
+             for c in core}
+    # min cell id of component
+    comp_min: dict[int, int] = {}
+    for c in core:
+        r = find(idx[c])
+        comp_min[r] = min(comp_min.get(r, c), c)
+    rows = []
+    for k, cell in zip(cust["c_custkey"], cells):
+        if cell in idx:
+            rows.append((k, cell, comp_min[find(idx[cell])]))
+    exp = (pd.DataFrame(rows, columns=["c_custkey", "cell", "label"])
+           .sort_values("c_custkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["label"].nunique() < len(core)  # adjacency actually merged
+
+
+def test_weighted_median_brute():
+    got = (Q.q_weighted_median(SF).to_pandas()
+           .sort_values("l_returnflag").reset_index(drop=True))
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice",
+                                  "l_quantity"])
+    cents = (np.sign(li["l_extendedprice"]) * np.floor(
+        np.abs(li["l_extendedprice"] * 100.0) + 0.5)).astype(np.int64)
+    w = (np.sign(li["l_quantity"]) * np.floor(
+        np.abs(li["l_quantity"]) + 0.5)).astype(np.int64)
+    rows = []
+    for f, g in pd.DataFrame({"f": li["l_returnflag"], "c": cents,
+                              "w": w}).groupby("f"):
+        g = g.sort_values("c")
+        cum = g["w"].cumsum()
+        tot = int(g["w"].sum())
+        rows.append((f, int(g["c"][cum * 2 >= tot].iloc[0])))
+    exp = pd.DataFrame(rows, columns=["l_returnflag", "wmedian_cents"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
