@@ -5176,6 +5176,216 @@ _WMEDIAN_SQL = """
 """
 
 
+# time-spine gap fill: hourly event counts per type with MISSING
+# hours emitted as zero over the global [min, max] hour span — the
+# dimension-spine left join every dashboard/training-curriculum
+# rollup needs (a naive groupby silently drops empty buckets). The
+# spine is generated DISTRIBUTED (ray.data.range over hour indices ×
+# the tiny type list); counts attach via the size-probed auto_join.
+def q_gap_fill(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def hour_rows(t: pa.Table) -> pa.Table:
+        h = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // (
+            3_600_000_000)
+        return pa.table({"event_type": t["event_type"],
+                         "hour_idx": pa.array(h)})
+
+    hrs = ev.map_batches(hour_rows, batch_format="pyarrow")
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "hour_idx"], as_index=False).size(
+        ).rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def csum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "hour_idx"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = joins.grouped_agg(
+        hrs.map_batches(cnt, batch_format="pandas"),
+        ["event_type", "hour_idx"], csum, num_partitions=8,
+        pre_repartition=False,
+    ).materialize()
+    # global span + type list: tiny scalars/lists by schema
+    cdf_small = counts.to_pandas()  # (types x active hours) rows
+    h0, h1 = int(cdf_small["hour_idx"].min()), int(cdf_small["hour_idx"].max())
+    types = sorted(cdf_small["event_type"].unique())
+    spine = ray.data.range(h1 - h0 + 1)
+
+    def cross(t: pa.Table) -> pa.Table:
+        h = t["id"].to_numpy(zero_copy_only=False) + h0
+        return pa.table({
+            "event_type": pa.array(np.repeat(np.array(types, object),
+                                             len(h))),
+            "hour_idx": pa.array(np.tile(h, len(types))),
+        })
+
+    grid = spine.map_batches(cross, batch_format="pyarrow")
+    # key composite via string (exact) for the single-key join API
+    def gkey(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t["event_type"].combine_chunks().cast(pa.string()),
+            pc.cast(t["hour_idx"], pa.string()), "@")
+        return t.append_column("k", k)
+
+    joined = joins.auto_join(
+        grid.map_batches(gkey, batch_format="pyarrow"),
+        counts.map_batches(gkey, batch_format="pyarrow").select_columns(
+            ["k", "n"]),
+        on="k", how="left", num_partitions=8,
+        left_schema=pa.schema([("event_type", pa.string()),
+                               ("hour_idx", pa.int64()),
+                               ("k", pa.string())]),
+        right_schema=pa.schema([("k", pa.string()), ("n", pa.int64())]),
+    )
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"],
+             "hour_idx": df["hour_idx"].astype("int64"),
+             "n": df["n"].fillna(0).astype("int64")})
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+_GAP_FILL_SQL = """
+    WITH h AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000)::BIGINT AS hour_idx
+      FROM events),
+    c AS (SELECT event_type, hour_idx, count(*)::BIGINT AS n
+          FROM h GROUP BY event_type, hour_idx),
+    span AS (SELECT min(hour_idx) AS h0, max(hour_idx) AS h1 FROM h),
+    grid AS (
+      SELECT t.event_type, s.hour_idx FROM
+        (SELECT DISTINCT event_type FROM h) t
+        CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS hour_idx
+                    FROM span) s)
+    SELECT g.event_type, g.hour_idx,
+           COALESCE(c.n, 0)::BIGINT AS n
+    FROM grid g LEFT JOIN c USING (event_type, hour_idx)
+"""
+
+
+# order-statistic trimmed aggregates: drop each group's values below
+# its p10 / above its p90 (discrete index floor(q*(n-1)), the
+# group_quantiles convention), then EXACT integer sum + count of the
+# survivors — the robust mean without float division. Two passes:
+# tiny per-group fences -> broadcast row filter -> grouped int sums.
+def q_trimmed_stats(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"f": df["l_returnflag"],
+             "cents": _round_half_away(
+                 df["l_extendedprice"].to_numpy() * 100.0)})
+
+    cents = li.map_batches(prep, batch_format="pandas")
+
+    def fences(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for f, g in part.groupby("f", sort=False):
+            v = np.sort(g["cents"].to_numpy(np.int64))
+            n = len(v)
+            lo = v[int(np.floor(0.10 * (n - 1)))]
+            hi = v[int(np.floor(0.90 * (n - 1)))]
+            rows.append((f, lo, hi))
+        return pd.DataFrame(rows, columns=["f", "lo", "hi"])
+
+    fdf = joins.grouped_agg(cents, ["f"], fences, num_partitions=8,
+                            pre_repartition=False).to_pandas()
+    lo = dict(zip(fdf["f"], fdf["lo"]))
+    hi = dict(zip(fdf["f"], fdf["hi"]))
+
+    def trim(df: pd.DataFrame) -> pd.DataFrame:
+        l = df["f"].map(lo).to_numpy(np.int64)
+        h = df["f"].map(hi).to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        keep = (c >= l) & (c <= h)
+        g = df[keep].groupby("f", as_index=False).agg(
+            n_kept=("cents", "size"), sum_cents=("cents", "sum"))
+        g["n_kept"] = g["n_kept"].astype("int64")
+        g["sum_cents"] = g["sum_cents"].astype("int64")
+        return g
+
+    def tsum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("f", as_index=False)[["n_kept", "sum_cents"]].sum()
+        g["n_kept"] = g["n_kept"].astype("int64")
+        g["sum_cents"] = g["sum_cents"].astype("int64")
+        return g
+
+    out = joins.grouped_agg(
+        cents.map_batches(trim, batch_format="pandas"), ["f"], tsum,
+        num_partitions=8, pre_repartition=False,
+    )
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["l_returnflag", "n_kept", "sum_cents"])
+
+    return out.map_batches(ren, batch_format="pyarrow")
+
+
+_TRIMMED_SQL = """
+    WITH c AS (
+      SELECT l_returnflag AS f,
+             round(l_extendedprice * 100.0, 0)::BIGINT AS cents
+      FROM lineitem),
+    fe AS (
+      SELECT f,
+        list_extract(list(cents ORDER BY cents),
+          CAST(floor(0.10 * (count(*) - 1)) AS BIGINT) + 1) AS lo,
+        list_extract(list(cents ORDER BY cents),
+          CAST(floor(0.90 * (count(*) - 1)) AS BIGINT) + 1) AS hi
+      FROM c GROUP BY f)
+    SELECT c.f AS l_returnflag, count(*)::BIGINT AS n_kept,
+           sum(c.cents)::BIGINT AS sum_cents
+    FROM c JOIN fe USING (f)
+    WHERE c.cents >= fe.lo AND c.cents <= fe.hi
+    GROUP BY c.f
+"""
+
+
+# per-track Douglas-Peucker simplification (geo.simplify_ring): keep
+# the vertices that carry the track's shape at eps resolution — the
+# pre-tiling detail shed. Rows-only (recursive DP is not SQL);
+# verified against a pure-pandas per-user application in pytest. DP
+# is inherently per-polyline; the kernel is vectorized across a
+# track's points and tracks are independent across partitions.
+SIMPLIFY_EPS_DEG = 2.0
+
+
+def q_simplify_tracks(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def simp(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "event_id": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        lon, lat = geo.derive_lonlat(df["event_id"].to_numpy(np.int64))
+        out_u, out_e = [], []
+        uid = df["user_id"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(
+            ([True], uid[1:] != uid[:-1])))
+        ends = np.concatenate((starts[1:], [len(uid)]))
+        for s, e in zip(starts, ends):
+            keep = geo.simplify_ring(lon[s:e], lat[s:e], SIMPLIFY_EPS_DEG)
+            out_u.append(uid[s:e][keep])
+            out_e.append(eid[s:e][keep])
+        return pd.DataFrame({"user_id": np.concatenate(out_u),
+                             "event_id": np.concatenate(out_e)})
+
+    return joins.partitioned_map(ev, ["user_id"], simp,
+                                 num_partitions=16, pre_repartition=False)
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -5902,6 +6112,8 @@ ORACLE: dict[str, str] = {
     "track_speed": _track_speed_sql(),
     "grid_clusters": _grid_clusters_sql(),
     "weighted_median": _WMEDIAN_SQL,
+    "gap_fill": _GAP_FILL_SQL,
+    "trimmed_stats": _TRIMMED_SQL,
 }
 
 QUERIES = {
@@ -6049,4 +6261,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "grid_clusters": q_grid_clusters,
     "weighted_median": q_weighted_median,
+    "gap_fill": q_gap_fill,
+    "trimmed_stats": q_trimmed_stats,
+    "simplify_tracks": q_simplify_tracks,
 }

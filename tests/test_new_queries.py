@@ -1905,3 +1905,67 @@ def test_weighted_median_brute():
         rows.append((f, int(g["c"][cum * 2 >= tot].iloc[0])))
     exp = pd.DataFrame(rows, columns=["l_returnflag", "wmedian_cents"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_gap_fill_brute():
+    got = (Q.q_gap_fill(SF).to_pandas()
+           .sort_values(["event_type", "hour_idx"]).reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts"])
+    h = (ev["ts"].astype("int64") // 3_600_000_000).astype("int64")
+    c = (pd.DataFrame({"t": ev["event_type"], "h": h})
+         .groupby(["t", "h"], as_index=False).size())
+    h0, h1 = int(h.min()), int(h.max())
+    types = sorted(ev["event_type"].unique())
+    full = pd.MultiIndex.from_product(
+        [types, range(h0, h1 + 1)], names=["t", "h"]).to_frame(index=False)
+    exp = full.merge(c, on=["t", "h"], how="left")
+    exp["size"] = exp["size"].fillna(0).astype("int64")
+    exp.columns = ["event_type", "hour_idx", "n"]
+    exp = exp.sort_values(["event_type", "hour_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the spine actually fills: zero rows exist
+    assert (got["n"] == 0).any()
+    assert len(got) == len(types) * (h1 - h0 + 1)
+
+
+def test_trimmed_stats_brute():
+    got = (Q.q_trimmed_stats(SF).to_pandas()
+           .sort_values("l_returnflag").reset_index(drop=True))
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    cents = (np.sign(li["l_extendedprice"]) * np.floor(
+        np.abs(li["l_extendedprice"] * 100.0) + 0.5)).astype(np.int64)
+    rows = []
+    for f, g in pd.DataFrame({"f": li["l_returnflag"],
+                              "c": cents}).groupby("f"):
+        v = np.sort(g["c"].to_numpy())
+        n = len(v)
+        lo = v[int(np.floor(0.10 * (n - 1)))]
+        hi = v[int(np.floor(0.90 * (n - 1)))]
+        kept = g["c"][(g["c"] >= lo) & (g["c"] <= hi)]
+        rows.append((f, len(kept), int(kept.sum())))
+    exp = pd.DataFrame(rows, columns=["l_returnflag", "n_kept", "sum_cents"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_simplify_tracks_brute_and_error_bound():
+    got = (Q.q_simplify_tracks(SF).to_pandas()
+           .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        lon, lat = geo.derive_lonlat(g["event_id"].to_numpy(np.int64))
+        keep = geo.simplify_ring(lon, lat, Q.SIMPLIFY_EPS_DEG)
+        for e in g["event_id"].to_numpy()[keep]:
+            rows.append((uid, e))
+    exp = (pd.DataFrame(rows, columns=["user_id", "event_id"])
+           .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # it actually simplifies, and endpoints always survive
+    assert len(got) < len(ev)
+    fl = ev.groupby("user_id")["event_id"]
+    for e in fl.first():
+        assert e in set(got["event_id"])
