@@ -5386,6 +5386,62 @@ def q_simplify_tracks(sf_dir: str):
                                  num_partitions=16, pre_repartition=False)
 
 
+# per-user track corridor: every cell within Chebyshev distance
+# CORRIDOR_K of any ping of the track (k_ring semantics: x wraps the
+# antimeridian, y clamps at the poles), deduped — the "which tiles
+# might this track touch" prefilter feeding tile invalidation. One
+# stateless k-ring explode + a hash-partitioned distinct; the
+# exploded stream is (2k+1)^2 x pings of 16-byte rows, never texts
+# or bytes.
+CORRIDOR_K = 1
+CORRIDOR_RES = 6
+
+
+def q_track_corridor(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def ring(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "cell": pa.array([], pa.int64())})
+        lon, lat = geo.derive_lonlat(
+            t["event_id"].to_numpy(zero_copy_only=False))
+        c = geo.cell_encode(lon, lat, CORRIDOR_RES)
+        nb = geo.k_ring(c, CORRIDOR_K)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": pa.array(np.repeat(uid, nb.shape[1])),
+             "cell": pa.array(nb.ravel())})
+
+    cells = ev.map_batches(ring, batch_format="pyarrow")
+    return joins.distinct(cells, ["user_id", "cell"], num_partitions=16)
+
+
+def _track_corridor_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("event_id")
+    n = 1 << CORRIDOR_RES
+    k = CORRIDOR_K
+    return f"""
+    WITH p AS (
+      SELECT user_id,
+             LEAST(GREATEST(floor((({lon}) + 180.0) / 360.0
+                                  * {float(n)!r})::BIGINT, 0), {n - 1}) AS x,
+             LEAST(GREATEST(floor((({lat}) + 90.0) / 180.0
+                                  * {float(n)!r})::BIGINT, 0), {n - 1}) AS y
+      FROM events),
+    nb AS (
+      SELECT user_id,
+             ((x + dx.d) % {n} + {n}) % {n} AS nx,
+             LEAST(GREATEST(y + dy.d, 0), {n - 1}) AS ny
+      FROM p
+      CROSS JOIN (SELECT unnest(generate_series(-{k}, {k})) AS d) dx
+      CROSS JOIN (SELECT unnest(generate_series(-{k}, {k})) AS d) dy)
+    SELECT DISTINCT user_id,
+           ({CORRIDOR_RES} * {geo.RES_SHIFT} + ny * {geo.Y_SHIFT} + nx) AS cell
+    FROM nb
+    """
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -6114,6 +6170,7 @@ ORACLE: dict[str, str] = {
     "weighted_median": _WMEDIAN_SQL,
     "gap_fill": _GAP_FILL_SQL,
     "trimmed_stats": _TRIMMED_SQL,
+    "track_corridor": _track_corridor_sql(),
 }
 
 QUERIES = {
@@ -6264,4 +6321,5 @@ QUERIES = {
     "gap_fill": q_gap_fill,
     "trimmed_stats": q_trimmed_stats,
     "simplify_tracks": q_simplify_tracks,
+    "track_corridor": q_track_corridor,
 }

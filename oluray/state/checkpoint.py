@@ -186,3 +186,110 @@ def write_partitioned_resumable(
         )
     man.save()
     return man
+
+
+def compact_partitions(
+    out_dir: str,
+    window_id: str,
+    part_col: str = "part",
+    max_files: int = 1,
+) -> dict[str, dict]:
+    """Small-file compaction for the resumable sink: rewrite every
+    DONE partition that holds more than `max_files` parquet files into
+    one file, in parallel, without changing a single row. A streaming
+    write at high concurrency legitimately leaves one file per
+    producing task; at 100 TB that's the classic many-small-files tax
+    on every later scan. Compaction is the standard follow-up pass
+    (Iceberg/Delta `rewrite_data_files`), expressed here over the
+    manifest's own partition inventory.
+
+    Crash-safe swap per partition: compacted data lands in
+    `part=<k>.compact-tmp/`, the live dir is renamed to
+    `part=<k>.old/`, tmp renamed live, then `.old` removed — and a
+    recovery sweep at the start restores `.old` if a previous run died
+    between the renames (the live dir is then missing). Row counts are
+    verified from the parquet footers BEFORE the swap; a mismatch
+    aborts that partition and leaves the original untouched.
+
+    Runs one Ray task per partition (`from_items -> map_batches`,
+    batch_size=1): partition dirs are independent, so compaction
+    parallelism = partition count, same as the write itself. The
+    driver only sees per-partition (files_before, files_after, rows)
+    rows. Returns that summary dict and stamps `compacted_files` into
+    each partition's manifest entry."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    man = Manifest.load_or_create(out_dir, window_id)
+
+    # recovery sweep: a crash between the two renames leaves `.old`
+    # with no live dir — restore it (data was verified pre-swap)
+    for old in _glob.glob(os.path.join(out_dir, f"{part_col}=*.old")):
+        final = old[: -len(".old")]
+        if not os.path.exists(final):
+            os.replace(old, final)
+        else:
+            shutil.rmtree(old)
+    for tmp in _glob.glob(os.path.join(out_dir, f"{part_col}=*.compact-tmp")):
+        shutil.rmtree(tmp)  # incomplete compaction output: discard
+
+    todo = []
+    for d in sorted(_glob.glob(os.path.join(out_dir, f"{part_col}=*"))):
+        if d.endswith(".old") or d.endswith(".compact-tmp"):
+            continue
+        key = _dir_key(os.path.basename(d))
+        if not man.is_done(key):
+            continue
+        files = _glob.glob(os.path.join(d, "*.parquet"))
+        if len(files) > max_files:
+            todo.append({"dir": d, "key": key})
+    if not todo:
+        return {}
+
+    def compact(batch):
+        import pandas as pd
+
+        rows_out = []
+        for d in batch["dir"]:
+            files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+            n_before = sum(
+                pq.ParquetFile(f).metadata.num_rows for f in files
+            )
+            table = pq.read_table(d)
+            if table.num_rows != n_before:  # pre-swap verification
+                rows_out.append((os.path.basename(d), len(files), -1,
+                                 n_before))
+                continue
+            tmp = d + ".compact-tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            os.makedirs(tmp)
+            pq.write_table(table, os.path.join(tmp, "data.parquet"))
+            old = d + ".old"
+            os.replace(d, old)
+            os.replace(tmp, d)
+            shutil.rmtree(old)
+            rows_out.append((os.path.basename(d), len(files), 1, n_before))
+        return pd.DataFrame(
+            rows_out, columns=["part", "files_before", "files_after",
+                               "rows"])
+
+    res = ray.data.from_items(todo).map_batches(
+        compact, batch_size=1, batch_format="pandas"
+    ).to_pandas()  # one summary row per partition — tiny by definition
+
+    summary: dict[str, dict] = {}
+    for _, r in res.iterrows():
+        key = _dir_key(r["part"])
+        summary[key] = {
+            "files_before": int(r["files_before"]),
+            "files_after": int(r["files_after"]),
+            "rows": int(r["rows"]),
+        }
+        if int(r["files_after"]) > 0:
+            man.partitions[key]["compacted_files"] = int(r["files_after"])
+    man.save()
+    return summary

@@ -137,3 +137,62 @@ def test_run_job_entrypoint(tmp_path):
     man2 = json.load(open(f"{out}/_manifest.json"))
     assert {k: v["finished_at"] for k, v in man2["partitions"].items()} == t1
     assert m2["rows"] == m1["rows"]  # metrics read from the manifest
+
+
+def _multi_file_sink(tmp):
+    """A resumable write whose partitions each hold SEVERAL parquet
+    files (many producing blocks), for compaction tests."""
+    import numpy as np
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "k": np.arange(4000, dtype=np.int64),
+        "v": np.arange(4000, dtype=np.int64) * 3,
+        "part": (np.arange(4000) % 3).astype("int64"),
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    return checkpoint.write_partitioned_resumable(ds, str(tmp), "wc")
+
+
+def test_compact_partitions_merges_files_and_preserves_rows(tmp_path):
+    out = tmp_path / "out"
+    _multi_file_sink(out)
+    before = pq.read_table(str(out)).sort_by("k")
+    n_files_before = {
+        d: len(glob.glob(os.path.join(str(out), d, "*.parquet")))
+        for d in os.listdir(str(out)) if d.startswith("part=")
+    }
+    assert any(n > 1 for n in n_files_before.values())
+
+    summary = checkpoint.compact_partitions(str(out), "wc")
+    assert summary  # something was compacted
+    for key, info in summary.items():
+        assert info["files_after"] == 1
+        assert info["files_before"] > 1
+
+    after = pq.read_table(str(out)).sort_by("k")
+    assert after.equals(before)  # not a single row changed
+    for d in os.listdir(str(out)):
+        if d.startswith("part=") and not d.endswith((".old", ".compact-tmp")):
+            assert len(glob.glob(os.path.join(str(out), d, "*.parquet"))) == 1
+    man = json.load(open(os.path.join(str(out), "_manifest.json")))
+    assert all(p.get("compacted_files") == 1
+               for p in man["partitions"].values())
+
+    # idempotent: second run is a no-op
+    assert checkpoint.compact_partitions(str(out), "wc") == {}
+
+
+def test_compact_partitions_crash_recovery(tmp_path):
+    out = tmp_path / "out"
+    _multi_file_sink(out)
+    before = pq.read_table(str(out)).sort_by("k")
+    # simulate a crash between the two renames: live dir moved to .old
+    d = sorted(glob.glob(os.path.join(str(out), "part=*")))[0]
+    os.replace(d, d + ".old")
+    assert not os.path.exists(d)
+    checkpoint.compact_partitions(str(out), "wc")
+    # recovery restored the partition, then compaction ran over it
+    assert os.path.exists(d)
+    after = pq.read_table(str(out)).sort_by("k")
+    assert after.equals(before)

@@ -1969,3 +1969,22 @@ def test_simplify_tracks_brute_and_error_bound():
     fl = ev.groupby("user_id")["event_id"]
     for e in fl.first():
         assert e in set(got["event_id"])
+
+
+def test_track_corridor_brute():
+    got = (Q.q_track_corridor(SF).to_pandas()
+           .sort_values(["user_id", "cell"]).reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id"])
+    lon, lat = geo.derive_lonlat(ev["event_id"].to_numpy(np.int64))
+    cells = geo.cell_encode(lon, lat, Q.CORRIDOR_RES)
+    nb = geo.k_ring(cells, Q.CORRIDOR_K)
+    exp = (pd.DataFrame({"user_id": np.repeat(ev["user_id"].to_numpy(),
+                                              nb.shape[1]),
+                         "cell": nb.ravel()})
+           .drop_duplicates().sort_values(["user_id", "cell"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the corridor strictly contains the raw track cells
+    raw = set(zip(ev["user_id"], cells))
+    assert raw < set(zip(got["user_id"], got["cell"]))
