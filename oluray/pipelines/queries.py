@@ -594,6 +594,16 @@ def q_ivf_topk(sf_dir: str):
     return ann.ivf_topk(emb, qids, qm, k=ANN_K, n_centroids=32, n_probe=8)
 
 
+def q_pq_topk(sf_dir: str):
+    """PQ/ADC approximate top-k (ann.pq_topk): subspace codebooks on a
+    bounded sample, corpus scanned as codes + lookup tables — the
+    64x-compression ANN path. Rows-only (k-means + ADC aren't SQL);
+    recall-tested vs the brute oracle in pytest."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, qm = _ann_queries(sf_dir)
+    return ann.pq_topk(emb, qids, qm, k=ANN_K, m_sub=32, n_codes=16)
+
+
 def _synth_images(sf_dir: str):
     """Deterministic image per documents row (the payload-table synth
     path shared by the decode/resize multimodal queries)."""
@@ -6322,4 +6332,5 @@ QUERIES = {
     "trimmed_stats": q_trimmed_stats,
     "simplify_tracks": q_simplify_tracks,
     "track_corridor": q_track_corridor,
+    "pq_topk": q_pq_topk,
 }

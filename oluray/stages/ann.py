@@ -354,30 +354,23 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
-def train_centroids(
-    embeddings, n_centroids: int = 64, sample_size: int = 2048,
-    iters: int = 10,
-) -> np.ndarray:
-    """Deterministic spherical k-means on a bounded, CORPUS-WIDE
-    sample: rows are kept when a hash of vec_id falls below the
-    sampling rate, so the sample spreads over every file/domain —
-    `limit(sample_size)` would take the first rows in block order,
-    and a corpus parquet sorted by source would then train every
-    centroid on one domain's corner of embedding space (r2 review).
-
-    Only the SAMPLE reaches the driver — O(sample_size x dim), the
-    same budget class as the broadcast query matrix; the corpus never
-    moves. Rows are ordered by vec_id before everything so the result
-    is independent of block arrival order. Lloyd iterations are fully
-    vectorized (`np.add.at` scatter for the centroid update); an empty
-    cluster is re-seeded from the currently worst-served sample point.
-    """
+def _corpus_sample(embeddings, sample_size: int) -> np.ndarray:
+    """Bounded, CORPUS-WIDE normalized sample matrix (the shared
+    trainer input for IVF and PQ): rows are kept when a hash of
+    vec_id falls below the sampling rate, so the sample spreads over
+    every file/domain — `limit(sample_size)` would take the first
+    rows in block order, and a corpus parquet sorted by source would
+    then train every centroid on one domain's corner of embedding
+    space (r2 review). Only the SAMPLE reaches the driver —
+    O(sample_size x dim), the same budget class as the broadcast
+    query matrix; the corpus never moves. Rows are ordered by vec_id
+    so the result is independent of block arrival order."""
     n_total = embeddings.count()  # parquet metadata — cheap
     if n_total == 0:
         # fail with intent: np.stack on an empty sample raised an
         # opaque numpy error here (ADVICE r2)
         raise ValueError(
-            "embeddings dataset is empty — cannot train IVF centroids"
+            "embeddings dataset is empty — cannot train a quantizer"
         )
     # 2x oversample the rate so hash variance rarely undershoots
     rate = min(1.0, 2.0 * sample_size / max(n_total, 1))
@@ -397,9 +390,20 @@ def train_centroids(
     # order), then sort the kept rows by vec_id for determinism
     by_hash = np.argsort(_mix64(ids.astype(np.int64)), kind="stable")[:sample_size]
     sel = by_hash[np.argsort(ids[by_hash], kind="stable")]
-    m = _normalize(
+    return _normalize(
         np.stack(sm["embedding"].iloc[sel].map(np.asarray)).astype(np.float64)
     )
+
+
+def train_centroids(
+    embeddings, n_centroids: int = 64, sample_size: int = 2048,
+    iters: int = 10,
+) -> np.ndarray:
+    """Deterministic spherical k-means on `_corpus_sample`. Lloyd
+    iterations are fully vectorized (`np.add.at` scatter for the
+    centroid update); an empty cluster is re-seeded from the
+    currently worst-served sample point."""
+    m = _corpus_sample(embeddings, sample_size)
     n_centroids = min(n_centroids, len(m))
     c = m[:: max(1, len(m) // n_centroids)][:n_centroids].copy()
     for _ in range(iters):
@@ -842,3 +846,125 @@ def semdedup_keep(
     return _joins.partitioned_map(assigned, ["cell"], keep_fn,
                                   num_partitions=num_partitions,
                                   pre_repartition=False)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the memory-compression ANN path
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    embeddings, m_sub: int = 4, n_codes: int = 16,
+    sample_size: int = 2048, iters: int = 10,
+) -> np.ndarray:
+    """Product-quantization codebooks: the normalized vector is split
+    into `m_sub` contiguous subspaces and each gets its own plain-L2
+    k-means codebook, trained on the SAME bounded corpus-wide hash
+    sample as the IVF quantizer (`_corpus_sample` — the corpus never
+    moves). At 100 TB this is the path that matters: a d=64 float32
+    vector compresses to m_sub bytes (64x-256x), so the scan in
+    `pq_topk` streams codes, not vectors, and per-query scoring is
+    table lookups instead of a matmul (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+    method).
+
+    Deterministic: stride seeding over the id-ordered sample, empty
+    codes re-seeded from the worst-served point. Returns float64
+    (m_sub, n_codes, dim // m_sub)."""
+    m = _corpus_sample(embeddings, sample_size)
+    dim = m.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sd = dim // m_sub
+    n_codes = min(n_codes, len(m))
+    books = np.zeros((m_sub, n_codes, sd), dtype=np.float64)
+    for s in range(m_sub):
+        x = m[:, s * sd:(s + 1) * sd]
+        c = x[:: max(1, len(x) // n_codes)][:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)  # (n, C)
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            cnt = np.bincount(a, minlength=len(c)).astype(np.float64)
+            worst = np.argsort(-d2.min(axis=1))  # worst-served first
+            wi = 0
+            for j in np.flatnonzero(cnt == 0):
+                sums[j] = x[worst[wi]]
+                cnt[j] = 1.0
+                wi += 1
+            c = sums / cnt[:, None]
+        books[s, : len(c)] = c
+        if len(c) < n_codes:
+            books[s, len(c):] = c[-1]
+    return books
+
+
+class PqTopK:
+    """Per-batch asymmetric-distance (ADC) top-k: the batch's vectors
+    are PQ-encoded (argmin per subspace — the compression step), and
+    each query scores a row as the SUM of per-subspace lookup-table
+    entries lut[q, s, code]. No query-vs-vector matmul, no float
+    vectors retained — exactly the arithmetic a code-only 100 TB scan
+    would do."""
+
+    def __init__(self, queries_ref, books_ref, k: int):
+        qids, qm = ray.get(queries_ref)
+        self.qids = np.asarray(qids, dtype=np.int64)
+        qn = _normalize(np.asarray(qm, dtype=np.float64))
+        self.books = ray.get(books_ref)  # (S, C, sd)
+        S, C, sd = self.books.shape
+        self.lut = np.stack(
+            [qn[:, s * sd:(s + 1) * sd] @ self.books[s].T
+             for s in range(S)], axis=1,
+        )  # (Q, S, C)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        if m.shape[0] == 0:
+            return _EMPTY_TOPK
+        m = _normalize(m)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        S, C, sd = self.books.shape
+        # encode: (n, S) uint8 codes
+        scores = np.zeros((self.lut.shape[0], m.shape[0]))
+        for s in range(S):
+            x = m[:, s * sd:(s + 1) * sd]
+            d2 = ((x[:, None, :] - self.books[s][None, :, :]) ** 2).sum(-1)
+            codes = np.argmin(d2, axis=1)
+            scores += self.lut[:, s, codes]  # (Q, n)
+        k = min(self.k, scores.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(scores.shape[0]):
+            order = np.lexsort((ids, -scores[qi]))[:k]
+            out_q.append(np.full(k, self.qids[qi]))
+            out_v.append(ids[order])
+            out_s.append(scores[qi][order])
+        return pa.table(
+            {"query_id": pa.array(np.concatenate(out_q)),
+             "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
+             "sim": pa.array(np.concatenate(out_s))}
+        )
+
+
+def pq_topk(
+    embeddings, query_ids, query_matrix, k: int = 5, m_sub: int = 4,
+    n_codes: int = 16, sample_size: int = 2048,
+    concurrency: int | None = None, round_digits: int = 6,
+):
+    """Approximate top-k by PQ/ADC: train codebooks on a bounded
+    sample, broadcast books + per-query LUTs, stream the corpus once.
+    Same distributed shape as `brute_topk` (per-batch candidates ->
+    tiny per-query reduce); recall < 1 by design — raise m_sub /
+    n_codes for finer codes. Returns (query_id, vec_id, rank, sim)
+    where sim is the ADC APPROXIMATION of cosine."""
+    books = pq_train(embeddings, m_sub=m_sub, n_codes=n_codes,
+                     sample_size=sample_size)
+    bref = ray.put(books)
+    qref = ray.put((np.asarray(query_ids, np.int64),
+                    np.asarray(query_matrix)))
+    cand = _stage_map(embeddings, PqTopK,
+                      dict(queries_ref=qref, books_ref=bref, k=k),
+                      concurrency)
+    return _final_topk(cand, k, round_digits)

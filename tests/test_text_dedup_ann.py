@@ -749,3 +749,41 @@ def test_quantized_topk_recall():
     s0 = float(qds["scale"].iloc[0])
     deq = q0 * s0
     assert np.allclose(deq, X[0], atol=s0 * 0.5 + 1e-6)
+
+
+def test_pq_topk_recall_and_determinism():
+    ids, m = _emb_np()
+    qids = ids[:5]
+    qm = m[:5]
+    # m_sub=32 (2-dim subspaces): the synthetic embeddings are near-
+    # isotropic — PQ's worst case — so fine subspaces beat big
+    # codebooks here (measured: 8x32 -> 0.40, 32x16 -> 0.72)
+    approx = ann.pq_topk(_emb_ds(), qids, qm, k=5, m_sub=32,
+                         n_codes=16).to_pandas()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    hits = total = 0
+    for qi, qid in enumerate(qids):
+        exact = set(ids[np.lexsort((ids, -sims[qi]))[:5]].tolist())
+        got = set(approx[approx["query_id"] == qid]["vec_id"].tolist())
+        hits += len(exact & got)
+        total += 5
+    assert hits / total >= 0.55, hits / total
+    again = ann.pq_topk(_emb_ds(), qids, qm, k=5, m_sub=32,
+                        n_codes=16).to_pandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_pq_train_shapes_and_determinism():
+    b1 = ann.pq_train(_emb_ds(), m_sub=4, n_codes=8, sample_size=256)
+    b2 = ann.pq_train(_emb_ds(), m_sub=4, n_codes=8, sample_size=256)
+    assert b1.shape == (4, 8, 16)
+    np.testing.assert_array_equal(b1, b2)
+    import pytest
+
+    with pytest.raises(ValueError):
+        ann.pq_train(_emb_ds(), m_sub=7)  # 64 % 7 != 0
