@@ -5452,6 +5452,143 @@ def _track_corridor_sql() -> str:
     """
 
 
+# trajectory resampling: linear interpolation of each track at every
+# whole-hour boundary strictly after the previous ping and at-or-
+# before the next — the fixed-rate regularization step before any
+# sequence model sees GPS data. Per-user window sort + a repeat/
+# offset-arange explode (no Python loop over pairs); positions
+# rounded to 1e-6 deg so the float interpolation hash-matches the
+# identical SQL expression.
+def q_resample_tracks(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def interp(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "hour_idx": pd.Series([], dtype="int64"),
+             "lon_1e6": pd.Series([], dtype="int64"),
+             "lat_1e6": pd.Series([], dtype="int64")})
+        if len(df) < 2:
+            return empty
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        lon, lat = geo.derive_lonlat(df["event_id"].to_numpy(np.int64))
+        uid = df["user_id"].to_numpy()
+        t = df["ts"].astype("int64").to_numpy() // 1_000_000  # us -> s
+        same = uid[1:] == uid[:-1]
+        t0, t1 = t[:-1], t[1:]
+        lo = t0 // 3600 + 1          # first hour boundary AFTER t0
+        hi = t1 // 3600              # last boundary at-or-before t1
+        cnt = np.where(same & (t1 > t0), np.maximum(hi - lo + 1, 0), 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        pair = np.repeat(np.arange(len(cnt)), cnt)
+        cum = np.concatenate(([0], np.cumsum(cnt)))
+        idx = lo[pair] + (np.arange(total) - cum[pair])
+        h = idx * 3600
+        frac = (h - t0[pair]).astype(np.float64) / (
+            t1[pair] - t0[pair]).astype(np.float64)
+        li = lon[:-1][pair] + (lon[1:][pair] - lon[:-1][pair]) * frac
+        la = lat[:-1][pair] + (lat[1:][pair] - lat[:-1][pair]) * frac
+        return pd.DataFrame(
+            {"user_id": uid[:-1][pair], "hour_idx": idx,
+             "lon_1e6": _round_half_away(li * 1e6),
+             "lat_1e6": _round_half_away(la * 1e6)})
+
+    return joins.partitioned_map(ev, ["user_id"], interp,
+                                 num_partitions=16, pre_repartition=False)
+
+
+def _resample_sql() -> str:
+    lon0, lat0 = geo.derive_lonlat_sql("p_eid")
+    lon1, lat1 = geo.derive_lonlat_sql("event_id")
+    return f"""
+    WITH w AS (
+      SELECT user_id, event_id,
+             (epoch_us(ts) // 1000000)::BIGINT AS t1,
+             lag(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS p_eid,
+             (epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+              // 1000000)::BIGINT AS t0
+      FROM events),
+    pairs AS (
+      SELECT * FROM w WHERE p_eid IS NOT NULL AND t1 > t0
+                        AND t1 // 3600 >= t0 // 3600 + 1),
+    pts AS (
+      SELECT user_id, p_eid, event_id, t0, t1,
+             unnest(generate_series(t0 // 3600 + 1, t1 // 3600))
+               AS hour_idx
+      FROM pairs),
+    xy AS (
+      SELECT user_id, hour_idx,
+             (hour_idx * 3600 - t0)::DOUBLE / (t1 - t0)::DOUBLE AS frac,
+             {lon0} AS lon0, {lat0} AS lat0,
+             {lon1} AS lon1, {lat1} AS lat1
+      FROM pts)
+    SELECT user_id, hour_idx,
+           round((lon0 + (lon1 - lon0) * frac) * 1e6, 0)::BIGINT AS lon_1e6,
+           round((lat0 + (lat1 - lat0) * frac) * 1e6, 0)::BIGINT AS lat_1e6
+    FROM xy
+    """
+
+
+# robust outlier flags via MAD (median absolute deviation): per-group
+# discrete median (the group_quantiles index convention) of value,
+# then the discrete median of |value - med|, flag rows with
+# |value - med| > 3 * MAD. The IQR fence's heavier-tailed sibling;
+# same two-pass tiny-fences -> broadcast row-filter shape.
+def q_mad_outliers(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def fences(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy(np.float64))
+            med = v[int(np.floor(0.5 * (len(v) - 1)))]
+            d = np.sort(np.abs(g["value"].to_numpy(np.float64) - med))
+            mad = d[int(np.floor(0.5 * (len(d) - 1)))]
+            rows.append((et, med, mad))
+        return pd.DataFrame(rows, columns=["event_type", "med", "mad"])
+
+    fdf = joins.grouped_agg(
+        ev.select_columns(["event_type", "value"]), ["event_type"],
+        fences, num_partitions=8, pre_repartition=False,
+    ).to_pandas()
+    med = dict(zip(fdf["event_type"], fdf["med"]))
+    mad = dict(zip(fdf["event_type"], fdf["mad"]))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(med).to_numpy(np.float64)
+        s = df["event_type"].map(mad).to_numpy(np.float64)
+        v = df["value"].to_numpy(np.float64)
+        keep = np.abs(v - m) > 3.0 * s
+        out = df[keep]
+        return pd.DataFrame({"event_id": out["event_id"],
+                             "event_type": out["event_type"],
+                             "value": out["value"]})
+
+    return ev.map_batches(flag, batch_format="pandas")
+
+
+_MAD_SQL = """
+    WITH f AS (
+      SELECT event_type,
+        list_extract(list(value ORDER BY value),
+          CAST(floor(0.5 * (count(*) - 1)) AS BIGINT) + 1) AS med
+      FROM events GROUP BY event_type),
+    d AS (
+      SELECT e.event_type,
+        list_extract(list(abs(e.value - f.med) ORDER BY abs(e.value - f.med)),
+          CAST(floor(0.5 * (count(*) - 1)) AS BIGINT) + 1) AS mad
+      FROM events e JOIN f USING (event_type) GROUP BY e.event_type)
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN f USING (event_type) JOIN d USING (event_type)
+    WHERE abs(e.value - f.med) > 3.0 * d.mad
+"""
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -6181,6 +6318,8 @@ ORACLE: dict[str, str] = {
     "gap_fill": _GAP_FILL_SQL,
     "trimmed_stats": _TRIMMED_SQL,
     "track_corridor": _track_corridor_sql(),
+    "resample_tracks": _resample_sql(),
+    "mad_outliers": _MAD_SQL,
 }
 
 QUERIES = {
@@ -6333,4 +6472,6 @@ QUERIES = {
     "simplify_tracks": q_simplify_tracks,
     "track_corridor": q_track_corridor,
     "pq_topk": q_pq_topk,
+    "resample_tracks": q_resample_tracks,
+    "mad_outliers": q_mad_outliers,
 }

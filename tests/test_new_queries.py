@@ -1988,3 +1988,54 @@ def test_track_corridor_brute():
     # the corridor strictly contains the raw track cells
     raw = set(zip(ev["user_id"], cells))
     assert raw < set(zip(got["user_id"], got["cell"]))
+
+
+def test_resample_tracks_brute():
+    got = (Q.q_resample_tracks(SF).to_pandas()
+           .sort_values(["user_id", "hour_idx"]).reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    lon, lat = geo.derive_lonlat(ev["event_id"].to_numpy(np.int64))
+    rows = []
+    for i in range(1, len(ev)):
+        if ev["user_id"].iloc[i] != ev["user_id"].iloc[i - 1]:
+            continue
+        t0 = int(ev["ts"].iloc[i - 1].value // 10**9)
+        t1 = int(ev["ts"].iloc[i].value // 10**9)
+        if t1 <= t0:
+            continue
+        for idx in range(t0 // 3600 + 1, t1 // 3600 + 1):
+            frac = (idx * 3600 - t0) / (t1 - t0)
+            li = lon[i - 1] + (lon[i] - lon[i - 1]) * frac
+            la = lat[i - 1] + (lat[i] - lat[i - 1]) * frac
+            rows.append((ev["user_id"].iloc[i], idx,
+                         int(np.sign(li) * np.floor(abs(li * 1e6) + 0.5)),
+                         int(np.sign(la) * np.floor(abs(la * 1e6) + 0.5))))
+    exp = (pd.DataFrame(rows, columns=["user_id", "hour_idx",
+                                       "lon_1e6", "lat_1e6"])
+           .sort_values(["user_id", "hour_idx"]).reset_index(drop=True))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # interpolant stays inside the segment's bounding box
+    assert got["lon_1e6"].between(int(lon.min() * 1e6) - 1,
+                                  int(lon.max() * 1e6) + 1).all()
+
+
+def test_mad_outliers_brute():
+    got = (Q.q_mad_outliers(SF).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy(np.float64))
+        med = v[int(np.floor(0.5 * (len(v) - 1)))]
+        d = np.sort(np.abs(g["value"].to_numpy(np.float64) - med))
+        mad = d[int(np.floor(0.5 * (len(d) - 1)))]
+        f = g[np.abs(g["value"] - med) > 3.0 * mad]
+        rows.append(f)
+    exp = (pd.concat(rows).sort_values("event_id")
+           .reset_index(drop=True)[["event_id", "event_type", "value"]])
+    assert 0 < len(got) < len(ev)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

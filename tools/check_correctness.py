@@ -4,7 +4,8 @@ Runs every ``queries()`` entry at a given sf_dir and compares against
 ``oracle_sql()`` via DuckDB: row count, sorted column names, and an
 order-insensitive value hash (rows sorted by all columns, hashed).
 
-Usage: python tools/check_correctness.py [sf_dir]
+Usage: python tools/check_correctness.py [sf_dir] [name1,name2,...]
+(the optional second arg restricts the run to those query names)
 """
 
 from __future__ import annotations
@@ -43,7 +44,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5(pd.util.hash_pandas_object(df, index=False).values.tobytes()).hexdigest()
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
@@ -64,6 +65,11 @@ def main(sf_dir: str) -> int:
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown query names: {sorted(unknown)}")
+        qs = {n: f for n, f in qs.items() if n in only}
     failures = 0
     for name, fn in qs.items():
         t0 = time.perf_counter()
@@ -103,7 +109,8 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    rc = main(sf)
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    rc = main(sf, only)
     import ray
 
     ray.shutdown()
