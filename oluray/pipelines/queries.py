@@ -5589,6 +5589,142 @@ _MAD_SQL = """
 """
 
 
+# entity resolution end-to-end: the ED<=1 fuzzy pairs (FastSS
+# blocking, never all-pairs) become edges of the SAME distributed
+# hash-min CC loop the dedup path uses; every part gets an entity
+# label = min partkey of its name cluster, isolated parts label
+# themselves. Oracle: recursive reachability over
+# levenshtein(a,b) <= 1 edges + COALESCE for singletons.
+def q_entity_clusters(sf_dir: str):
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    pairs = text.fuzzy_pairs_ed1(part, "p_partkey", "p_name",
+                                 num_partitions=16)
+    labels = joins.connected_components(pairs, "ka", "kb",
+                                        num_partitions=8)
+    keys = part.select_columns(["p_partkey"])
+    lonely = joins.semi_join(
+        keys, labels, on="p_partkey", key_col="node", anti=True,
+        num_partitions=8,
+        left_schema=pa.schema([("p_partkey", pa.int64())]),
+        keys_schema=pa.schema([("node", pa.int64()),
+                               ("label", pa.int64())]),
+    )
+
+    def self_label(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "entity": t["p_partkey"]})
+
+    def ren(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["node"], "entity": t["label"]})
+
+    return labels.map_batches(ren, batch_format="pyarrow").union(
+        lonely.map_batches(self_label, batch_format="pyarrow"))
+
+
+_ENTITY_SQL = """
+    WITH RECURSIVE e AS (
+      SELECT a.p_partkey AS ka, b.p_partkey AS kb
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 1),
+    sym AS (SELECT ka AS a, kb AS b FROM e UNION SELECT kb, ka FROM e),
+    walk AS (
+      SELECT a AS node, b AS reach FROM sym
+      UNION
+      SELECT w.node, s.b FROM walk w JOIN sym s ON s.a = w.reach
+      WHERE s.b <> w.node),
+    lab AS (SELECT node, least(node, min(reach)) AS label
+            FROM walk GROUP BY node)
+    SELECT p.p_partkey, COALESCE(l.label, p.p_partkey) AS entity
+    FROM part p LEFT JOIN lab l ON l.node = p.p_partkey
+"""
+
+
+# last-touch attribution: each purchase is credited to the user's
+# most recent PRECEDING click (by (ts, event_id) order) within a
+# 7-day window — gap kept as exact integer microseconds. One
+# user-hash partition sort with a boundary-reset running max (the
+# as-of backward join expressed as a window), deterministic tie-break
+# = max click event_id at the winning timestamp.
+ATTRIB_WINDOW_US = 7 * 86400 * 1_000_000
+
+
+def q_attribution(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(
+            t["event_type"],
+            value_set=pa.array(["click", "purchase"])))
+
+    ev = ev.map_batches(pre, batch_format="pyarrow")
+
+    def attr(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": pd.Series([], dtype="int64"),
+             "click_event_id": pd.Series([], dtype="int64"),
+             "gap_us": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        uid = df["user_id"].to_numpy()
+        tus = df["ts"].astype("int64").to_numpy()
+        is_click = (df["event_type"] == "click").to_numpy()
+        # running max of click ts over STRICTLY PRECEDING rows, reset
+        # per user (vectorized: shift, then cummax within segments)
+        click_ts = np.where(is_click, tus, np.int64(-2**62))
+        prev = np.concatenate(([np.int64(-2**62)], click_ts[:-1]))
+        new_user = np.concatenate(
+            ([True], uid[1:] != uid[:-1]))
+        seg = np.cumsum(new_user) - 1
+        run = pd.Series(np.where(new_user, np.int64(-2**62), prev))
+        run = run.groupby(seg).cummax().to_numpy()
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        ok = is_p & (run > -2**61) & (tus - run <= ATTRIB_WINDOW_US)
+        if not ok.any():
+            return empty
+        # winning click id: max click event_id at (user, run ts)
+        clicks = df[is_click]
+        best = clicks.groupby(
+            [clicks["user_id"], clicks["ts"].astype("int64")]
+        )["event_id"].max()
+        key = pd.MultiIndex.from_arrays([uid[ok], run[ok]])
+        cid = best.reindex(key).to_numpy()
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy()[ok],
+             "click_event_id": cid.astype(np.int64),
+             "gap_us": (tus[ok] - run[ok]).astype(np.int64)})
+
+    return joins.partitioned_map(ev, ["user_id"], attr,
+                                 num_partitions=16,
+                                 pre_repartition=False)
+
+
+_ATTRIBUTION_SQL = f"""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, event_type,
+             epoch_us(ts)::BIGINT AS tus
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    w AS (
+      SELECT *, max(CASE WHEN event_type = 'click' THEN tus END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS run
+      FROM ev),
+    p AS (
+      SELECT user_id, event_id, tus, run FROM w
+      WHERE event_type = 'purchase' AND run IS NOT NULL
+        AND tus - run <= {ATTRIB_WINDOW_US}),
+    best AS (
+      SELECT user_id, tus AS ctus, max(event_id) AS click_event_id
+      FROM ev WHERE event_type = 'click' GROUP BY user_id, tus)
+    SELECT p.event_id, b.click_event_id,
+           (p.tus - p.run)::BIGINT AS gap_us
+    FROM p JOIN best b ON b.user_id = p.user_id AND b.ctus = p.run
+"""
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -6320,6 +6456,8 @@ ORACLE: dict[str, str] = {
     "track_corridor": _track_corridor_sql(),
     "resample_tracks": _resample_sql(),
     "mad_outliers": _MAD_SQL,
+    "entity_clusters": _ENTITY_SQL,
+    "attribution": _ATTRIBUTION_SQL,
 }
 
 QUERIES = {
@@ -6474,4 +6612,6 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "resample_tracks": q_resample_tracks,
     "mad_outliers": q_mad_outliers,
+    "entity_clusters": q_entity_clusters,
+    "attribution": q_attribution,
 }

@@ -2039,3 +2039,83 @@ def test_mad_outliers_brute():
            .reset_index(drop=True)[["event_id", "event_type", "value"]])
     assert 0 < len(got) < len(ev)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_entity_clusters_brute():
+    got = (Q.q_entity_clusters(SF).to_pandas()
+           .sort_values("p_partkey").reset_index(drop=True))
+    part = pd.read_parquet(f"{SF}/part.parquet",
+                           columns=["p_partkey", "p_name"])
+    # brute ED<=1 union-find
+    def ed1(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = j = diff = 0
+        while i < la and j < lb:
+            if a[i] != b[j]:
+                diff += 1
+                if diff > 1:
+                    return False
+                j += 1
+            else:
+                i += 1
+                j += 1
+        return True
+
+    keys = part["p_partkey"].tolist()
+    names = part["p_name"].tolist()
+    parent = {k: k for k in keys}
+
+    def find(k):
+        while parent[k] != k:
+            parent[k] = parent[parent[k]]
+            k = parent[k]
+        return k
+
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            if ed1(names[i], names[j]):
+                parent[find(keys[i])] = find(keys[j])
+    comp_min: dict[int, int] = {}
+    for k in keys:
+        r = find(k)
+        comp_min[r] = min(comp_min.get(r, k), k)
+    exp = (pd.DataFrame({"p_partkey": keys,
+                         "entity": [comp_min[find(k)] for k in keys]})
+           .sort_values("p_partkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["entity"].nunique() < len(got)  # real merging happened
+
+
+def test_attribution_brute():
+    got = (Q.q_attribution(SF).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    ev = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        last_ts = None
+        for _, r in g.iterrows():
+            if r["event_type"] == "purchase" and last_ts is not None:
+                gap = int(r["ts"].value // 1000) - int(last_ts.value // 1000)
+                if gap <= Q.ATTRIB_WINDOW_US:
+                    clicks = g[(g["event_type"] == "click")
+                               & (g["ts"] == last_ts)]
+                    rows.append((r["event_id"],
+                                 int(clicks["event_id"].max()), gap))
+            if r["event_type"] == "click":
+                last_ts = r["ts"]
+    exp = (pd.DataFrame(rows, columns=["event_id", "click_event_id",
+                                       "gap_us"])
+           .sort_values("event_id").reset_index(drop=True))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
