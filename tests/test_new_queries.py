@@ -2119,3 +2119,17 @@ def test_attribution_brute():
            .sort_values("event_id").reset_index(drop=True))
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_triangle_count_shuffle_path_matches_broadcast_path():
+    """Force the beyond-broadcast fallback (hash-partitioned wedge
+    join + string-pair-key semi join) with broadcast_rows=0 and check
+    it returns exactly the broadcast path's answer."""
+    e = Q._interaction_edges(SF)
+    fast = (Q._triangle_counts(e, num_partitions=4).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    e2 = Q._interaction_edges(SF)
+    slow = (Q._triangle_counts(e2, num_partitions=4, broadcast_rows=0)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
