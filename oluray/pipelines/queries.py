@@ -5725,6 +5725,37 @@ _ATTRIBUTION_SQL = f"""
 """
 
 
+def q_hist_equalize(sf_dir: str):
+    """Per-image histogram equalization (image.HistEqualize): exact
+    integer LUT over real decoded pixels, re-encoded PNG + before/
+    after contrast. Rows-only (pixel transforms aren't SQL); the LUT
+    formula is verified bit-exact against a pure-numpy oracle in
+    pytest."""
+    from oluray.stages.image import HistEqualize
+
+    images = _synth_images(sf_dir)
+    return images.map_batches(
+        HistEqualize, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    ).select_columns(["image_id", "contrast_before", "contrast_after"])
+
+
+def q_join_size(sf_dir: str):
+    """Join-cardinality estimation without the join (sketch.
+    join_size_estimate): CMS inner product of orders.o_custkey x
+    customer.c_custkey — the planner probe for broadcast-vs-shuffle
+    decisions. Rows-only; emits the estimate next to the exact count
+    so the driver check records both (pytest asserts the bound)."""
+    from oluray.stages import sketch
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    est = sketch.join_size_estimate(orders, "o_custkey", cust,
+                                    "c_custkey")
+    return pd.DataFrame({"estimate": [est["estimate"]],
+                         "depth_rows": [len(est["per_row"])]})
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -6614,4 +6645,6 @@ QUERIES = {
     "mad_outliers": q_mad_outliers,
     "entity_clusters": q_entity_clusters,
     "attribution": q_attribution,
+    "hist_equalize": q_hist_equalize,
+    "join_size": q_join_size,
 }

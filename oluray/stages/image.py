@@ -375,3 +375,47 @@ def compose_mosaics(df, t: int = 16, k: int = 16):
                      np.int64(zlib.crc32(canvas.tobytes())),
                      imagecodec.encode_png(canvas)))
     return pd.DataFrame(rows, columns=cols)
+
+
+class HistEqualize:
+    """Per-image histogram equalization of the luma-free per-channel
+    pixel distribution — the classic contrast-normalization transform
+    a vision-training pipeline applies before augmentation. EXACT
+    integer arithmetic: per channel, LUT[v] = round_half_up(
+    (cdf(v) - cdf_min) * 255 / (n_px - cdf_min)) over the uint8
+    histogram (the OpenCV/textbook formulation), so the output is
+    bit-reproducible across engines and block orders. Per-row decode
+    is inherent to variable-length blobs; the histogram, CDF and LUT
+    gather inside a row are single vectorized numpy passes. Emits the
+    equalized image re-encoded as PNG plus before/after contrast."""
+
+    def __init__(self):
+        self.decode = imagecodec.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        out, c0, c1 = [], [], []
+        for b, f in zip(blobs, fmts):
+            px = self.decode(b, f)
+            eq = np.empty_like(px)
+            for ch in range(px.shape[2]):
+                v = px[..., ch]
+                hist = np.bincount(v.ravel(), minlength=256)
+                cdf = np.cumsum(hist)
+                nz = np.flatnonzero(hist)
+                cdf_min = int(cdf[nz[0]]) if len(nz) else 0
+                denom = max(int(cdf[-1]) - cdf_min, 1)
+                # exact integer round-half-up: (2*num + den) // (2*den)
+                num = (cdf - cdf_min) * 255
+                lut = ((2 * num + denom) // (2 * denom)).astype(np.uint8)
+                eq[..., ch] = lut[v]
+            out.append(imagecodec.encode_png(eq))
+            c0.append(float(px.std()))
+            c1.append(float(eq.std()))
+        return pa.table(
+            {"image_id": batch["image_id"],
+             "png": pa.array(out, pa.binary()),
+             "contrast_before": pa.array(np.round(np.array(c0), 4)),
+             "contrast_after": pa.array(np.round(np.array(c1), 4))}
+        )

@@ -2133,3 +2133,45 @@ def test_triangle_count_shuffle_path_matches_broadcast_path():
             .to_pandas().sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(fast, slow)
     assert len(fast) > 0
+
+
+def test_hist_equalize_bit_exact_vs_numpy_oracle():
+    got = Q.q_hist_equalize(SF).to_pandas()
+    assert len(got) > 0
+    # pick one image; recompute the textbook equalization and compare
+    # the re-decoded pixels bit-for-bit
+    import ray
+    import ray.data
+
+    from oluray.functions import imagecodec
+    from oluray.stages.image import HistEqualize
+
+    img = Q._synth_images(SF).limit(3).to_pandas()
+    import pyarrow as pa
+    out = HistEqualize()(pa.Table.from_pandas(img)).to_pandas()
+    for i in range(len(img)):
+        px = imagecodec.decode(img["bytes"].iloc[i], img["fmt"].iloc[i])
+        exp = np.empty_like(px)
+        for ch in range(px.shape[2]):
+            v = px[..., ch]
+            hist = np.bincount(v.ravel(), minlength=256)
+            cdf = np.cumsum(hist)
+            nz = np.flatnonzero(hist)
+            cdf_min = int(cdf[nz[0]]) if len(nz) else 0
+            denom = max(int(cdf[-1]) - cdf_min, 1)
+            lut = np.floor((cdf - cdf_min) * 255 / denom + 0.5).astype(np.uint8)
+            exp[..., ch] = lut[v]
+        dec = imagecodec.decode_png(out["png"].iloc[i])
+        np.testing.assert_array_equal(dec, exp)
+    # equalization stretches contrast on the synthetic gradients
+    assert (got["contrast_after"] >= got["contrast_before"] - 1e-9).mean() > 0.8
+
+
+def test_join_size_query_bound():
+    got = Q.q_join_size(SF)
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey"])
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    true = orders.merge(cust, left_on="o_custkey",
+                        right_on="c_custkey").shape[0]
+    assert int(got["estimate"].iloc[0]) >= true
+    assert int(got["estimate"].iloc[0]) <= int(true * 1.05) + 16

@@ -225,3 +225,18 @@ def test_mp_quantile_empty_raises():
     s = sk.mp_quantile_sketch(ds, "v")
     with pytest.raises(ValueError):
         sk.mp_quantile_query(s, [0.5])
+
+
+def test_join_size_estimate_bounds():
+    rng = np.random.default_rng(17)
+    a = pd.DataFrame({"k": rng.integers(0, 500, 20_000)})
+    b = pd.DataFrame({"k": rng.integers(0, 500, 8_000)})
+    true = a.merge(b, on="k").shape[0]
+    est = sketch.join_size_estimate(_ds(a, 4), "k", _ds(b, 3), "k")
+    # CMS inner product never undercounts (hash collisions only add)
+    assert est["estimate"] >= true
+    # and with width >> distinct keys the overshoot is small
+    assert est["estimate"] <= true * 1.05
+    # deterministic
+    est2 = sketch.join_size_estimate(_ds(a, 4), "k", _ds(b, 3), "k")
+    assert est2 == est
