@@ -5756,6 +5756,134 @@ def q_join_size(sf_dir: str):
                          "depth_rows": [len(est["per_row"])]})
 
 
+# time-decayed spatial heat: per cell, sum of event values decayed by
+# half-life BUCKETS (integer right-shift per elapsed half-life — the
+# power-of-2 exponential that stays exact int64, no float drift).
+# Reference freshness semantics (newest data dominates a tile) made
+# order-independent: each row's decayed contribution is an int, so
+# the sum commutes and hash-matches SQL.
+DECAY_HALFLIFE_H = 24
+
+
+def q_decayed_cells(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def contrib(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = geo.derive_lonlat(eid)
+        cell = geo.cell_encode(lon, lat, TILE_RES)
+        tus = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _round_half_away(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0)
+        hrs = tus // 3_600_000_000
+        return pa.table({"cell": pa.array(cell),
+                         "hrs": pa.array(hrs),
+                         "cents": pa.array(cents)})
+
+    rows = ev.map_batches(contrib, batch_format="pyarrow").materialize()
+    # the decay anchor (newest hour) is ONE scalar — max over a
+    # 1-column stream
+    hmax = int(rows.max("hrs"))
+
+    def decayed(t: pa.Table) -> pa.Table:
+        age = (hmax - t["hrs"].to_numpy(zero_copy_only=False)
+               ) // DECAY_HALFLIFE_H
+        # >> 63+ is UB; anything past 62 half-lives is exactly 0
+        age = np.minimum(age, 62)
+        w = t["cents"].to_numpy(zero_copy_only=False) >> age
+        return pa.table({"cell": t["cell"], "w": pa.array(w)})
+
+    def wsum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False)["w"].sum()
+        g["w"] = g["w"].astype("int64")
+        return g
+
+    return joins.grouped_agg(
+        rows.map_batches(decayed, batch_format="pyarrow"), ["cell"],
+        wsum, num_partitions=8, combine_fn=wsum, pre_repartition=False,
+    )
+
+
+def _decayed_cells_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("event_id")
+    cell = geo.cell_encode_sql(lon, lat, TILE_RES)
+    return f"""
+    WITH c AS (
+      SELECT {cell} AS cell,
+             (epoch_us(ts) // 3600000000)::BIGINT AS hrs,
+             round(value * 100.0, 0)::BIGINT AS cents
+      FROM events),
+    m AS (SELECT max(hrs) AS hmax FROM c)
+    SELECT cell,
+           sum(cents >> LEAST((m.hmax - c.hrs) // {DECAY_HALFLIFE_H},
+                              62))::BIGINT AS w
+    FROM c CROSS JOIN m GROUP BY cell
+    """
+
+
+# per-group least-squares slope/intercept from EXACT integer moments
+# (n, Σx, Σy, Σxy, Σx²) — the same combiner discipline as group_corr;
+# the only floats are the two final divisions, identical op order both
+# sides, rounded to 1e-9. x = quantity units, y = price cents.
+def q_group_linreg(sf_dir: str):
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = _round_half_away(df["l_quantity"].to_numpy())
+        y = _round_half_away(df["l_extendedprice"].to_numpy() * 100.0)
+        g = pd.DataFrame({"f": df["l_returnflag"], "x": x, "y": y,
+                          "xy": x * y, "xx": x * x})
+        out = g.groupby("f", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"))
+        return out
+
+    parts = li.map_batches(moments, batch_format="pandas").to_pandas()
+    parts[["n", "sx", "sy", "sxy", "sxx"]] = parts[
+        ["n", "sx", "sy", "sxy", "sxx"]].astype(object)
+    st = parts.groupby("f", as_index=False).sum()
+    rows = []
+    for r in st.itertuples():
+        n, sx, sy, sxy, sxx = (int(r.n), int(r.sx), int(r.sy),
+                               int(r.sxy), int(r.sxx))
+        den = n * sxx - sx * sx
+        slope = float(n * sxy - sx * sy) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        rows.append((r.f, n,
+                     int(_round_half_away(np.array([slope * 1e9]))[0]),
+                     # 1e-3 cent precision: a 1e9 scale pushes the
+                     # scaled intercept past 2^52 where round() is in
+                     # ulp territory (observed off-by-1 vs DuckDB)
+                     int(_round_half_away(np.array([intercept * 1e3]))[0])))
+    return pd.DataFrame(rows, columns=["l_returnflag", "n",
+                                       "slope_1e9", "icept_1e3"])
+
+
+_LINREG_SQL = """
+    WITH c AS (
+      SELECT l_returnflag AS f,
+             round(l_quantity, 0)::BIGINT AS x,
+             round(l_extendedprice * 100.0, 0)::BIGINT AS y
+      FROM lineitem),
+    st AS (
+      SELECT f, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+             sum(y)::HUGEINT AS sy,
+             sum(x::HUGEINT * y)::HUGEINT AS sxy,
+             sum(x::HUGEINT * x)::HUGEINT AS sxx
+      FROM c GROUP BY f)
+    SELECT f AS l_returnflag, n::BIGINT AS n,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE * 1e9, 0)::BIGINT
+             AS slope_1e9,
+           round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+                                / (n * sxx - sx * sx)::DOUBLE)
+                  * sx::DOUBLE) / n::DOUBLE * 1e3, 0)::BIGINT
+             AS icept_1e3
+    FROM st
+"""
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -6489,6 +6617,8 @@ ORACLE: dict[str, str] = {
     "mad_outliers": _MAD_SQL,
     "entity_clusters": _ENTITY_SQL,
     "attribution": _ATTRIBUTION_SQL,
+    "decayed_cells": _decayed_cells_sql(),
+    "group_linreg": _LINREG_SQL,
 }
 
 QUERIES = {
@@ -6647,4 +6777,6 @@ QUERIES = {
     "attribution": q_attribution,
     "hist_equalize": q_hist_equalize,
     "join_size": q_join_size,
+    "decayed_cells": q_decayed_cells,
+    "group_linreg": q_group_linreg,
 }

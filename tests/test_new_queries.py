@@ -2175,3 +2175,41 @@ def test_join_size_query_bound():
                         right_on="c_custkey").shape[0]
     assert int(got["estimate"].iloc[0]) >= true
     assert int(got["estimate"].iloc[0]) <= int(true * 1.05) + 16
+
+
+def test_decayed_cells_brute():
+    got = (Q.q_decayed_cells(SF).to_pandas()
+           .sort_values("cell").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "value"])
+    lon, lat = geo.derive_lonlat(ev["event_id"].to_numpy(np.int64))
+    cell = geo.cell_encode(lon, lat, Q.TILE_RES)
+    cents = (np.sign(ev["value"]) * np.floor(
+        np.abs(ev["value"] * 100.0) + 0.5)).astype(np.int64)
+    hrs = (ev["ts"].astype("int64") // 3_600_000_000).to_numpy()
+    age = np.minimum((hrs.max() - hrs) // Q.DECAY_HALFLIFE_H, 62)
+    w = cents >> age
+    exp = (pd.DataFrame({"cell": cell, "w": w})
+           .groupby("cell", as_index=False)["w"].sum()
+           .sort_values("cell").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # decay actually bites: total decayed mass < raw mass
+    assert got["w"].sum() < cents.sum()
+
+
+def test_group_linreg_brute():
+    got = (Q.q_group_linreg(SF)
+           .sort_values("l_returnflag").reset_index(drop=True))
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+    x = (np.sign(li["l_quantity"]) * np.floor(
+        np.abs(li["l_quantity"]) + 0.5)).astype(np.int64)
+    y = (np.sign(li["l_extendedprice"]) * np.floor(
+        np.abs(li["l_extendedprice"] * 100.0) + 0.5)).astype(np.int64)
+    for _, r in got.iterrows():
+        g = li["l_returnflag"] == r["l_returnflag"]
+        xs, ys = x[g].astype(np.float64), y[g].astype(np.float64)
+        slope, icept = np.polyfit(xs, ys, 1)
+        assert abs(r["slope_1e9"] / 1e9 - slope) < 1e-4 * max(abs(slope), 1)
+        assert abs(r["icept_1e3"] / 1e3 - icept) < 1e-4 * max(abs(icept), 1)
