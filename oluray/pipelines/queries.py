@@ -5884,6 +5884,144 @@ _LINREG_SQL = """
 """
 
 
+# event-type Markov transition matrix: counts of consecutive
+# (prev -> next) event types within each user's (ts, event_id)-ordered
+# stream, with row-normalized probabilities as scaled ints — the
+# sequence-statistics prep for session modeling. One user-hash
+# partition sort + shift; the (types x types) matrix is tiny by
+# schema.
+def q_markov_transitions(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"prev_type": pd.Series([], dtype="string"),
+                 "next_type": pd.Series([], dtype="string"),
+                 "cnt": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        g = pd.DataFrame({"prev_type": et[:-1][same],
+                          "next_type": et[1:][same]})
+        out = g.groupby(["prev_type", "next_type"],
+                        as_index=False).size().rename(
+            columns={"size": "cnt"})
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    partial = joins.partitioned_map(ev, ["user_id"], bigrams,
+                                    num_partitions=16,
+                                    pre_repartition=False)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["prev_type", "next_type"],
+                       as_index=False)["cnt"].sum()
+        g["cnt"] = g["cnt"].astype("int64")
+        tot = g.groupby("prev_type")["cnt"].transform("sum")
+        g["p_1e9"] = _round_half_away(
+            g["cnt"].to_numpy(np.float64)
+            / tot.to_numpy(np.float64) * 1e9)
+        return g
+
+    # the pair matrix is (|types| x |types|): one final partition
+    return joins.grouped_agg(partial, ["prev_type"], total,
+                             num_partitions=1, pre_repartition=False)
+
+
+_MARKOV_SQL = """
+    WITH w AS (
+      SELECT event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    c AS (SELECT prev_type, next_type, count(*)::BIGINT AS cnt
+          FROM w WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, next_type),
+    t AS (SELECT prev_type, sum(cnt)::BIGINT AS tot
+          FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.cnt,
+           round(c.cnt::DOUBLE / t.tot::DOUBLE * 1e9, 0)::BIGINT
+             AS p_1e9
+    FROM c JOIN t USING (prev_type)
+"""
+
+
+# item-item Jaccard similarity (the co-purchase recommender join):
+# |orders containing both| / |orders containing either|, top 100.
+# Pair counts come from the basket_pairs shape (per-order vectorized
+# pair emission inside an order-hash partition — never all item
+# pairs); item order-counts broadcast back onto the pair rows.
+def q_item_sim(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    d = joins.distinct(li, ["l_orderkey", "l_partkey"],
+                       num_partitions=16)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = _pairs_within_groups(df, "l_orderkey", "l_partkey")
+        g = pairs.groupby(["pa", "pb"], as_index=False).size().rename(
+            columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    partial = joins.partitioned_map(d, ["l_orderkey"], emit,
+                                    num_partitions=16)
+
+    def psum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["pa", "pb"], as_index=False)["cnt"].sum()
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    pairs = joins.grouped_agg(partial, ["pa", "pb"], psum,
+                              num_partitions=16, pre_repartition=False)
+
+    def icnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey", as_index=False).size().rename(
+            columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    items = joins.grouped_agg(d, ["l_partkey"], icnt, num_partitions=16,
+                              pre_repartition=False).to_pandas()
+    nmap = dict(zip(items["l_partkey"], items["n"]))  # |parts| rows
+    nref = ray.put(nmap)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(nref)
+        na = df["pa"].map(nm).to_numpy(np.int64)
+        nb = df["pb"].map(nm).to_numpy(np.int64)
+        c = df["cnt"].to_numpy(np.int64)
+        jac = _round_half_away(
+            c.astype(np.float64) / (na + nb - c).astype(np.float64) * 1e9)
+        return df.assign(jac_1e9=jac)
+
+    scored = pairs.map_batches(score, batch_format="pandas")
+    return scored.sort(["jac_1e9", "pa", "pb"],
+                       descending=[True, False, False]).limit(100)
+
+
+_ITEM_SIM_SQL = """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             count(*)::BIGINT AS cnt
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey),
+    ic AS (SELECT l_partkey, count(*)::BIGINT AS n FROM d
+           GROUP BY l_partkey)
+    SELECT pa, pb, cnt,
+           round(cnt::DOUBLE / (ia.n + ib.n - cnt)::DOUBLE * 1e9,
+                 0)::BIGINT AS jac_1e9
+    FROM pr JOIN ic ia ON ia.l_partkey = pr.pa
+            JOIN ic ib ON ib.l_partkey = pr.pb
+    ORDER BY jac_1e9 DESC, pa, pb LIMIT 100
+"""
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -6619,6 +6757,8 @@ ORACLE: dict[str, str] = {
     "attribution": _ATTRIBUTION_SQL,
     "decayed_cells": _decayed_cells_sql(),
     "group_linreg": _LINREG_SQL,
+    "markov_transitions": _MARKOV_SQL,
+    "item_sim": _ITEM_SIM_SQL,
 }
 
 QUERIES = {
@@ -6779,4 +6919,6 @@ QUERIES = {
     "join_size": q_join_size,
     "decayed_cells": q_decayed_cells,
     "group_linreg": q_group_linreg,
+    "markov_transitions": q_markov_transitions,
+    "item_sim": q_item_sim,
 }

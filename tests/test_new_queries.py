@@ -2213,3 +2213,52 @@ def test_group_linreg_brute():
         slope, icept = np.polyfit(xs, ys, 1)
         assert abs(r["slope_1e9"] / 1e9 - slope) < 1e-4 * max(abs(slope), 1)
         assert abs(r["icept_1e3"] / 1e3 - icept) < 1e-4 * max(abs(icept), 1)
+
+
+def test_markov_transitions_brute():
+    got = (Q.q_markov_transitions(SF).to_pandas()
+           .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for _, g in ev.groupby("user_id"):
+        et = g["event_type"].tolist()
+        rows += list(zip(et[:-1], et[1:]))
+    c = (pd.DataFrame(rows, columns=["prev_type", "next_type"])
+         .groupby(["prev_type", "next_type"], as_index=False).size()
+         .rename(columns={"size": "cnt"}))
+    tot = c.groupby("prev_type")["cnt"].transform("sum")
+    c["p_1e9"] = (np.sign(c["cnt"]) * np.floor(
+        np.abs(c["cnt"] / tot * 1e9) + 0.5)).astype(np.int64)
+    exp = c.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # each row's probabilities sum to ~1
+    s = got.groupby("prev_type")["p_1e9"].sum()
+    assert ((s - 10**9).abs() <= 5).all()
+
+
+def test_item_sim_brute():
+    got = (Q.q_item_sim(SF).to_pandas().reset_index(drop=True))
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"]).drop_duplicates()
+    from collections import Counter
+    item_orders: dict[int, set] = {}
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        item_orders.setdefault(p, set()).add(o)
+    pair_cnt: Counter = Counter()
+    for o, g in li.groupby("l_orderkey"):
+        ps = sorted(g["l_partkey"])
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_cnt[(ps[i], ps[j])] += 1
+    rows = []
+    for (a, b), c in pair_cnt.items():
+        u = len(item_orders[a]) + len(item_orders[b]) - c
+        jac = int(np.floor(abs(c / u * 1e9) + 0.5))
+        rows.append((a, b, c, jac))
+    exp = (pd.DataFrame(rows, columns=["pa", "pb", "cnt", "jac_1e9"])
+           .sort_values(["jac_1e9", "pa", "pb"],
+                        ascending=[False, True, True])
+           .head(100).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
