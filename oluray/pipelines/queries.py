@@ -6022,6 +6022,79 @@ _ITEM_SIM_SQL = """
 """
 
 
+# map-matching lite: snap every customer point to its nearest ROAD
+# SEGMENT (the polyline through the kNN feature points) by clamped-
+# projection planar distance — the point-to-segment kernel kNN's
+# point-to-point distance can't express. Vectorized over points per
+# batch with a loop over the (tiny, broadcast) segment list; the SQL
+# twin evaluates the identical projection/clamp/distance expression
+# per (point, segment) and picks the same (d2, seg_id) winner.
+def _segments() -> list[tuple[int, float, float, float, float]]:
+    f = KNN_FEATURES
+    return [(i, f[i][1], f[i][2], f[i + 1][1], f[i + 1][2])
+            for i in range(len(f) - 1)]
+
+
+def q_snap_to_segment(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    pts = _with_points(cust, "c_custkey")
+    segs = _segments()
+
+    def snap(t: pa.Table) -> pa.Table:
+        px = t["lon"].to_numpy(zero_copy_only=False)
+        py = t["lat"].to_numpy(zero_copy_only=False)
+        best_d = np.full(len(px), np.iinfo(np.int64).max)
+        best_s = np.zeros(len(px), dtype=np.int64)
+        for sid, x1, y1, x2, y2 in segs:
+            dx, dy = x2 - x1, y2 - y1
+            tt = ((px - x1) * dx + (py - y1) * dy) / (dx * dx + dy * dy)
+            tc = np.minimum(np.maximum(tt, 0.0), 1.0)
+            cx = x1 + tc * dx
+            cy = y1 + tc * dy
+            d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+            # winner chosen in ROUNDED-integer space: a point snapping
+            # to the SHARED VERTEX of consecutive segments gets two
+            # distances equal up to 1 ulp (x1 + 1.0*(x2-x1) != x2),
+            # and cross-engine ulp order is not stable — the rounded
+            # tie breaks by seg_id identically on both sides
+            r = _round_half_away(d2 * 1e9)
+            win = r < best_d  # strict: ties keep the LOWER seg_id
+            best_d = np.where(win, r, best_d)
+            best_s = np.where(win, sid, best_s)
+        return pa.table(
+            {"c_custkey": t["c_custkey"],
+             "seg_id": pa.array(best_s),
+             "d2_1e9": pa.array(best_d)})
+
+    return pts.map_batches(snap, batch_format="pyarrow")
+
+
+def _snap_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("c_custkey")
+    vals = ", ".join(f"({sid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+                     for sid, x1, y1, x2, y2 in _segments())
+    t = ("(((p.px - s.x1) * (s.x2 - s.x1) + (p.py - s.y1) * (s.y2 - s.y1))"
+         " / ((s.x2 - s.x1) * (s.x2 - s.x1)"
+         " + (s.y2 - s.y1) * (s.y2 - s.y1)))")
+    tc = f"LEAST(GREATEST({t}, 0.0), 1.0)"
+    cx = f"(s.x1 + {tc} * (s.x2 - s.x1))"
+    cy = f"(s.y1 + {tc} * (s.y2 - s.y1))"
+    d2 = (f"((p.px - {cx}) * (p.px - {cx})"
+          f" + (p.py - {cy}) * (p.py - {cy}))")
+    return f"""
+    WITH p AS (SELECT c_custkey, {lon} AS px, {lat} AS py FROM customer),
+    sc AS (
+      SELECT p.c_custkey, s.seg_id,
+             round({d2} * 1e9, 0)::BIGINT AS d2_1e9,
+             row_number() OVER (PARTITION BY p.c_custkey
+                                ORDER BY round({d2} * 1e9, 0)::BIGINT ASC,
+                                         s.seg_id ASC) AS rn
+      FROM p CROSS JOIN (VALUES {vals}) AS s(seg_id, x1, y1, x2, y2))
+    SELECT c_custkey, seg_id, d2_1e9
+    FROM sc WHERE rn = 1
+    """
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -6759,6 +6832,7 @@ ORACLE: dict[str, str] = {
     "group_linreg": _LINREG_SQL,
     "markov_transitions": _MARKOV_SQL,
     "item_sim": _ITEM_SIM_SQL,
+    "snap_to_segment": _snap_sql(),
 }
 
 QUERIES = {
@@ -6921,4 +6995,5 @@ QUERIES = {
     "group_linreg": q_group_linreg,
     "markov_transitions": q_markov_transitions,
     "item_sim": q_item_sim,
+    "snap_to_segment": q_snap_to_segment,
 }

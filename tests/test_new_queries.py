@@ -2262,3 +2262,30 @@ def test_item_sim_brute():
                         ascending=[False, True, True])
            .head(100).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_snap_to_segment_brute():
+    got = (Q.q_snap_to_segment(SF).to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    lon, lat = geo.derive_lonlat(cust["c_custkey"].to_numpy(np.int64))
+    segs = Q._segments()
+    rows = []
+    for k, px, py in zip(cust["c_custkey"], lon, lat):
+        best = None
+        for sid, x1, y1, x2, y2 in segs:
+            dx, dy = x2 - x1, y2 - y1
+            t = ((px - x1) * dx + (py - y1) * dy) / (dx * dx + dy * dy)
+            t = min(max(t, 0.0), 1.0)
+            cx, cy = x1 + t * dx, y1 + t * dy
+            d2 = (px - cx) ** 2 + (py - cy) ** 2
+            r = int(np.sign(d2) * np.floor(abs(d2 * 1e9) + 0.5))
+            if best is None or (r, sid) < best:
+                best = (r, sid)
+        rows.append((k, best[1], best[0]))
+    exp = (pd.DataFrame(rows, columns=["c_custkey", "seg_id", "d2_1e9"])
+           .sort_values("c_custkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # every segment id is valid and multiple segments actually win
+    assert set(got["seg_id"]) <= {s[0] for s in segs}
+    assert got["seg_id"].nunique() > 1
