@@ -6095,6 +6095,128 @@ def _snap_sql() -> str:
     """
 
 
+# mobility flow field: for every consecutive same-user ping pair, the
+# displacement vector is credited to the ORIGIN cell; per cell the
+# exact integer sums (1e-6 deg units) + count give the mean flow — the
+# raster vector field a traffic/tide map renders. Window shift per
+# user partition, integer-only aggregation.
+def q_flow_field(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def disp(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"cell": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64"),
+                 "sdlon_1e6": pd.Series([], dtype="int64"),
+                 "sdlat_1e6": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        lon, lat = geo.derive_lonlat(df["event_id"].to_numpy(np.int64))
+        uid = df["user_id"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        cell = geo.cell_encode(lon[:-1][same], lat[:-1][same], TILE_RES)
+        dlon = _round_half_away((lon[1:][same] - lon[:-1][same]) * 1e6)
+        dlat = _round_half_away((lat[1:][same] - lat[:-1][same]) * 1e6)
+        g = pd.DataFrame({"cell": cell, "dlon": dlon, "dlat": dlat})
+        out = g.groupby("cell", as_index=False).agg(
+            n=("dlon", "size"), sdlon_1e6=("dlon", "sum"),
+            sdlat_1e6=("dlat", "sum"))
+        for c in ("n", "sdlon_1e6", "sdlat_1e6"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    partial = joins.partitioned_map(ev, ["user_id"], disp,
+                                    num_partitions=16,
+                                    pre_repartition=False)
+
+    def csum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False)[
+            ["n", "sdlon_1e6", "sdlat_1e6"]].sum()
+        for c in ("n", "sdlon_1e6", "sdlat_1e6"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return joins.grouped_agg(partial, ["cell"], csum, num_partitions=8,
+                             pre_repartition=False)
+
+
+def _flow_field_sql() -> str:
+    lon0, lat0 = geo.derive_lonlat_sql("p_eid")
+    lon1, lat1 = geo.derive_lonlat_sql("event_id")
+    cell = geo.cell_encode_sql(lon0, lat0, TILE_RES)
+    return f"""
+    WITH w AS (
+      SELECT user_id, event_id,
+             lag(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS p_eid
+      FROM events),
+    seg AS (SELECT p_eid, event_id FROM w WHERE p_eid IS NOT NULL)
+    SELECT {cell} AS cell, count(*)::BIGINT AS n,
+           sum(round((({lon1}) - ({lon0})) * 1e6, 0)::BIGINT)::BIGINT
+             AS sdlon_1e6,
+           sum(round((({lat1}) - ({lat0})) * 1e6, 0)::BIGINT)::BIGINT
+             AS sdlat_1e6
+    FROM seg GROUP BY 1
+    """
+
+
+# sequence mining: top-50 event-type trigram paths across all user
+# streams — the 3-step generalization of the Markov matrix (what
+# session models train on). Double-shift inside one user partition;
+# paths counted as integers.
+def q_session_paths(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def tri(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 3:
+            return pd.DataFrame(
+                {"t1": pd.Series([], dtype="string"),
+                 "t2": pd.Series([], dtype="string"),
+                 "t3": pd.Series([], dtype="string"),
+                 "cnt": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = (uid[2:] == uid[1:-1]) & (uid[1:-1] == uid[:-2])
+        g = pd.DataFrame({"t1": et[:-2][same], "t2": et[1:-1][same],
+                          "t3": et[2:][same]})
+        out = g.groupby(["t1", "t2", "t3"], as_index=False).size(
+        ).rename(columns={"size": "cnt"})
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    partial = joins.partitioned_map(ev, ["user_id"], tri,
+                                    num_partitions=16,
+                                    pre_repartition=False)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["t1", "t2", "t3"], as_index=False)["cnt"].sum()
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    counts = joins.grouped_agg(partial, ["t1", "t2", "t3"], total,
+                               num_partitions=8, pre_repartition=False)
+    return counts.sort(["cnt", "t1", "t2", "t3"],
+                       descending=[True, False, False, False]).limit(50)
+
+
+_SESSION_PATHS_SQL = """
+    WITH w AS (
+      SELECT event_type AS t3,
+             lag(event_type, 1) OVER win AS t2,
+             lag(event_type, 2) OVER win AS t1
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT t1, t2, t3, count(*)::BIGINT AS cnt
+    FROM w WHERE t1 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY cnt DESC, t1, t2, t3 LIMIT 50
+"""
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -6833,6 +6955,8 @@ ORACLE: dict[str, str] = {
     "markov_transitions": _MARKOV_SQL,
     "item_sim": _ITEM_SIM_SQL,
     "snap_to_segment": _snap_sql(),
+    "flow_field": _flow_field_sql(),
+    "session_paths": _SESSION_PATHS_SQL,
 }
 
 QUERIES = {
@@ -6996,4 +7120,6 @@ QUERIES = {
     "markov_transitions": q_markov_transitions,
     "item_sim": q_item_sim,
     "snap_to_segment": q_snap_to_segment,
+    "flow_field": q_flow_field,
+    "session_paths": q_session_paths,
 }

@@ -2289,3 +2289,43 @@ def test_snap_to_segment_brute():
     # every segment id is valid and multiple segments actually win
     assert set(got["seg_id"]) <= {s[0] for s in segs}
     assert got["seg_id"].nunique() > 1
+
+
+def test_flow_field_brute():
+    got = (Q.q_flow_field(SF).to_pandas()
+           .sort_values("cell").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    lon, lat = geo.derive_lonlat(ev["event_id"].to_numpy(np.int64))
+    uid = ev["user_id"].to_numpy()
+    same = uid[1:] == uid[:-1]
+    cell = geo.cell_encode(lon[:-1][same], lat[:-1][same], Q.TILE_RES)
+    r = lambda x: (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    g = pd.DataFrame({"cell": cell,
+                      "dlon": r((lon[1:][same] - lon[:-1][same]) * 1e6),
+                      "dlat": r((lat[1:][same] - lat[:-1][same]) * 1e6)})
+    exp = g.groupby("cell", as_index=False).agg(
+        n=("dlon", "size"), sdlon_1e6=("dlon", "sum"),
+        sdlat_1e6=("dlat", "sum")).sort_values("cell").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert int(got["n"].sum()) == int(same.sum())
+
+
+def test_session_paths_brute():
+    got = Q.q_session_paths(SF).to_pandas().reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    from collections import Counter
+    c: Counter = Counter()
+    for _, g in ev.groupby("user_id"):
+        et = g["event_type"].tolist()
+        for i in range(len(et) - 2):
+            c[(et[i], et[i + 1], et[i + 2])] += 1
+    exp = (pd.DataFrame([(a, b, d, n) for (a, b, d), n in c.items()],
+                        columns=["t1", "t2", "t3", "cnt"])
+           .sort_values(["cnt", "t1", "t2", "t3"],
+                        ascending=[False, True, True, True])
+           .head(50).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
