@@ -457,9 +457,10 @@ def connected_components(
 
 
 # ---------------------------------------------------------------------------
-# two-sided joins: tag + pad in ARROW (typed nulls keep int64 columns
-# exact through the shuffle — pandas NaN-padding would upcast them to
-# float64 and corrupt keys > 2^53), merge per partition in pandas.
+# two-sided joins: tag + pad in ARROW (integer columns are ZERO-padded
+# — see _tag_and_pad: null-padded int64 upcasts to float64 in Ray's
+# pandas-round-tripping sort and corrupts keys > 2^53), merge per
+# partition in pandas.
 # ---------------------------------------------------------------------------
 
 
@@ -467,12 +468,16 @@ def _typed_table(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
     """pandas frame -> arrow table cast to the DECLARED schema.
 
     Load-bearing: Ray's sort shuffle can round blocks through pandas,
-    where the padded typed-null int64 columns become float64 (NaN has
-    no int representation). Without re-asserting the schema here, a
-    downstream join would hash float keys on one side and int keys on
-    the other — partition codes diverge and matching rows silently
-    land in different partitions (measured: 92% of rows lost in a
-    chained join). `from_pandas=True` maps NaN/NaT back to nulls."""
+    where a column holding any NaN/NaT (e.g. non-integer pad columns,
+    or pandas-merge-introduced nulls) becomes float64/object. Without
+    re-asserting the schema here, a downstream join would hash float
+    keys on one side and int keys on the other — partition codes
+    diverge and matching rows silently land in different partitions
+    (measured: 92% of rows lost in a chained join). Note the dtype
+    re-assert is only lossless for values under 2^53 — which is why
+    integer columns are never null-padded in the first place
+    (`_tag_and_pad`). `from_pandas=True` maps NaN/NaT back to
+    nulls."""
     arrays = [
         pa.array(df[f.name], type=f.type, from_pandas=True) for f in schema
     ]
