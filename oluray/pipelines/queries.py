@@ -6217,6 +6217,65 @@ _SESSION_PATHS_SQL = """
 """
 
 
+# predicate pushdown at the READ: the shipdate range filter rides
+# into `read_parquet` as a pyarrow dataset expression, so non-matching
+# row groups are pruned by their parquet min/max stats BEFORE any
+# block reaches the object store — the "prune at the read" discipline
+# for time-sliced scans of a date-partitioned 100 TB table. The
+# revenue rollup after it is the usual integer-cents combiner.
+PUSHDOWN_LO = "1995-01-01"
+PUSHDOWN_HI = "1995-03-31"
+
+
+def q_pushdown_scan(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    lo = pd.Timestamp(PUSHDOWN_LO)
+    hi = pd.Timestamp(PUSHDOWN_HI + " 23:59:59.999999")
+    expr = (pads.field("l_shipdate") >= pa.scalar(lo)) & (
+        pads.field("l_shipdate") <= pa.scalar(hi))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_shipdate"],
+        filter=expr,
+    )
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _round_half_away(df["l_extendedprice"].to_numpy() * 100.0)
+        g = pd.DataFrame({"f": df["l_returnflag"], "c": cents}).groupby(
+            "f", as_index=False).agg(n=("c", "size"), rev_cents=("c", "sum"))
+        g["n"] = g["n"].astype("int64")
+        g["rev_cents"] = g["rev_cents"].astype("int64")
+        return g
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("f", as_index=False)[["n", "rev_cents"]].sum()
+        g["n"] = g["n"].astype("int64")
+        g["rev_cents"] = g["rev_cents"].astype("int64")
+        return g
+
+    out = joins.grouped_agg(
+        ds.map_batches(rev, batch_format="pandas"), ["f"], total,
+        num_partitions=4, pre_repartition=False,
+    )
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["l_returnflag", "n", "rev_cents"])
+
+    return out.map_batches(ren, batch_format="pyarrow")
+
+
+_PUSHDOWN_SQL = f"""
+    SELECT l_returnflag, count(*)::BIGINT AS n,
+           sum(round(l_extendedprice * 100.0, 0)::BIGINT)::BIGINT
+             AS rev_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{PUSHDOWN_LO}'
+      AND l_shipdate <= TIMESTAMP '{PUSHDOWN_HI} 23:59:59.999999'
+    GROUP BY l_returnflag
+"""
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -6957,6 +7016,7 @@ ORACLE: dict[str, str] = {
     "snap_to_segment": _snap_sql(),
     "flow_field": _flow_field_sql(),
     "session_paths": _SESSION_PATHS_SQL,
+    "pushdown_scan": _PUSHDOWN_SQL,
 }
 
 QUERIES = {
@@ -7122,4 +7182,5 @@ QUERIES = {
     "snap_to_segment": q_snap_to_segment,
     "flow_field": q_flow_field,
     "session_paths": q_session_paths,
+    "pushdown_scan": q_pushdown_scan,
 }

@@ -2329,3 +2329,24 @@ def test_session_paths_brute():
                         ascending=[False, True, True, True])
            .head(50).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pushdown_scan_brute_and_filters_rows():
+    got = (Q.q_pushdown_scan(SF).to_pandas()
+           .sort_values("l_returnflag").reset_index(drop=True))
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice",
+                                  "l_shipdate"])
+    lo = pd.Timestamp(Q.PUSHDOWN_LO)
+    hi = pd.Timestamp(Q.PUSHDOWN_HI + " 23:59:59.999999")
+    m = li[(li["l_shipdate"] >= lo) & (li["l_shipdate"] <= hi)]
+    cents = (np.sign(m["l_extendedprice"]) * np.floor(
+        np.abs(m["l_extendedprice"] * 100.0) + 0.5)).astype(np.int64)
+    exp = (pd.DataFrame({"l_returnflag": m["l_returnflag"], "c": cents})
+           .groupby("l_returnflag", as_index=False)
+           .agg(n=("c", "size"), rev_cents=("c", "sum"))
+           .sort_values("l_returnflag").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the filter actually prunes: fewer rows than the full table
+    assert int(got["n"].sum()) < len(li)
+    assert int(got["n"].sum()) == len(m) > 0
