@@ -6276,6 +6276,99 @@ _PUSHDOWN_SQL = f"""
 """
 
 
+# flow direction rose: per (origin cell, octant) displacement counts
+# — the wind-rose rendering of `flow_field`. The octant comes from
+# PURE INTEGER comparisons on the 1e6-scaled displacement (signs +
+# |dx| vs |dy|), NOT atan2 — libm atan2 is not correctly-rounded
+# everywhere, so a bucket-boundary ulp could flip engines; integer
+# logic cannot. Octants 0..7 CCW from East; zero-displacement pairs
+# are dropped.
+def q_flow_rose(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def rose(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"cell": pd.Series([], dtype="int64"),
+                 "octant": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        lon, lat = geo.derive_lonlat(df["event_id"].to_numpy(np.int64))
+        uid = df["user_id"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        cell = geo.cell_encode(lon[:-1][same], lat[:-1][same], TILE_RES)
+        dx = _round_half_away((lon[1:][same] - lon[:-1][same]) * 1e6)
+        dy = _round_half_away((lat[1:][same] - lat[:-1][same]) * 1e6)
+        nz = (dx != 0) | (dy != 0)
+        cell, dx, dy = cell[nz], dx[nz], dy[nz]
+        ax, ay = np.abs(dx), np.abs(dy)
+        # boundary convention (ties to the LOWER octant index, E/N/W/S
+        # axes to the adjacent CCW-start octant): mirrored in SQL
+        octant = np.where(
+            dy >= 0,
+            np.where(dx > 0,
+                     np.where(ay <= ax, 0, 1),
+                     np.where(ax < ay, 2, 3)),
+            np.where(dx < 0,
+                     np.where(ay <= ax, 4, 5),
+                     np.where(ax < ay, 6, 7)),
+        ).astype(np.int64)
+        g = pd.DataFrame({"cell": cell, "octant": octant})
+        out = g.groupby(["cell", "octant"], as_index=False).size().rename(
+            columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partial = joins.partitioned_map(ev, ["user_id"], rose,
+                                    num_partitions=16,
+                                    pre_repartition=False)
+
+    def csum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cell", "octant"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return joins.grouped_agg(partial, ["cell", "octant"], csum,
+                             num_partitions=8, pre_repartition=False)
+
+
+def _flow_rose_sql() -> str:
+    lon0, lat0 = geo.derive_lonlat_sql("p_eid")
+    lon1, lat1 = geo.derive_lonlat_sql("event_id")
+    cell = geo.cell_encode_sql(lon0, lat0, TILE_RES)
+    return f"""
+    WITH w AS (
+      SELECT user_id, event_id,
+             lag(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS p_eid
+      FROM events),
+    seg AS (
+      SELECT {cell} AS cell,
+             round((({lon1}) - ({lon0})) * 1e6, 0)::BIGINT AS dx,
+             round((({lat1}) - ({lat0})) * 1e6, 0)::BIGINT AS dy
+      FROM w WHERE p_eid IS NOT NULL),
+    oc AS (
+      SELECT cell,
+             CASE WHEN dy >= 0 THEN
+               CASE WHEN dx > 0 THEN
+                 CASE WHEN abs(dy) <= abs(dx) THEN 0 ELSE 1 END
+               ELSE
+                 CASE WHEN abs(dx) < abs(dy) THEN 2 ELSE 3 END
+               END
+             ELSE
+               CASE WHEN dx < 0 THEN
+                 CASE WHEN abs(dy) <= abs(dx) THEN 4 ELSE 5 END
+               ELSE
+                 CASE WHEN abs(dx) < abs(dy) THEN 6 ELSE 7 END
+               END
+             END AS octant
+      FROM seg WHERE dx <> 0 OR dy <> 0)
+    SELECT cell, octant::BIGINT AS octant, count(*)::BIGINT AS n
+    FROM oc GROUP BY cell, octant
+    """
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -7017,6 +7110,7 @@ ORACLE: dict[str, str] = {
     "flow_field": _flow_field_sql(),
     "session_paths": _SESSION_PATHS_SQL,
     "pushdown_scan": _PUSHDOWN_SQL,
+    "flow_rose": _flow_rose_sql(),
 }
 
 QUERIES = {
@@ -7183,4 +7277,5 @@ QUERIES = {
     "flow_field": q_flow_field,
     "session_paths": q_session_paths,
     "pushdown_scan": q_pushdown_scan,
+    "flow_rose": q_flow_rose,
 }

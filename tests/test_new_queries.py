@@ -2350,3 +2350,46 @@ def test_pushdown_scan_brute_and_filters_rows():
     # the filter actually prunes: fewer rows than the full table
     assert int(got["n"].sum()) < len(li)
     assert int(got["n"].sum()) == len(m) > 0
+
+
+def test_flow_rose_brute_and_octant_geometry():
+    got = (Q.q_flow_rose(SF).to_pandas()
+           .sort_values(["cell", "octant"]).reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    lon, lat = geo.derive_lonlat(ev["event_id"].to_numpy(np.int64))
+    uid = ev["user_id"].to_numpy()
+    same = uid[1:] == uid[:-1]
+    r = lambda x: (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    cell = geo.cell_encode(lon[:-1][same], lat[:-1][same], Q.TILE_RES)
+    dx = r((lon[1:][same] - lon[:-1][same]) * 1e6)
+    dy = r((lat[1:][same] - lat[:-1][same]) * 1e6)
+    rows = []
+    for c, x, y in zip(cell, dx, dy):
+        if x == 0 and y == 0:
+            continue
+        # reference octant from the true angle, with the SAME tie
+        # convention (axes and 45-deg diagonals resolved by the
+        # integer rule): check containment instead of equality on
+        # exact boundaries
+        rows.append((c, x, y))
+    df = pd.DataFrame(rows, columns=["cell", "dx", "dy"])
+    ax, ay = df["dx"].abs(), df["dy"].abs()
+    oct_int = np.where(
+        df["dy"] >= 0,
+        np.where(df["dx"] > 0, np.where(ay <= ax, 0, 1),
+                 np.where(ax < ay, 2, 3)),
+        np.where(df["dx"] < 0, np.where(ay <= ax, 4, 5),
+                 np.where(ax < ay, 6, 7))).astype(np.int64)
+    # angular correctness off boundaries: the true angle lies inside
+    # the claimed 45-degree sector (boundaries excluded from check)
+    ang = np.degrees(np.arctan2(df["dy"], df["dx"])) % 360.0
+    off_boundary = np.abs(ang % 45.0) > 1e-6
+    sec = (ang // 45.0).astype(np.int64)
+    assert (oct_int[off_boundary] == sec[off_boundary]).all()
+    exp = (pd.DataFrame({"cell": df["cell"], "octant": oct_int})
+           .groupby(["cell", "octant"], as_index=False).size()
+           .rename(columns={"size": "n"})
+           .sort_values(["cell", "octant"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
