@@ -6369,6 +6369,68 @@ def _flow_rose_sql() -> str:
     """
 
 
+# radius of gyration per user — THE standard mobility-analytics
+# statistic (how far a user roams around their centroid). Exact-moment
+# form: rog^2 = (n*(Sxx+Syy) - Sx^2 - Sy^2) / n^2 over 1e-6-deg
+# integer coordinates, so the only float ops are one sqrt and one
+# divide, identical both sides. The squared-coordinate sums exceed
+# int64 — per-partition pandas aggregates run in OBJECT dtype (Python
+# bigints), SQL mirrors with HUGEINT; each user's rows co-locate in
+# one hash partition, nothing reaches the driver.
+def q_radius_gyration(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def rog(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64"),
+                 "rog_1e6": pd.Series([], dtype="int64")})
+        lon, lat = geo.derive_lonlat(df["event_id"].to_numpy(np.int64))
+        x = _round_half_away(lon * 1e6).astype(object)
+        y = _round_half_away(lat * 1e6).astype(object)
+        g = pd.DataFrame({"u": df["user_id"], "x": x, "y": y,
+                          "xx": x * x, "yy": y * y})
+        st = g.groupby("u", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"))
+        out_rows = []
+        for r in st.itertuples():
+            n = int(r.n)
+            num = n * (int(r.sxx) + int(r.syy)) \
+                - int(r.sx) ** 2 - int(r.sy) ** 2
+            rog_v = float(np.sqrt(float(num))) / float(n)
+            out_rows.append((int(r.u), n,
+                             int(_round_half_away(np.array([rog_v]))[0])))
+        return pd.DataFrame(out_rows,
+                            columns=["user_id", "n", "rog_1e6"])
+
+    return joins.partitioned_map(ev, ["user_id"], rog,
+                                 num_partitions=16,
+                                 pre_repartition=False)
+
+
+def _radius_gyration_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("event_id")
+    return f"""
+    WITH p AS (
+      SELECT user_id,
+             round(({lon}) * 1e6, 0)::BIGINT AS x,
+             round(({lat}) * 1e6, 0)::BIGINT AS y
+      FROM events),
+    st AS (
+      SELECT user_id, count(*)::HUGEINT AS n,
+             sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+             sum(x::HUGEINT * x)::HUGEINT AS sxx,
+             sum(y::HUGEINT * y)::HUGEINT AS syy
+      FROM p GROUP BY user_id)
+    SELECT user_id, n::BIGINT AS n,
+           round(sqrt((n * (sxx + syy) - sx * sx - sy * sy)::DOUBLE)
+                 / n::DOUBLE, 0)::BIGINT AS rog_1e6
+    FROM st
+    """
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -7111,6 +7173,7 @@ ORACLE: dict[str, str] = {
     "session_paths": _SESSION_PATHS_SQL,
     "pushdown_scan": _PUSHDOWN_SQL,
     "flow_rose": _flow_rose_sql(),
+    "radius_gyration": _radius_gyration_sql(),
 }
 
 QUERIES = {
@@ -7278,4 +7341,5 @@ QUERIES = {
     "session_paths": q_session_paths,
     "pushdown_scan": q_pushdown_scan,
     "flow_rose": q_flow_rose,
+    "radius_gyration": q_radius_gyration,
 }

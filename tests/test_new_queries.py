@@ -2393,3 +2393,28 @@ def test_flow_rose_brute_and_octant_geometry():
            .rename(columns={"size": "n"})
            .sort_values(["cell", "octant"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_radius_gyration_brute():
+    got = (Q.q_radius_gyration(SF).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id"])
+    lon, lat = geo.derive_lonlat(ev["event_id"].to_numpy(np.int64))
+    r = lambda v: (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+    x, y = r(lon * 1e6), r(lat * 1e6)
+    rows = []
+    for uid, g in pd.DataFrame({"u": ev["user_id"], "x": x,
+                                "y": y}).groupby("u"):
+        n = len(g)
+        # definitional check: mean squared distance from the centroid
+        cx, cy = g["x"].mean(), g["y"].mean()
+        rog = float(np.sqrt(((g["x"] - cx) ** 2
+                             + (g["y"] - cy) ** 2).mean()))
+        rows.append((uid, n, rog))
+    exp = pd.DataFrame(rows, columns=["user_id", "n", "rog"]) \
+        .sort_values("user_id").reset_index(drop=True)
+    assert got["n"].tolist() == exp["n"].tolist()
+    # moments form == definitional form (up to the 1e-6-deg rounding)
+    np.testing.assert_allclose(got["rog_1e6"].to_numpy(np.float64),
+                               exp["rog"].to_numpy(), rtol=1e-9, atol=0.51)
