@@ -4992,7 +4992,10 @@ def q_track_speed(sf_dir: str):
                             kind="mergesort").reset_index(drop=True)
         lon, lat = geo.derive_lonlat(df["event_id"].to_numpy(np.int64))
         uid = df["user_id"].to_numpy()
-        tse = df["ts"].astype("int64").to_numpy() // 1_000_000  # us -> s
+        # normalize to us first: pandas round-trips can yield ns
+        # (established idiom, see the ts handling near _round_half_away)
+        tse = (df["ts"].astype("datetime64[us]").astype("int64")
+               .to_numpy() // 1_000_000)  # us -> s
         same = np.zeros(len(df), dtype=bool)
         same[1:] = uid[1:] == uid[:-1]
         dmm = np.zeros(len(df), dtype=np.int64)
@@ -5474,7 +5477,8 @@ def q_resample_tracks(sf_dir: str):
                             kind="mergesort").reset_index(drop=True)
         lon, lat = geo.derive_lonlat(df["event_id"].to_numpy(np.int64))
         uid = df["user_id"].to_numpy()
-        t = df["ts"].astype("int64").to_numpy() // 1_000_000  # us -> s
+        t = (df["ts"].astype("datetime64[us]").astype("int64")
+             .to_numpy() // 1_000_000)  # us -> s (normalize: ns-safe)
         same = uid[1:] == uid[:-1]
         t0, t1 = t[:-1], t[1:]
         lo = t0 // 3600 + 1          # first hour boundary AFTER t0
@@ -5669,7 +5673,7 @@ def q_attribution(sf_dir: str):
         df = df.sort_values(["user_id", "ts", "event_id"],
                             kind="mergesort").reset_index(drop=True)
         uid = df["user_id"].to_numpy()
-        tus = df["ts"].astype("int64").to_numpy()
+        tus = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         is_click = (df["event_type"] == "click").to_numpy()
         # running max of click ts over STRICTLY PRECEDING rows, reset
         # per user (vectorized: shift, then cummax within segments)
@@ -5687,7 +5691,8 @@ def q_attribution(sf_dir: str):
         # winning click id: max click event_id at (user, run ts)
         clicks = df[is_click]
         best = clicks.groupby(
-            [clicks["user_id"], clicks["ts"].astype("int64")]
+            [clicks["user_id"],
+             clicks["ts"].astype("datetime64[us]").astype("int64")]
         )["event_id"].max()
         key = pd.MultiIndex.from_arrays([uid[ok], run[ok]])
         cid = best.reindex(key).to_numpy()

@@ -1243,6 +1243,21 @@ def pagerank(
     nodes = distinct(e.map_batches(as_nodes, batch_format="pyarrow"),
                      ["node"], num_partitions).materialize()
 
+    # enforce the int64 bound instead of leaving it as prose: a node's
+    # incoming sum is < |nodes| * scale * damp_num / damp_den per
+    # round; numpy wraps silently past 2^63, producing wrong ranks
+    # with no error (ADVICE r3). The node total is already counted
+    # (nodes is materialized), so probe it and refuse loudly.
+    n_nodes = nodes.count()
+    if n_nodes and n_nodes * scale * damp_num >= 2**63:
+        safe = (2**63 - 1) // (n_nodes * damp_num)
+        safe = 10 ** max(1, len(str(safe)) - 1)  # round down to a power of 10
+        raise ValueError(
+            f"pagerank int64 overflow risk: |nodes|={n_nodes} * "
+            f"scale={scale} * damp_num={damp_num} >= 2^63; pass "
+            f"scale<={safe} (and use the same scale in any oracle SQL)"
+        )
+
     base = scale * (damp_den - damp_num) // damp_den
 
     def init_r(t: pa.Table) -> pa.Table:

@@ -412,6 +412,10 @@ def join_size_estimate(
     expectation, never an undercount by more than CMS noise."""
     ca = cms_build(a, a_col, width=width, depth=depth)
     cb = cms_build(b, b_col, width=width, depth=depth)
-    per_row = (ca.astype(np.int64) * cb.astype(np.int64)).sum(axis=1)
+    # accumulate in float64: a key appearing ~3e9+ times on BOTH sides
+    # (plausible at planner scale) overflows an int64 per-cell product
+    # and numpy wraps silently — the "upper bound" would come back
+    # negative or tiny (ADVICE r3)
+    per_row = (ca.astype(np.float64) * cb.astype(np.float64)).sum(axis=1)
     return {"estimate": int(per_row.min()),
             "per_row": [int(x) for x in per_row]}

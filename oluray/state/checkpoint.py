@@ -94,6 +94,37 @@ def _dir_key(dirname: str) -> str:
     return unquote(key)
 
 
+def _recover_compaction(out_dir: str, part_col: str) -> None:
+    """Shared crash-recovery sweep for the compaction swap protocol.
+
+    `compact_partitions` swaps a partition in two renames (live ->
+    `.old`, tmp -> live); a crash between them leaves `part=<k>.old`
+    as the ONLY copy of the data. EVERY entry point that walks
+    `part=*` dirs must run this sweep FIRST — restore `.old` when the
+    live dir is missing, discard it when the live dir exists (swap
+    completed), and discard incomplete `.compact-tmp` output —
+    otherwise a later cleanup pass can delete `.old` as "stale"
+    (its derived key `<k>.old` is never in the manifest) and the
+    manifest's done-mark filters those rows out of any rewrite:
+    silent permanent loss (ADVICE r3, high)."""
+    import glob as _glob
+
+    for old in _glob.glob(os.path.join(out_dir, f"{part_col}=*.old")):
+        final = old[: -len(".old")]
+        if not os.path.exists(final):
+            os.replace(old, final)
+        else:
+            shutil.rmtree(old)
+    for tmp in _glob.glob(os.path.join(out_dir, f"{part_col}=*.compact-tmp")):
+        shutil.rmtree(tmp)  # incomplete compaction output: discard
+
+
+def _is_swap_artifact(dirname: str) -> bool:
+    """True for compaction-protocol suffix dirs that must never be
+    treated as partition dirs by cleanup / footer-count walks."""
+    return dirname.endswith(".old") or dirname.endswith(".compact-tmp")
+
+
 def write_partition(table, out_dir: str, part: str) -> str:
     """Atomically (re)write one partition directory of parquet."""
     import pyarrow.parquet as pq
@@ -138,8 +169,16 @@ def write_partitioned_resumable(
     man.save()
     done_parts = {p for p in man.partitions if man.is_done(p)}
 
+    # 0. recover any interrupted compaction swap BEFORE touching dirs
+    # (else the stale sweep below deletes `part=<k>.old` — the only
+    # copy after a mid-swap crash — while the manifest still filters
+    # <k>'s rows out of the rewrite: silent loss. ADVICE r3 high.)
+    _recover_compaction(out_dir, part_col)
+
     # 1. delete-then-insert: remove stale (not-done) partition dirs
     for d in _glob.glob(os.path.join(out_dir, f"{part_col}=*")):
+        if _is_swap_artifact(os.path.basename(d)):
+            continue  # handled by the recovery sweep, never "stale"
         key = _dir_key(os.path.basename(d))
         if key not in done_parts:
             shutil.rmtree(d)
@@ -166,6 +205,8 @@ def write_partitioned_resumable(
     wall = max(time.perf_counter() - t0, 1e-9)
     new_parts: dict[str, int] = {}
     for d in _glob.glob(os.path.join(out_dir, f"{part_col}=*")):
+        if _is_swap_artifact(os.path.basename(d)):
+            continue
         key = _dir_key(os.path.basename(d))
         if key in done_parts:
             continue
@@ -227,18 +268,11 @@ def compact_partitions(
 
     # recovery sweep: a crash between the two renames leaves `.old`
     # with no live dir — restore it (data was verified pre-swap)
-    for old in _glob.glob(os.path.join(out_dir, f"{part_col}=*.old")):
-        final = old[: -len(".old")]
-        if not os.path.exists(final):
-            os.replace(old, final)
-        else:
-            shutil.rmtree(old)
-    for tmp in _glob.glob(os.path.join(out_dir, f"{part_col}=*.compact-tmp")):
-        shutil.rmtree(tmp)  # incomplete compaction output: discard
+    _recover_compaction(out_dir, part_col)
 
     todo = []
     for d in sorted(_glob.glob(os.path.join(out_dir, f"{part_col}=*"))):
-        if d.endswith(".old") or d.endswith(".compact-tmp"):
+        if _is_swap_artifact(os.path.basename(d)):
             continue
         key = _dir_key(os.path.basename(d))
         if not man.is_done(key):

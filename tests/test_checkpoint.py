@@ -183,6 +183,41 @@ def test_compact_partitions_merges_files_and_preserves_rows(tmp_path):
     assert checkpoint.compact_partitions(str(out), "wc") == {}
 
 
+def test_resume_write_recovers_interrupted_compaction(tmp_path):
+    """ADVICE r3 (high): a crash between compaction's two renames
+    leaves `part=<k>.old` as the ONLY copy; the manifest still marks
+    <k> done, so a resumed `write_partitioned_resumable` filters <k>'s
+    rows out of the rewrite AND its stale sweep used to rmtree the
+    `.old` dir (key '<k>.old' is never in done_parts) — silent
+    permanent loss through the sink's normal resume entry point. The
+    writer must run the recovery sweep first and never treat swap
+    artifacts as stale."""
+    import pandas as pd
+
+    out = tmp_path / "out"
+    _multi_file_sink(out)
+    before = pq.read_table(str(out)).sort_by("k")
+
+    # mid-swap crash: live dir renamed away, .old is the only copy
+    d = sorted(glob.glob(os.path.join(str(out), "part=*")))[0]
+    os.replace(d, d + ".old")
+    assert not os.path.exists(d)
+
+    # resume through the WRITER (same window): rows for done partitions
+    # are filtered out, so only recovery can bring <k>'s data back
+    df = pd.DataFrame({
+        "k": [99999], "v": [0], "part": pd.array([0], dtype="int64"),
+    })
+    checkpoint.write_partitioned_resumable(
+        ray.data.from_pandas(df), str(out), "wc"
+    )
+    assert os.path.exists(d), ".old partition must be restored, not swept"
+    assert not glob.glob(os.path.join(str(out), "part=*.old"))
+    after = pq.read_table(str(out)).sort_by("k")
+    # every original row survives (the injected row was filtered as done)
+    assert after.equals(before)
+
+
 def test_compact_partitions_crash_recovery(tmp_path):
     out = tmp_path / "out"
     _multi_file_sink(out)

@@ -1644,6 +1644,25 @@ def test_pagerank_brute_and_block_invariance():
         assert gm == exp, f"blocks={blocks}"
 
 
+def test_pagerank_overflow_bound_raises():
+    """The int64 bound (|nodes| * scale * damp_num < 2^63) is enforced,
+    not left as a caller contract — numpy would wrap silently and
+    return wrong ranks with no error (ADVICE r3)."""
+    import pytest
+    import ray.data
+
+    from oluray.stages import joins as J
+
+    edges = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 1]})
+    ds = ray.data.from_pandas(edges)
+    with pytest.raises(ValueError, match="scale<="):
+        J.pagerank(ds, iters=1, scale=2**61, num_partitions=2)
+    # a compliant scale still works on the same input
+    out = J.pagerank(ds, iters=1, scale=10**6,
+                     num_partitions=2).to_pandas()
+    assert len(out) == 3
+
+
 def test_od_matrix_brute():
     got = (Q.q_od_matrix(SF).to_pandas()
            .sort_values(["o_cell", "d_cell"]).reset_index(drop=True))
