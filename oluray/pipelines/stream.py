@@ -111,3 +111,112 @@ def run_replication_windows(
         "start_sequence": start,
         "latest_sequence": latest,
     }
+
+
+def run_replication_windows_store(
+    store,
+    client: "rep.ReplicationClient",
+    out_dir: str,
+    sequence: int = 0,
+    timestamp: str | None = None,
+    window_size: int = 1,
+    cell_res: int = 12,
+    part_res: int = 2,
+    **fetch_kw,
+) -> dict | None:
+    """The continuous loop over a PERSISTENT bucket-pruned snapshot
+    (`oluray.state.snapshot.SnapshotStore`) — the scale-shaped variant
+    of `run_replication_windows`: instead of re-materializing the full
+    nodes/ways/relations tables every window, each window's
+    delete+insert routes its changed ids to their hash buckets and
+    rewrites ONLY the touched buckets (the reference's in-place
+    point-update semantics, `/root/reference/src/osm/
+    OsmChangeHandler.cpp:493-575`, made durable). Write cost per
+    window is O(diff + touched-bucket rows), not O(snapshot).
+
+    Ordering contract: the geo-delta sink is consumed BEFORE the store
+    mutates (the delta lineage lazily reads the store's bucket files).
+    Crash anywhere is safe: the delta sink skips finished partitions,
+    and `apply_window` is a per-bucket fixpoint — recomputing a delta
+    against a half-applied store yields identical rows because
+    delete+insert of the same window is idempotent on every bucket.
+
+    Returns per-window dicts that include the store's touched-bucket
+    lineage (`store_buckets`), so a 64-bucket store touching 3 buckets
+    on a minutely diff is visible evidence of pruning."""
+    from oluray.pipelines.update import (
+        _payload_nodes, _payload_relations, _payload_ways, _keys_of,
+    )
+    from oluray.stages.diff import merge_latest_wins
+
+    latest = client.latest_state()["sequence"]
+    start = rep.decide_start_sequence(client, sequence, timestamp)
+    if start > latest:
+        return None
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = geo.cell_parent(
+            t["cell"].to_numpy(zero_copy_only=False), part_res
+        )
+        return t.append_column("part", pa.array(part))
+
+    all_ops = ("create", "modify", "delete")
+    windows = []
+    s = start
+    while s <= latest:
+        e = min(s + window_size - 1, latest)
+        wid = f"w{s:09d}_{e:09d}"
+        changes = rep.fetch_changes(client, s, e, **fetch_kw)
+        try:
+            merged = merge_latest_wins(
+                changes.drop_columns(["seq"])
+            ).materialize()
+        except EmptyDiffError:
+            windows.append(
+                {"window_id": wid, "first_seq": s, "last_seq": e,
+                 "partitions": 0, "rows": 0, "store_buckets": {}}
+            )
+            s = e + 1
+            continue
+        out = upd.apply_update(
+            store.read("nodes"), store.read("ways"),
+            store.read("relations"), merged,
+            cell_res=cell_res, already_merged=True,
+        )
+        delta = out["geo_delta"].map_batches(add_part, batch_format="pyarrow")
+        man = write_partitioned_resumable(
+            delta, f"{out_dir}/{wid}", wid, part_col="part"
+        )
+        # point-update the store: only buckets holding a changed id
+        # are rewritten; the manifest records exactly which
+        apply_man = store.apply_window(
+            wid,
+            {
+                "nodes": (_keys_of(merged, "node", all_ops),
+                          _payload_nodes(merged)),
+                "ways": (_keys_of(merged, "way", all_ops),
+                         _payload_ways(merged)),
+                "relations": (_keys_of(merged, "relation", all_ops),
+                              _payload_relations(merged)),
+            },
+        )
+        windows.append(
+            {
+                "window_id": wid,
+                "first_seq": s,
+                "last_seq": e,
+                "partitions": len(man.partitions),
+                "rows": sum(i["rows"] for i in man.partitions.values()),
+                "store_buckets": {
+                    k: v["touched_buckets"]
+                    for k, v in apply_man["kinds"].items()
+                },
+            }
+        )
+        s = e + 1
+
+    return {
+        "windows": windows,
+        "start_sequence": start,
+        "latest_sequence": latest,
+    }

@@ -129,6 +129,7 @@ def apply_update(
     cell_res: int = 12,
     broadcast_limit: int = closure.DEFAULT_BROADCAST_KEY_LIMIT,
     area_res: int = 8,
+    already_merged: bool = False,
 ) -> dict:
     """Apply one change window. Returns dict with the new snapshot
     (`nodes`, `ways`, `relations`), `geo_delta` (recomputed geometry
@@ -141,12 +142,20 @@ def apply_update(
     `broadcast_limit`: id sets up to this many keys ride as broadcast
     arrays (zero shuffles — every minutely window); larger sets stay
     distributed and every membership filter switches to a
-    hash-partitioned semi join (the backfill-window path)."""
+    hash-partitioned semi join (the backfill-window path).
+
+    `already_merged`: the caller holds a latest-wins-merged (and
+    ideally materialized) change set — skip the merge (the store-
+    backed window loop merges once and reuses it for the bucket
+    apply)."""
     # materialize: merged is DIFF-sized (one window of edits, not the
     # snapshot) and is consumed ~10 times below (id sets, payload
     # extracts, counts) — without pinning, every consumer re-executes
     # the latest-wins shuffle
-    merged = merge_latest_wins(changes).materialize()
+    if already_merged:
+        merged = changes
+    else:
+        merged = merge_latest_wins(changes).materialize()
     BL = broadcast_limit
 
     # snapshot schemas for the shuffle path's static hints (schema()
