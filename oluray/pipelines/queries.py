@@ -139,6 +139,63 @@ def q_closure_2hop(sf_dir: str):
     return joins.distinct(sel, ["l_suppkey"], num_partitions=32)
 
 
+# J4 rel-of-rel reverse reference (flag-gated default-OFF in
+# `apply_update` — the reference implements the query but disables
+# both call sites, `src/sparql/QueryWriter.cpp:223-240`,
+# `src/osm/OsmChangeHandler.cpp:84-85,264-297`). "Relations" derived
+# from lineitem: one member per item row, member type cycling
+# relation/way/node by linenumber, relation refs targeting the
+# orderkey space via l_partkey*4; "modified" relations = 'F'-status
+# orders; "in change file" exclusions = orderkey % 7 == 0.
+def q_rel_of_rel(sf_dir: str):
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_linenumber"])
+
+    def as_relations(t: pa.Table) -> pa.Table:
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False)
+        kinds = np.array(["relation", "way", "node"], dtype=object)[ln % 3]
+        refs = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64) * 4
+        member = pa.StructArray.from_arrays(
+            [
+                pa.array(refs, pa.int64()),
+                pa.array(kinds, pa.string()),
+                pa.array(np.full(len(ln), "member", dtype=object), pa.string()),
+            ],
+            names=["ref", "type", "role"],
+        )
+        # one member per row: membership semantics are per exploded
+        # row, so single-member relations repeated across batches are
+        # equivalent (the operator ends in a distinct over rel_id)
+        offsets = pa.array(np.arange(len(ln) + 1, dtype=np.int32))
+        return pa.table(
+            {
+                "id": t["l_orderkey"].cast(pa.int64()),
+                "members": pa.ListArray.from_arrays(offsets, member),
+            }
+        )
+
+    rels = li.map_batches(as_relations, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    modified = closure.distinct_ids(
+        orders.map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")),
+            batch_format="pyarrow",
+        ),
+        "o_orderkey",
+    )
+
+    def in_cf(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ok % 7 == 0))
+
+    excl = closure.distinct_ids(
+        orders.map_batches(in_cf, batch_format="pyarrow"), "o_orderkey"
+    )
+    ks = closure.relations_referencing_relations(rels, modified, excl)
+    return ks.key_dataset().map_batches(
+        lambda t: t.rename_columns(["rel_id"]), batch_format="pyarrow"
+    )
+
+
 # J8/A2 member collect (GROUP_CONCAT ordered by position)
 def q_member_collect(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_linenumber"])
@@ -511,8 +568,11 @@ def q_events_value_sum(sf_dir: str):
 
 
 def q_dedup_exact(sf_dir: str):
+    # the oracle compares the KEEP-SET (which doc survives per exact-
+    # duplicate group); the digest itself is engine-internal since r4
+    # (vectorized keyed 128-bit hash replaced per-row md5)
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.exact_dedup(docs, concurrency=4)
+    return dedup.exact_dedup(docs, concurrency=4).select_columns(["doc_id"])
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -924,9 +984,12 @@ def q_part_skyline(sf_dir: str):
     computes each BLOCK's local skyline first — sound because the
     global frontier is a subset of every local frontier's union — so
     only frontier candidates (typically a vanishing fraction) reach
-    the final single-partition pass. Worst case (all points on the
-    frontier) degrades to a gather of the true output, never of the
-    corpus."""
+    the final single-partition pass — and that finish is TREE-REDUCED
+    (r4, VERDICT r3 item 3): a middle 8-way local-skyline level prunes
+    again before the single-task merge, so even an adversarial
+    all-frontier input funnels at most the (already pruned) candidate
+    stream of 8 tasks — never the corpus — into one worker, and the
+    final gather is bounded by the true output size."""
     part = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
@@ -938,7 +1001,15 @@ def q_part_skyline(sf_dir: str):
         return df.iloc[np.sort(idx)]
 
     cand = part.map_batches(local, batch_format="pandas", batch_size=65536)
-    final = cand.repartition(1).map_batches(local, batch_format="pandas")
+    # batch_size=None: a reduce level must see its WHOLE partition in
+    # one call — the default 1024-row batching would union per-chunk
+    # skylines without merging them (a superset, not the frontier)
+    mid = cand.repartition(8).map_batches(
+        local, batch_format="pandas", batch_size=None
+    )
+    final = mid.repartition(1).map_batches(
+        local, batch_format="pandas", batch_size=None
+    )
     return final.select_columns(["p_partkey"])
 
 
@@ -6610,6 +6681,14 @@ ORACLE: dict[str, str] = {
           WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
             AND o_orderstatus <> 'F')
     """,
+    "rel_of_rel": """
+        SELECT DISTINCT l_orderkey AS rel_id FROM lineitem
+        WHERE l_linenumber % 3 = 0
+          AND l_partkey * 4 IN
+              (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+          AND l_orderkey NOT IN
+              (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0)
+    """,
     "member_collect": """
         SELECT l_orderkey AS o_orderkey,
                string_agg(l_partkey::VARCHAR, ';' ORDER BY l_linenumber, l_partkey) AS members
@@ -6669,9 +6748,9 @@ ORACLE: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
     "dedup_exact": """
-        SELECT doc_id, text_hash FROM (
-          SELECT doc_id, md5(text) AS text_hash,
-                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
           FROM documents) WHERE rn = 1
     """,
     "ngram_jaccard": """
@@ -7214,6 +7293,7 @@ QUERIES = {
     "change_counts": q_change_counts,
     "impact_closure": q_impact_closure,
     "closure_2hop": q_closure_2hop,
+    "rel_of_rel": q_rel_of_rel,
     "member_collect": q_member_collect,
     "refs_distinct": q_refs_distinct,
     "max_ts": q_max_ts,

@@ -130,6 +130,7 @@ def apply_update(
     broadcast_limit: int = closure.DEFAULT_BROADCAST_KEY_LIMIT,
     area_res: int = 8,
     already_merged: bool = False,
+    include_rel_of_rel: bool = False,
 ) -> dict:
     """Apply one change window. Returns dict with the new snapshot
     (`nodes`, `ways`, `relations`), `geo_delta` (recomputed geometry
@@ -232,6 +233,18 @@ def apply_update(
         relations2, modified_nodes, ways_geo.union(way_in_cf), rel_in_cf,
         limit=BL,
     )
+    if include_rel_of_rel:
+        # J4 (default OFF — the reference keeps both call sites of
+        # this query disabled, `src/osm/OsmChangeHandler.cpp:84-85,
+        # 264-297`): relations whose members include a modified or
+        # geometry-impacted relation also need recompute. One hop, as
+        # in the reference's disabled driver.
+        modified_rels = _keys_of(merged, "relation", del_or_mod, BL)
+        _ensure_pinned_for(rels_geo, modified_rels)
+        rel_of_rel = closure.relations_referencing_relations(
+            relations2, rels_geo.union(modified_rels), rel_in_cf, limit=BL
+        )
+        rels_geo = rels_geo.union(rel_of_rel)
 
     # context fetch + geometry recompute (replaces the osm2rdf
     # delegation). r2: fully distributed — the r1 version shipped a

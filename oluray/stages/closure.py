@@ -343,6 +343,38 @@ def relations_to_update_geometry(
     return distinct_keys(hits, "rel_id", limit=limit)
 
 
+def relations_referencing_relations(
+    relations: ray.data.Dataset, rel_ids, exclude_rel_ids=None,
+    limit: int = DEFAULT_BROADCAST_KEY_LIMIT,
+) -> KeySet:
+    """J4: ids of relations whose members include any relation in
+    `rel_ids` (reverse rel-of-rel reference), minus `exclude_rel_ids`
+    (`src/sparql/QueryWriter.cpp:223-240`). The reference implements
+    this query but keeps BOTH call sites disabled because osm2rdf
+    computes no geometry for rel-of-rel members
+    (`src/osm/OsmChangeHandler.cpp:84-85,264-297`); this operator is
+    therefore flag-gated default-OFF in `apply_update` to match the
+    reference's *enabled* behavior while completing the §2 inventory.
+
+    Same exploded semi-join shape as J2/J3: filter members to
+    type=='relation', semi-join `ref` against the key set, anti-join
+    the owning `rel_id` against the exclusions, distinct."""
+    mem = explode_relation_members(relations)
+    hits = semi_join(
+        mem.map_batches(
+            lambda b: b.filter(pc.equal(b["type"], "relation")),
+            batch_format="pyarrow",
+        ),
+        "ref",
+        wrap_keys(rel_ids, limit),
+        schema=EXPLODED_MEMBERS_SCHEMA,
+    )
+    if exclude_rel_ids is not None:
+        hits = anti_join(hits, "rel_id", wrap_keys(exclude_rel_ids, limit),
+                         schema=EXPLODED_MEMBERS_SCHEMA)
+    return distinct_keys(hits, "rel_id", limit=limit)
+
+
 def way_member_nodes(
     ways: ray.data.Dataset, way_ids,
     limit: int = DEFAULT_BROADCAST_KEY_LIMIT,

@@ -57,14 +57,36 @@ DEFAULT_BUCKET_CAP = 256
 
 
 def md5_hex(texts: pd.Series) -> pd.Series:
+    """Per-row hashlib md5 (kept for callers that need the literal
+    md5 digest; the dedup hot path uses `text_hash128` below)."""
     return texts.map(lambda t: hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest())
+
+
+def text_hash128(texts: pd.Series) -> pd.Series:
+    """Vectorized 128-bit text digest as a 32-hex-char string: two
+    independently-keyed SipHash passes (`pd.util.hash_array`, C speed)
+    packed big-endian and hexlified in bulk — no per-row Python
+    (VERDICT r3 item 4: the md5 `Series.map` was the only row loop in
+    a full-corpus hot path). The digest is engine-internal (bucket /
+    identity key); equality of digests == equality of texts up to the
+    2^-128 collision odds the md5 version had anyway."""
+    import binascii
+
+    vals = texts.to_numpy(dtype=object)
+    h1 = pd.util.hash_array(vals, hash_key="oluray-dedup-k1!", categorize=False)
+    h2 = pd.util.hash_array(vals, hash_key="oluray-dedup-k2!", categorize=False)
+    packed = np.empty((len(vals), 2), dtype=">u8")
+    packed[:, 0] = h1
+    packed[:, 1] = h2
+    hexes = np.frombuffer(binascii.hexlify(packed.tobytes()), dtype="S32")
+    return pd.Series(hexes.astype("U32"), index=texts.index)
 
 
 def add_text_hash(batch: pd.DataFrame) -> pd.DataFrame:
     # stateless -> plain tasks (an actor pool's spawn latency would
     # dominate this stage's runtime; there is no per-actor setup)
     batch = batch.copy()
-    batch["text_hash"] = md5_hex(batch["text"])
+    batch["text_hash"] = text_hash128(batch["text"])
     return batch
 
 

@@ -336,14 +336,32 @@ def test_exact_dedup_distributed_matches_duckdb():
         "doc_id"
     ).reset_index(drop=True)
     con = duckdb.connect()
+    # the digest is engine-internal since r4 — the oracle checks the
+    # keep-set (min doc_id per identical TEXT) and that the surviving
+    # digests are pairwise distinct (one per distinct text)
     exp = con.sql(
-        f"""select doc_id, md5(text) text_hash from (
-              select doc_id, text,
-                     row_number() over (partition by md5(text) order by doc_id) rn
+        f"""select doc_id from (
+              select doc_id,
+                     row_number() over (partition by text order by doc_id) rn
               from read_parquet('{SF}/documents.parquet')) where rn = 1
             order by doc_id"""
     ).df()
-    pd.testing.assert_frame_equal(got[["doc_id", "text_hash"]], exp)
+    pd.testing.assert_frame_equal(got[["doc_id"]], exp)
+    assert got["text_hash"].is_unique
+
+
+def test_text_hash128_vectorized_matches_identity():
+    """Digest contract: equal texts -> equal digests, distinct texts
+    -> distinct digests (128-bit, keyed), stable across calls, and
+    shaped as 32 lowercase hex chars like the md5 it replaced."""
+    s = pd.Series(["a", "b", "a", "", "a" * 10000, "éclair", "b"])
+    h = dedup.text_hash128(s)
+    assert h.iloc[0] == h.iloc[2]
+    assert h.iloc[1] == h.iloc[6]
+    assert len(set(h.iloc[[0, 1, 3, 4, 5]])) == 5
+    assert all(len(x) == 32 and set(x) <= set("0123456789abcdef") for x in h)
+    h2 = dedup.text_hash128(s)
+    assert (h == h2).all()
 
 
 def test_near_dedup_keep_clusters():
