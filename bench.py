@@ -162,6 +162,9 @@ def run_bench() -> dict:
         ("ann_topk", Q.q_ann_topk),
         ("ivf_topk", Q.q_ivf_topk),
         ("impact_closure", Q.q_impact_closure),
+        # forced KeySet shuffle path: the backfill-window shape where
+        # changed ids exceed the broadcast budget (VERDICT r3 item 6)
+        ("backfill_shuffle", Q.q_impact_closure_shuffle),
         ("distance_pairs", Q.q_distance_pairs),
         ("track_poly_cross", Q.q_track_poly_cross),
         ("range_join", Q.q_range_join),

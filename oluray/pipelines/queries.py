@@ -130,6 +130,36 @@ def q_impact_closure(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_custkey"])
 
 
+# J1 impact closure, FORCED onto the backfill shuffle path: identical
+# semantics to q_impact_closure, but the changed-id set is built with
+# limit=0 so the size-probed KeySet stays a distributed Dataset and
+# every membership filter runs as a hash-partitioned semi-join — the
+# path a 100 TB backfill window (changed ids >> broadcast budget)
+# takes. Same oracle as impact_closure; benched as backfill_shuffle.
+def q_impact_closure_shuffle(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    modified = closure.distinct_keys(
+        cust.map_batches(
+            lambda t: t.filter(pc.less(t["c_acctbal"], 0.0)),
+            batch_format="pyarrow",
+        ),
+        "c_custkey", limit=0,
+    )
+    assert not modified.is_broadcast
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+    hit = closure.semi_join(
+        orders, "o_custkey", modified,
+        schema=pa.schema([("o_orderkey", pa.int64()),
+                          ("o_custkey", pa.int64()),
+                          ("o_orderstatus", pa.string())]),
+    )
+    out = hit.map_batches(
+        lambda t: t.filter(pc.not_equal(t["o_orderstatus"], "F")),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["o_orderkey", "o_custkey"])
+
+
 # J3/J6 second hop: distinct suppliers of the closure orders
 def q_closure_2hop(sf_dir: str):
     hit = q_impact_closure(sf_dir)
@@ -6674,6 +6704,11 @@ ORACLE: dict[str, str] = {
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
           AND o_orderstatus <> 'F'
     """,
+    "impact_closure_shuffle": """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+          AND o_orderstatus <> 'F'
+    """,
     "closure_2hop": """
         SELECT DISTINCT l_suppkey FROM lineitem
         WHERE l_orderkey IN (
@@ -7292,6 +7327,7 @@ QUERIES = {
     "latest_wins": q_latest_wins,
     "change_counts": q_change_counts,
     "impact_closure": q_impact_closure,
+    "impact_closure_shuffle": q_impact_closure_shuffle,
     "closure_2hop": q_closure_2hop,
     "rel_of_rel": q_rel_of_rel,
     "member_collect": q_member_collect,

@@ -65,6 +65,76 @@ def test_relations_to_update_geometry_matches_oracle():
     assert got.tolist() == oracle
 
 
+def test_relations_referencing_relations_matches_oracle():
+    """J4 rel-of-rel reverse reference (flag-gated default-off in
+    apply_update; `src/sparql/QueryWriter.cpp:223-240`)."""
+    from oluray.sources.fixtures import RELATIONS_SCHEMA
+
+    rng = np.random.default_rng(9)
+    rels = []
+    for ri in range(30):
+        rid = 7000 + ri
+        members = [
+            {"ref": 7000 + int(rng.integers(0, 30)), "type": "relation",
+             "role": "subarea"},
+            {"ref": 5000 + int(rng.integers(0, 40)), "type": "way",
+             "role": "outer"},
+        ]
+        rels.append(dict(id=rid, members=members, type="route", tags=None,
+                         version=1, ts=1_690_000_000_000 + ri))
+    rels_t = pa.Table.from_pylist(rels, schema=RELATIONS_SCHEMA)
+    targets = np.array([7003, 7011, 7020])
+    exclude = np.array([7001, 7002])
+    got = closure.relations_referencing_relations(
+        ray.data.from_arrow(rels_t), targets, exclude
+    )
+    tg, ex = set(targets.tolist()), set(exclude.tolist())
+    oracle = sorted(
+        r["id"]
+        for r in rels
+        if r["id"] not in ex
+        and any(m["type"] == "relation" and m["ref"] in tg
+                for m in r["members"])
+    )
+    assert got.tolist() == oracle
+    assert len(oracle) > 0
+    # way members referencing the same ids must NOT count: every
+    # relation-typed ref is in 7000..7029, so querying the way id
+    # space must return nothing even though way members hit it
+    none = closure.relations_referencing_relations(
+        ray.data.from_arrow(rels_t), np.array([5000 + i for i in range(40)]),
+    )
+    assert none.tolist() == []
+
+
+def test_keyset_limit_zero_forces_shuffle_path():
+    """distinct_keys(limit=0) must stay a distributed Dataset (no
+    driver broadcast array) and the semi/anti filters must match the
+    broadcast path exactly — the 100 TB backfill-window contract
+    (VERDICT r3 item 6)."""
+    _, ways, _ = _snapshot()
+    ds = ray.data.from_arrow(ways)
+    exploded = closure.explode_way_refs(ds)
+    ks = closure.distinct_keys(exploded, "node_id", limit=0)
+    assert not ks.is_broadcast
+    assert ks.arr is None  # no broadcast array was ever built
+    modified = np.arange(1000, 1020)
+    bcast = closure.semi_join(
+        exploded, "node_id", closure.broadcast_keys(modified)
+    ).to_pandas()
+    shuf = closure.semi_join(
+        exploded, "node_id",
+        closure.KeySet(ds=ray.data.from_arrow(
+            pa.table({"k": pa.array(modified, pa.int64())})), col="k",
+            count=len(modified), limit=0),
+        schema=closure.EXPLODED_WAYS_SCHEMA,
+    ).to_pandas()
+    key = ["way_id", "node_id", "pos"]
+    assert sorted(map(tuple, bcast[key].values.tolist())) == sorted(
+        map(tuple, shuf[key].values.tolist())
+    )
+
+
 def test_way_member_nodes_distinct():
     _, ways, _ = _snapshot()
     ids = np.array([5000, 5001, 5002])
