@@ -122,6 +122,198 @@ def _headline_spatial(sf_dir: str, concurrency: int) -> tuple[float, int]:
     return elapsed, n_points
 
 
+def _big_snapshot(n_nodes: int, n_ways: int, n_rels: int, seed: int = 7):
+    """Vectorized OSM-shaped snapshot for the backfill bench (the
+    test fixture's per-row pylist build is too slow at this size)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from oluray.functions import geo
+    from oluray.sources.fixtures import (
+        NODES_SCHEMA, RELATIONS_SCHEMA, WAYS_SCHEMA,
+    )
+
+    rng = np.random.default_rng(seed)
+    nid = np.arange(1_000_000, 1_000_000 + n_nodes, dtype=np.int64)
+    lon, lat = geo.derive_lonlat(nid)
+    t0 = 1_690_000_000_000
+    nodes = pa.table(
+        {
+            "id": nid, "lon": lon, "lat": lat,
+            "tags": pa.nulls(n_nodes, NODES_SCHEMA.field("tags").type),
+            "version": np.ones(n_nodes, np.int64),
+            "ts": pa.array(t0 + nid - nid[0], pa.timestamp("ms")),
+        },
+        schema=NODES_SCHEMA,
+    )
+    wid = np.arange(5_000_000, 5_000_000 + n_ways, dtype=np.int64)
+    k = 5
+    refs = nid[rng.integers(0, n_nodes, n_ways * k)]
+    offs = pa.array(np.arange(n_ways + 1, dtype=np.int32) * k)
+    ways = pa.table(
+        {
+            "id": wid,
+            "nd_refs": pa.ListArray.from_arrays(offs, pa.array(refs)),
+            "tags": pa.nulls(n_ways, WAYS_SCHEMA.field("tags").type),
+            "version": np.ones(n_ways, np.int64),
+            "ts": pa.array(t0 + wid - wid[0], pa.timestamp("ms")),
+        },
+        schema=WAYS_SCHEMA,
+    )
+    rid = np.arange(7_000_000, 7_000_000 + n_rels, dtype=np.int64)
+    m = 2
+    mref = np.empty(n_rels * m, np.int64)
+    mref[0::2] = wid[rng.integers(0, n_ways, n_rels)]
+    mref[1::2] = nid[rng.integers(0, n_nodes, n_rels)]
+    mtype = np.empty(n_rels * m, object)
+    mtype[0::2] = "way"
+    mtype[1::2] = "node"
+    struct = pa.StructArray.from_arrays(
+        [pa.array(mref), pa.array(mtype, pa.string()),
+         pa.array(np.full(n_rels * m, "outer", object), pa.string())],
+        names=["ref", "type", "role"],
+    )
+    moffs = pa.array(np.arange(n_rels + 1, dtype=np.int32) * m)
+    rels = pa.table(
+        {
+            "id": rid,
+            "members": pa.ListArray.from_arrays(moffs, struct),
+            "type": pa.array(np.full(n_rels, "route", object), pa.string()),
+            "tags": pa.nulls(n_rels, RELATIONS_SCHEMA.field("tags").type),
+            "version": np.ones(n_rels, np.int64),
+            "ts": pa.array(t0 + rid - rid[0], pa.timestamp("ms")),
+        },
+        schema=RELATIONS_SCHEMA,
+    )
+    return nodes, ways, rels
+
+
+def _backfill_mirror(root: str, n_windows: int, n_nodes: int,
+                     seed: int = 17) -> None:
+    """Replication mirror of `n_windows` sequences, each moving 50
+    random existing nodes and editing 5 ways (closure fires)."""
+    import gzip
+    import os
+
+    import numpy as np
+
+    from oluray.functions import geo
+    from oluray.sources import osc
+
+    rng = np.random.default_rng(seed)
+    for i in range(n_windows):
+        seq = 3 + i
+        ids = 1_000_000 + rng.integers(0, n_nodes, 50)
+        lon, lat = geo.derive_lonlat(ids + seq)
+        rows = [
+            {"op": "modify", "kind": "node", "id": int(x), "version": 9,
+             "ts": 1_700_000_000_000 + int(x),
+             "payload": {"lon": float(lo), "lat": float(la), "nd_refs": None,
+                         "members": None, "tags": None}}
+            for x, lo, la in zip(ids, lon, lat)
+        ]
+        for w in (5_000_000 + rng.integers(0, 10, 5)):
+            rows.append(
+                {"op": "modify", "kind": "way", "id": int(w), "version": 9,
+                 "ts": 1_700_000_000_000 + int(w),
+                 "payload": {"lon": None, "lat": None,
+                             "nd_refs": [int(v) for v in
+                                         1_000_000 + rng.integers(0, n_nodes, 4)],
+                             "members": None, "tags": None}})
+        p = os.path.join(root, osc.seq_path(seq))
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p + ".state.txt", "w") as f:
+            f.write(f"sequenceNumber={seq}\n"
+                    f"timestamp=2024-01-01T{i:02d}\\:00\\:00Z\n")
+        with open(p + ".osc.gz", "wb") as f:
+            f.write(gzip.compress(osc.write_osc(rows).encode("utf-8")))
+    with open(os.path.join(root, "state.txt"), "w") as f:
+        f.write(f"sequenceNumber={2 + n_windows}\n"
+                "timestamp=2024-01-01T23\\:00\\:00Z\n")
+
+
+def _window_backfill(n_windows: int = 4) -> dict:
+    """Many-window backfill over the bucket-pruned persistent store
+    vs the full-rewrite loop, same mirror + snapshot (VERDICT r3
+    item 1 evidence). Returns per-variant seconds + pruning stats."""
+    import shutil
+
+    import ray.data
+
+    from oluray.pipelines import stream
+    from oluray.sources import replication as rep
+    from oluray.state.snapshot import SnapshotStore
+
+    n_nodes, n_ways, n_rels = 250_000, 25_000, 2_500
+    nodes_t, ways_t, rels_t = _big_snapshot(n_nodes, n_ways, n_rels)
+    base = "/tmp/oluray_bench_backfill"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    mirror = os.path.join(base, "mirror")
+    os.makedirs(mirror)
+    _backfill_mirror(mirror, n_windows, n_nodes)
+    client = rep.ReplicationClient(rep.LocalDirTransport(mirror))
+
+    t0 = time.perf_counter()
+    stream.run_replication_windows(
+        ray.data.from_arrow(nodes_t), ray.data.from_arrow(ways_t),
+        ray.data.from_arrow(rels_t), client, os.path.join(base, "geo_full"),
+        sequence=3, window_size=1,
+    )
+    full_sec = time.perf_counter() - t0
+
+    store = SnapshotStore.create(
+        os.path.join(base, "store"),
+        {"nodes": ray.data.from_arrow(nodes_t),
+         "ways": ray.data.from_arrow(ways_t),
+         "relations": ray.data.from_arrow(rels_t)},
+        n_buckets=64,
+    )
+    t0 = time.perf_counter()
+    res = stream.run_replication_windows_store(
+        store, client, os.path.join(base, "geo_store"),
+        sequence=3, window_size=1,
+    )
+    store_sec = time.perf_counter() - t0
+    touched = [
+        sum(len(b) for b in w["store_buckets"].values())
+        for w in res["windows"]
+    ]
+
+    # diff-proportional variant: reverse-ref index answers closure
+    # from pruned buckets; context rows are store point reads
+    from oluray.state.refindex import RefIndex
+
+    store2 = SnapshotStore.create(
+        os.path.join(base, "store2"),
+        {"nodes": ray.data.from_arrow(nodes_t),
+         "ways": ray.data.from_arrow(ways_t),
+         "relations": ray.data.from_arrow(rels_t)},
+        n_buckets=64,
+    )
+    idx = RefIndex.create(
+        os.path.join(base, "idx"), ray.data.from_arrow(ways_t),
+        ray.data.from_arrow(rels_t), n_buckets=64,
+    )
+    t0 = time.perf_counter()
+    stream.run_replication_windows_store(
+        store2, client, os.path.join(base, "geo_idx"),
+        sequence=3, window_size=1, ref_index=idx,
+    )
+    indexed_sec = time.perf_counter() - t0
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "backfill_full_loop": round(full_sec, 3),
+        "backfill_store_loop": round(store_sec, 3),
+        "backfill_indexed_loop": round(indexed_sec, 3),
+        "backfill_windows": n_windows,
+        "backfill_buckets_touched_per_window": round(
+            sum(touched) / max(len(touched), 1), 1
+        ),
+        "backfill_buckets_total": 64 * 3,
+    }
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -187,6 +379,18 @@ def run_bench() -> dict:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         print(f"[bench] {name} {timings[name]}s", file=sys.stderr)
+
+    # many-window backfill: full-rewrite loop vs bucket-pruned store
+    # (mirror + snapshot are synthetic — sf-independent)
+    bf = _window_backfill()
+    timings["backfill_full_loop"] = bf["backfill_full_loop"]
+    timings["backfill_store_loop"] = bf["backfill_store_loop"]
+    timings["backfill_indexed_loop"] = bf["backfill_indexed_loop"]
+    print(f"[bench] backfill full={bf['backfill_full_loop']}s "
+          f"store={bf['backfill_store_loop']}s "
+          f"indexed={bf['backfill_indexed_loop']}s "
+          f"touched/window={bf['backfill_buckets_touched_per_window']}"
+          f"/{bf['backfill_buckets_total']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

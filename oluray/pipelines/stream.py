@@ -122,6 +122,7 @@ def run_replication_windows_store(
     window_size: int = 1,
     cell_res: int = 12,
     part_res: int = 2,
+    ref_index=None,
     **fetch_kw,
 ) -> dict | None:
     """The continuous loop over a PERSISTENT bucket-pruned snapshot
@@ -143,7 +144,20 @@ def run_replication_windows_store(
 
     Returns per-window dicts that include the store's touched-bucket
     lineage (`store_buckets`), so a 64-bucket store touching 3 buckets
-    on a minutely diff is visible evidence of pruning."""
+    on a minutely diff is visible evidence of pruning.
+
+    `ref_index` (r4): a `state.refindex.RefIndex` built over the SAME
+    snapshot — the window then runs fully DIFF-PROPORTIONALLY: impact
+    closure reads only the index buckets the changed ids hash to
+    (instead of exploding the whole ways/relations tables), context
+    rows come from `store.lookup` point reads, and the index is
+    maintained per window with the same staged, manifest-gated,
+    crash-idempotent protocol as the store (staging happens BEFORE the
+    store mutates, because the stale index entries to drop are only
+    derivable from the pre-update snapshot; a crash-rerun reuses the
+    durable staging instead of re-deriving it from a half-updated
+    store). A store+index pair must be kept in lockstep: always pass
+    the index once it exists."""
     from oluray.pipelines.update import (
         _payload_nodes, _payload_relations, _payload_ways, _keys_of,
     )
@@ -178,15 +192,24 @@ def run_replication_windows_store(
             )
             s = e + 1
             continue
-        out = upd.apply_update(
-            store.read("nodes"), store.read("ways"),
-            store.read("relations"), merged,
-            cell_res=cell_res, already_merged=True,
-        )
+        if ref_index is not None:
+            out = upd.apply_update(
+                None, None, None, merged,
+                cell_res=cell_res, already_merged=True,
+                store=store, ref_index=ref_index,
+            )
+        else:
+            out = upd.apply_update(
+                store.read("nodes"), store.read("ways"),
+                store.read("relations"), merged,
+                cell_res=cell_res, already_merged=True,
+            )
         delta = out["geo_delta"].map_batches(add_part, batch_format="pyarrow")
         man = write_partitioned_resumable(
             delta, f"{out_dir}/{wid}", wid, part_col="part"
         )
+        if ref_index is not None:
+            _stage_ref_index(ref_index, store, merged, wid)
         # point-update the store: only buckets holding a changed id
         # are rewritten; the manifest records exactly which
         apply_man = store.apply_window(
@@ -213,6 +236,9 @@ def run_replication_windows_store(
                 },
             }
         )
+        if ref_index is not None:
+            idx_man = ref_index.apply_window(wid)
+            windows[-1]["index_buckets"] = idx_man["touched_buckets"]
         s = e + 1
 
     return {
@@ -220,3 +246,38 @@ def run_replication_windows_store(
         "start_sequence": start,
         "latest_sequence": latest,
     }
+
+
+def _stage_ref_index(ref_index, store, merged, wid: str) -> None:
+    """Stage the window's index mutations BEFORE the store mutates
+    (stale entries to drop = exploded PRE-update rows of the changed
+    owners). A crash-rerun whose store already mutated reuses the
+    durable staging — re-deriving it then would read post-update rows
+    and miss the truly-old keys' buckets."""
+    import os
+
+    from oluray.pipelines.update import (
+        _keys_of, _payload_relations, _payload_ways,
+    )
+    from oluray.state import refindex as rix
+
+    if ref_index.window_manifest(wid) is not None:
+        return
+    if os.path.exists(os.path.join(ref_index.stage_dir(wid), "_done")):
+        return
+    all_ops = ("create", "modify", "delete")
+    way_keys = _keys_of(merged, "way", all_ops)
+    rel_keys = _keys_of(merged, "relation", all_ops)
+    old = rix.explode_ways_entries(
+        store.lookup("ways", way_keys, columns=["id", "nd_refs"])
+    ).union(rix.explode_relations_entries(
+        store.lookup("relations", rel_keys, columns=["id", "members"])
+    ))
+    new = rix.explode_ways_entries(_payload_ways(merged)).union(
+        rix.explode_relations_entries(_payload_relations(merged))
+    )
+    ref_index.stage_window(
+        wid,
+        {"way": way_keys.to_array(), "relation": rel_keys.to_array()},
+        old, new,
+    )

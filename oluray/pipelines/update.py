@@ -34,10 +34,56 @@ from oluray.stages import closure, joins
 from oluray.stages.diff import merge_latest_wins
 
 
+_DIFF_CACHE_ABSENT = object()
+
+
+def _diff_frame(merged: ray.data.Dataset, limit: int):
+    """(kind, op, id) of a broadcast-sized merged diff, pulled ONCE
+    and cached on the dataset object: a window calls `_keys_of` ~10
+    times (change-file sets, touched sets, the store loop's apply
+    keys, index staging keys) and each used to run its own
+    distinct-combiner pipeline over the same materialized diff —
+    pure fixed Ray-job overhead at minutely-window scale. Diffs
+    beyond `limit` rows return None (callers keep the distributed
+    path)."""
+    cached = getattr(merged, "_oluray_diff_cache", _DIFF_CACHE_ABSENT)
+    if cached is not _DIFF_CACHE_ABSENT:
+        return cached
+    frame = None
+    if merged.count() <= limit:
+        import pandas as pd
+
+        parts = list(
+            merged.select_columns(["kind", "op", "id"]).iter_batches(
+                batch_format="pandas"
+            )
+        )
+        frame = (
+            pd.concat(parts, ignore_index=True)
+            if parts else
+            pd.DataFrame({"kind": pd.Series([], dtype=object),
+                          "op": pd.Series([], dtype=object),
+                          "id": pd.Series([], dtype="int64")})
+        )
+    try:
+        merged._oluray_diff_cache = frame
+    except Exception:
+        pass
+    return frame
+
+
 def _keys_of(
     merged: ray.data.Dataset, kind: str, ops: tuple[str, ...],
     limit: int = closure.DEFAULT_BROADCAST_KEY_LIMIT,
 ) -> closure.KeySet:
+    frame = _diff_frame(merged, limit)
+    if frame is not None:
+        m = (frame["kind"].to_numpy() == kind) & np.isin(
+            frame["op"].to_numpy(), list(ops)
+        )
+        return closure.KeySet.from_array(
+            frame["id"].to_numpy()[m].astype(np.int64), limit
+        )
     sel = merged.map_batches(
         lambda t, kind=kind, ops=ops: t.filter(
             pc.and_(pc.equal(t["kind"], kind), pc.is_in(t["op"], value_set=pa.array(ops)))
@@ -131,6 +177,8 @@ def apply_update(
     area_res: int = 8,
     already_merged: bool = False,
     include_rel_of_rel: bool = False,
+    store=None,
+    ref_index=None,
 ) -> dict:
     """Apply one change window. Returns dict with the new snapshot
     (`nodes`, `ways`, `relations`), `geo_delta` (recomputed geometry
@@ -148,7 +196,21 @@ def apply_update(
     `already_merged`: the caller holds a latest-wins-merged (and
     ideally materialized) change set — skip the merge (the store-
     backed window loop merges once and reuses it for the bucket
-    apply)."""
+    apply).
+
+    `store` + `ref_index` (INDEXED mode, r4): a
+    `state.snapshot.SnapshotStore` and `state.refindex.RefIndex` built
+    over the same snapshot. The whole window then runs
+    DIFF-PROPORTIONALLY — impact closure answers from the reverse
+    index's pruned buckets (the reference's SPARQL store answers
+    J1-J3 from its triple indexes, `src/sparql/QueryWriter.cpp:
+    169-220`; the non-indexed path explodes the full ways/relations
+    tables per window), and context rows (member ways/nodes of
+    touched elements) come from `store.lookup` point reads overlaid
+    with this window's payloads. No snapshot Datasets are built or
+    returned (`nodes`/`ways`/`relations` keys are None — the caller
+    owns snapshot mutation via `store.apply_window`). `nodes`/`ways`/
+    `relations` args are ignored in indexed mode and may be None."""
     # materialize: merged is DIFF-sized (one window of edits, not the
     # snapshot) and is consumed ~10 times below (id sets, payload
     # extracts, counts) — without pinning, every consumer re-executes
@@ -158,6 +220,7 @@ def apply_update(
     else:
         merged = merge_latest_wins(changes).materialize()
     BL = broadcast_limit
+    indexed = store is not None and ref_index is not None
 
     # snapshot schemas for the shuffle path's static hints (schema()
     # on the INPUT datasets is metadata-cheap; nodes2/ways2/relations2
@@ -165,9 +228,14 @@ def apply_update(
     # by construction they share the input schema)
     from oluray.stages.joins import _arrow_schema
 
-    nodes_sch = _arrow_schema(nodes)
-    ways_sch = _arrow_schema(ways)
-    rels_sch = _arrow_schema(relations)
+    if indexed:
+        nodes_sch = store.schema("nodes")
+        ways_sch = store.schema("ways")
+        rels_sch = store.schema("relations")
+    else:
+        nodes_sch = _arrow_schema(nodes)
+        ways_sch = _arrow_schema(ways)
+        rels_sch = _arrow_schema(relations)
 
     # membership sets (ST1) as size-probed KeySets
     del_or_mod = ("modify", "delete")
@@ -176,63 +244,93 @@ def apply_update(
     rel_in_cf = _keys_of(merged, "relation", ("create", "modify", "delete"), BL)
     modified_nodes = _keys_of(merged, "node", del_or_mod, BL)
 
-    # delete-then-insert snapshot update (idempotent per window). The
-    # anti set is ALL changed ids — a superset of the reference's
-    # deleted+modified (`:444-447`) that also makes create-on-existing
-    # safe instead of duplicating rows.
-    nodes2 = closure.anti_join(nodes, "id", node_in_cf, schema=nodes_sch).union(
-        _payload_nodes(merged)
-    )
-    ways2 = closure.anti_join(ways, "id", way_in_cf, schema=ways_sch).union(
-        _payload_ways(merged)
-    )
-    relations2 = closure.anti_join(
-        relations, "id", rel_in_cf, schema=rels_sch
-    ).union(_payload_relations(merged))
+    if indexed:
+        # INDEXED mode: no snapshot Datasets exist — closure answers
+        # from the reverse index, context rows from store point reads
+        # overlaid with this window's payloads (below). Pinning is
+        # moot (nothing snapshot-scale is ever built).
+        nodes2 = ways2 = relations2 = None
 
-    # backfill windows: every membership filter below becomes a
-    # multi-stage shuffle join, and the new snapshot feeds ~4 of
-    # them — pin it once instead of replaying the delete+insert
-    # lineage per consumer (which also nests the lazy plan past
-    # serializable depth). Minutely windows keep the pure-lazy
-    # plan: their filters are single map stages and re-running a
-    # map beats paying a snapshot-sized materialize. The decision is
-    # RE-PROBED after each impact-closure set is computed: a small
-    # diff touching a high-degree node can push ways_geo/touched_*/
-    # need_nodes past the broadcast limit even when the change-file
-    # sets themselves are tiny, and from that point on the snapshots
-    # must be pinned before more shuffle-join lineage stacks on them.
-    snapshots_pinned = False
+        def _pin_snapshots():
+            pass
 
-    def _pin_snapshots():
-        nonlocal nodes2, ways2, relations2, snapshots_pinned
-        if not snapshots_pinned:
-            nodes2 = nodes2.materialize()
-            ways2 = ways2.materialize()
-            relations2 = relations2.materialize()
-            snapshots_pinned = True
+        def _ensure_pinned_for(*keysets):
+            pass
+    else:
+        # delete-then-insert snapshot update (idempotent per window).
+        # The anti set is ALL changed ids — a superset of the
+        # reference's deleted+modified (`:444-447`) that also makes
+        # create-on-existing safe instead of duplicating rows.
+        nodes2 = closure.anti_join(
+            nodes, "id", node_in_cf, schema=nodes_sch
+        ).union(_payload_nodes(merged))
+        ways2 = closure.anti_join(
+            ways, "id", way_in_cf, schema=ways_sch
+        ).union(_payload_ways(merged))
+        relations2 = closure.anti_join(
+            relations, "id", rel_in_cf, schema=rels_sch
+        ).union(_payload_relations(merged))
 
-    def _ensure_pinned_for(*keysets):
-        if any(not k.is_broadcast for k in keysets):
+        # backfill windows: every membership filter below becomes a
+        # multi-stage shuffle join, and the new snapshot feeds ~4 of
+        # them — pin it once instead of replaying the delete+insert
+        # lineage per consumer (which also nests the lazy plan past
+        # serializable depth). Minutely windows keep the pure-lazy
+        # plan: their filters are single map stages and re-running a
+        # map beats paying a snapshot-sized materialize. The decision
+        # is RE-PROBED after each impact-closure set is computed: a
+        # small diff touching a high-degree node can push ways_geo/
+        # touched_*/need_nodes past the broadcast limit even when the
+        # change-file sets themselves are tiny, and from that point on
+        # the snapshots must be pinned before more shuffle-join
+        # lineage stacks on them.
+        snapshots_pinned = False
+
+        def _pin_snapshots():
+            nonlocal nodes2, ways2, relations2, snapshots_pinned
+            if not snapshots_pinned:
+                nodes2 = nodes2.materialize()
+                ways2 = ways2.materialize()
+                relations2 = relations2.materialize()
+                snapshots_pinned = True
+
+        def _ensure_pinned_for(*keysets):
+            if any(not k.is_broadcast for k in keysets):
+                _pin_snapshots()
+
+        shuffle_mode = not (
+            node_in_cf.is_broadcast and way_in_cf.is_broadcast
+            and rel_in_cf.is_broadcast and modified_nodes.is_broadcast
+        )
+        if shuffle_mode:
             _pin_snapshots()
 
-    shuffle_mode = not (
-        node_in_cf.is_broadcast and way_in_cf.is_broadcast
-        and rel_in_cf.is_broadcast and modified_nodes.is_broadcast
-    )
-    if shuffle_mode:
-        _pin_snapshots()
-
     # impact closure on the NEW snapshot (geometry of unchanged ways/
-    # relations referencing changed nodes must be recomputed)
-    ways_geo = closure.ways_to_update_geometry(
-        ways2, modified_nodes, way_in_cf, limit=BL
-    )
-    _ensure_pinned_for(ways_geo)
-    rels_geo = closure.relations_to_update_geometry(
-        relations2, modified_nodes, ways_geo.union(way_in_cf), rel_in_cf,
-        limit=BL,
-    )
+    # relations referencing changed nodes must be recomputed). Indexed
+    # mode answers from the reverse index's pruned buckets — changed
+    # elements are excluded by the in-change-file anti sets either
+    # way, so stale index entries for THIS window's owners can't leak
+    # in (the index is maintained at window end, after closure).
+    if indexed:
+        ways_geo = ref_index.owners_of(
+            modified_nodes, ("node",), "way", exclude=way_in_cf, limit=BL
+        )
+        rels_geo = ref_index.owners_of(
+            modified_nodes, ("node",), "relation", exclude=rel_in_cf,
+            limit=BL,
+        ).union(ref_index.owners_of(
+            ways_geo.union(way_in_cf), ("way",), "relation",
+            exclude=rel_in_cf, limit=BL,
+        ))
+    else:
+        ways_geo = closure.ways_to_update_geometry(
+            ways2, modified_nodes, way_in_cf, limit=BL
+        )
+        _ensure_pinned_for(ways_geo)
+        rels_geo = closure.relations_to_update_geometry(
+            relations2, modified_nodes, ways_geo.union(way_in_cf), rel_in_cf,
+            limit=BL,
+        )
     if include_rel_of_rel:
         # J4 (default OFF — the reference keeps both call sites of
         # this query disabled, `src/osm/OsmChangeHandler.cpp:84-85,
@@ -241,9 +339,16 @@ def apply_update(
         # in the reference's disabled driver.
         modified_rels = _keys_of(merged, "relation", del_or_mod, BL)
         _ensure_pinned_for(rels_geo, modified_rels)
-        rel_of_rel = closure.relations_referencing_relations(
-            relations2, rels_geo.union(modified_rels), rel_in_cf, limit=BL
-        )
+        if indexed:
+            rel_of_rel = ref_index.owners_of(
+                rels_geo.union(modified_rels), ("relation",), "relation",
+                exclude=rel_in_cf, limit=BL,
+            )
+        else:
+            rel_of_rel = closure.relations_referencing_relations(
+                relations2, rels_geo.union(modified_rels), rel_in_cf,
+                limit=BL,
+            )
         rels_geo = rels_geo.union(rel_of_rel)
 
     # context fetch + geometry recompute (replaces the osm2rdf
@@ -259,27 +364,79 @@ def apply_update(
     )
     _ensure_pinned_for(touched_ways, touched_rels)
 
-    # relation members (J5): node refs need locations, way refs need
-    # centroids — so the centroid-target way set is touched ways PLUS
-    # unchanged member ways of impacted relations (context only)
-    rel_node_refs, rel_way_refs = closure.relation_member_refs(
-        relations2, touched_rels, limit=BL
-    )
-    centroid_ways = touched_ways.union(rel_way_refs)
-    _ensure_pinned_for(centroid_ways)
+    if indexed:
+        def _overlay(kind, ids_ks, payload, changed_ks, sch):
+            """Post-update rows of `kind` restricted to `ids_ks`:
+            store point reads (bucket-pruned) minus every id changed
+            this window, plus this window's payload rows — equivalent
+            to `semi_join(<kind>2, "id", ids_ks)` without the
+            snapshot-sized Dataset ever existing."""
+            base = closure.anti_join(
+                store.lookup(kind, ids_ks), "id", changed_ks, schema=sch
+            )
+            pay = closure.semi_join(payload, "id", ids_ks, schema=sch)
+            return base.union(pay)
 
-    member_nodes = closure.way_member_nodes(ways2, centroid_ways, limit=BL)
-    need_nodes = member_nodes.union(rel_node_refs)
-    _ensure_pinned_for(need_nodes)
-    # pin: locs feeds the way-point join AND the relation node-member
-    # join — diff-scale (member nodes of touched ways + rel node refs)
-    locs = closure.node_locations(
-        nodes2, need_nodes, limit=BL
-    ).materialize()  # (id, lon, lat)
+        # relation members (J5) from the touched-relation point reads
+        rel_touched = _overlay(
+            "relations", touched_rels, _payload_relations(merged),
+            rel_in_cf, rels_sch,
+        ).materialize()
+        rel_mem = closure.explode_relation_members(
+            rel_touched
+        ).materialize()  # (rel_id, ref, type, role, pos)
+        rel_node_refs = closure.distinct_keys(
+            rel_mem.map_batches(
+                lambda b: b.filter(pc.equal(b["type"], "node")),
+                batch_format="pyarrow",
+            ), "ref", limit=BL,
+        )
+        rel_way_refs = closure.distinct_keys(
+            rel_mem.map_batches(
+                lambda b: b.filter(pc.equal(b["type"], "way")),
+                batch_format="pyarrow",
+            ), "ref", limit=BL,
+        )
+        centroid_ways = touched_ways.union(rel_way_refs)
+        ways_sel = _overlay(
+            "ways", centroid_ways, _payload_ways(merged), way_in_cf,
+            ways_sch,
+        ).materialize()
+        exploded = closure.explode_way_refs(ways_sel)
+        member_nodes = closure.distinct_keys(exploded, "node_id", limit=BL)
+        need_nodes = member_nodes.union(rel_node_refs)
+        locs = _overlay(
+            "nodes", need_nodes, _payload_nodes(merged), node_in_cf,
+            nodes_sch,
+        ).map_batches(
+            lambda t: t.select(["id", "lon", "lat"]), batch_format="pyarrow"
+        ).materialize()  # (id, lon, lat)
+    else:
+        # relation members (J5): node refs need locations, way refs
+        # need centroids — so the centroid-target way set is touched
+        # ways PLUS unchanged member ways of impacted relations
+        # (context only)
+        rel_node_refs, rel_way_refs = closure.relation_member_refs(
+            relations2, touched_rels, limit=BL
+        )
+        centroid_ways = touched_ways.union(rel_way_refs)
+        _ensure_pinned_for(centroid_ways)
 
-    exploded = closure.explode_way_refs(
-        closure.semi_join(ways2, "id", centroid_ways, schema=ways_sch)
-    )  # (way_id, node_id, pos)
+        member_nodes = closure.way_member_nodes(
+            ways2, centroid_ways, limit=BL
+        )
+        need_nodes = member_nodes.union(rel_node_refs)
+        _ensure_pinned_for(need_nodes)
+        # pin: locs feeds the way-point join AND the relation node-
+        # member join — diff-scale (member nodes of touched ways +
+        # rel node refs)
+        locs = closure.node_locations(
+            nodes2, need_nodes, limit=BL
+        ).materialize()  # (id, lon, lat)
+
+        exploded = closure.explode_way_refs(
+            closure.semi_join(ways2, "id", centroid_ways, schema=ways_sch)
+        )  # (way_id, node_id, pos)
     # static schema hints: either side can be EMPTY (e.g. a node-only
     # diff touching no ways), and Ray drops empty map-output blocks,
     # leaving no runtime schema to join on
@@ -385,12 +542,13 @@ def apply_update(
     # the snapshot-scale relations2 filter lineage executes once,
     # not once per consumer (both are diff-scale, so the pin is cheap
     # even for minutely windows)
-    rel_touched = closure.semi_join(
-        relations2, "id", touched_rels, schema=rels_sch
-    ).materialize()
-    rel_mem = closure.explode_relation_members(
-        rel_touched
-    ).materialize()  # (rel_id, ref, type, role, pos)
+    if not indexed:
+        rel_touched = closure.semi_join(
+            relations2, "id", touched_rels, schema=rels_sch
+        ).materialize()
+        rel_mem = closure.explode_relation_members(
+            rel_touched
+        ).materialize()  # (rel_id, ref, type, role, pos)
     node_mem = rel_mem.map_batches(
         lambda b: b.filter(pc.equal(b["type"], "node")), batch_format="pyarrow"
     )
@@ -567,10 +725,17 @@ def apply_update(
         )
         return _point_extents(t)
 
-    node_delta = closure.semi_join(
-        nodes2, "id", _keys_of(merged, "node", ("create", "modify"), BL),
-        schema=nodes_sch,
-    ).map_batches(node_delta_fn, batch_format="pyarrow")
+    if indexed:
+        # semi_join(nodes2, created+modified) ≡ the payload rows (the
+        # anti side excludes every changed id by construction)
+        node_delta = _payload_nodes(merged).map_batches(
+            node_delta_fn, batch_format="pyarrow"
+        )
+    else:
+        node_delta = closure.semi_join(
+            nodes2, "id", _keys_of(merged, "node", ("create", "modify"), BL),
+            schema=nodes_sch,
+        ).map_batches(node_delta_fn, batch_format="pyarrow")
 
     geo_delta = node_delta.union(way_delta).union(rel_delta)
 

@@ -197,6 +197,51 @@ class SnapshotStore:
             )
         return ray.data.read_parquet(files, columns=cols)
 
+    def lookup(self, kind: str, keys,
+               columns: list[str] | None = None) -> ray.data.Dataset:
+        """Point read: rows of `kind` whose id is in `keys`, reading
+        ONLY the buckets those ids hash to — the read-side analog of
+        the write path's bucket pruning (a minutely diff touches a
+        handful of buckets; the other ~all of a 100 TB snapshot never
+        leaves storage). `keys` is a `closure.KeySet` or array-like; a
+        dataset-backed KeySet (backfill windows beyond the broadcast
+        budget) falls back to a full streaming read + distributed
+        semi-join — correct at any size, pruned when small."""
+        from oluray.stages.closure import (
+            KeySet, broadcast_keys, semi_join, wrap_keys,
+        )
+
+        ks = keys if isinstance(keys, KeySet) else wrap_keys(keys)
+        cols = columns or self.kinds[kind]
+        sch = self.schema(kind)
+        out_schema = pa.schema([sch.field(c) for c in cols])
+        if not ks.is_broadcast:
+            return semi_join(self.read(kind, columns=cols), "id", ks,
+                             schema=out_schema)
+        ids = ks.to_array()
+        if len(ids) == 0:
+            return ray.data.from_arrow(out_schema.empty_table())
+        self._recover_all(kind)
+        kind_dir = os.path.join(self.root, kind)
+        bl = np.unique(_bucket_of(ids, self.n_buckets))
+        files = sorted(
+            f for b in bl
+            for f in _glob.glob(os.path.join(_bucket_dir(kind_dir, int(b)),
+                                             "*.parquet"))
+        )
+        if not files:
+            return ray.data.from_arrow(out_schema.empty_table())
+        ds = ray.data.read_parquet(files, columns=cols)
+        ref = broadcast_keys(ids)
+
+        def keep(t: pa.Table) -> pa.Table:
+            kv = ray.get(ref)
+            return t.filter(
+                pc.is_in(t["id"], value_set=pa.array(kv, pa.int64()))
+            )
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
     def _recover_all(self, kind: str) -> None:
         kind_dir = os.path.join(self.root, kind)
         for d in _glob.glob(

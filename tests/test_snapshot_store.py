@@ -318,3 +318,169 @@ def test_store_loop_resume_mid_window(tmp_path):
         ta = pq.read_table(f"{tmp_path}/geo_ref/{wid}").to_pandas()
         tb = pq.read_table(f"{out_dir}/{wid}").to_pandas()
         assert len(ta) == len(tb)
+
+
+# ---------------------------------------------------------------------------
+# reverse-reference index (r4): diff-proportional impact closure
+# ---------------------------------------------------------------------------
+
+
+def _idx_entries_df(idx) -> pd.DataFrame:
+    df = idx.read().to_pandas()
+    return df.sort_values(["key", "ktype", "owner", "otype"]).reset_index(
+        drop=True
+    )
+
+
+def test_ref_index_owners_match_closure_scan(tmp_path):
+    """RefIndex.owners_of answers J1/J2/J3 identically to the
+    full-scan closure operators over the same snapshot."""
+    from oluray.stages import closure
+    from oluray.state.refindex import RefIndex
+
+    nodes_t, ways_t, rels_t = _snap_tables()
+    idx = RefIndex.create(
+        str(tmp_path / "idx"), ray.data.from_arrow(ways_t),
+        ray.data.from_arrow(rels_t), n_buckets=16,
+    )
+    modified = np.arange(1000, 1030, dtype=np.int64)
+    in_cf = np.array([5000, 5001], dtype=np.int64)
+    exp_ways = closure.ways_to_update_geometry(
+        ray.data.from_arrow(ways_t), modified, in_cf
+    )
+    got_ways = idx.owners_of(modified, ("node",), "way", exclude=in_cf)
+    assert got_ways.tolist() == exp_ways.tolist()
+
+    touched_w = np.union1d(np.asarray(exp_ways.to_array()), in_cf)
+    rel_cf = np.array([7000], dtype=np.int64)
+    exp_rels = closure.relations_to_update_geometry(
+        ray.data.from_arrow(rels_t), modified, touched_w, rel_cf
+    )
+    got_rels = idx.owners_of(
+        modified, ("node",), "relation", exclude=rel_cf
+    ).union(idx.owners_of(touched_w, ("way",), "relation", exclude=rel_cf))
+    assert sorted(got_rels.tolist()) == sorted(exp_rels.tolist())
+
+
+def test_indexed_loop_matches_plain_store_loop(tmp_path):
+    """The diff-proportional indexed loop must produce byte-identical
+    geo deltas and final snapshot vs the scan-closure store loop, and
+    the maintained index must equal a fresh rebuild from the final
+    snapshot."""
+    from oluray.pipelines import stream
+    from oluray.state.refindex import RefIndex
+
+    mirror = _rich_mirror(tmp_path)
+    client = rep.ReplicationClient(rep.LocalDirTransport(mirror))
+    nodes_t, ways_t, rels_t = _snap_tables()
+
+    store_a = SnapshotStore.create(
+        str(tmp_path / "store_a"),
+        {"nodes": ray.data.from_arrow(nodes_t),
+         "ways": ray.data.from_arrow(ways_t),
+         "relations": ray.data.from_arrow(rels_t)}, n_buckets=16,
+    )
+    res_a = stream.run_replication_windows_store(
+        store_a, client, str(tmp_path / "geo_a"), sequence=3, window_size=2,
+    )
+
+    store_b = SnapshotStore.create(
+        str(tmp_path / "store_b"),
+        {"nodes": ray.data.from_arrow(nodes_t),
+         "ways": ray.data.from_arrow(ways_t),
+         "relations": ray.data.from_arrow(rels_t)}, n_buckets=16,
+    )
+    idx = RefIndex.create(
+        str(tmp_path / "idx"), ray.data.from_arrow(ways_t),
+        ray.data.from_arrow(rels_t), n_buckets=16,
+    )
+    res_b = stream.run_replication_windows_store(
+        store_b, client, str(tmp_path / "geo_b"), sequence=3, window_size=2,
+        ref_index=idx,
+    )
+
+    assert [w["window_id"] for w in res_a["windows"]] == \
+           [w["window_id"] for w in res_b["windows"]]
+    for w in res_a["windows"]:
+        wid = w["window_id"]
+        ta = pq.read_table(f"{tmp_path}/geo_a/{wid}").to_pandas()
+        tb = pq.read_table(f"{tmp_path}/geo_b/{wid}").to_pandas()
+        key = ["kind", "id"]
+        ta = ta.sort_values(key).reset_index(drop=True).sort_index(axis=1)
+        tb = tb.sort_values(key).reset_index(drop=True).sort_index(axis=1)
+        pd.testing.assert_frame_equal(ta, tb, check_like=True)
+    for kind in ("nodes", "ways", "relations"):
+        got = _norm(_sorted_pdf(store_b.read(kind)))
+        exp = _norm(_sorted_pdf(store_a.read(kind)))
+        pd.testing.assert_frame_equal(got, exp, check_like=True)
+    # index lineage rode back + matches a rebuild from the final state
+    assert all("index_buckets" in w for w in res_b["windows"]
+               if w["rows"] or w["partitions"])
+    from oluray.state.refindex import RefIndex as RI
+
+    rebuilt = RI.create(
+        str(tmp_path / "idx_rebuild"), store_b.read("ways"),
+        store_b.read("relations"), n_buckets=16,
+    )
+    pd.testing.assert_frame_equal(
+        _idx_entries_df(idx), _idx_entries_df(rebuilt)
+    )
+
+
+def test_indexed_loop_crash_between_store_and_index_apply(tmp_path):
+    """Crash AFTER the snapshot store mutated but BEFORE the index
+    applied: the durable staging (written pre-mutation) must let the
+    re-run converge — the index ends exactly equal to a rebuild."""
+    from oluray.pipelines import stream
+    from oluray.pipelines.update import (
+        _keys_of, _payload_nodes, _payload_relations, _payload_ways,
+    )
+    from oluray.stages.diff import merge_latest_wins
+    from oluray.state.refindex import RefIndex
+
+    mirror = _rich_mirror(tmp_path)
+    client = rep.ReplicationClient(rep.LocalDirTransport(mirror))
+    nodes_t, ways_t, rels_t = _snap_tables()
+    store = SnapshotStore.create(
+        str(tmp_path / "store"),
+        {"nodes": ray.data.from_arrow(nodes_t),
+         "ways": ray.data.from_arrow(ways_t),
+         "relations": ray.data.from_arrow(rels_t)}, n_buckets=16,
+    )
+    idx = RefIndex.create(
+        str(tmp_path / "idx"), ray.data.from_arrow(ways_t),
+        ray.data.from_arrow(rels_t), n_buckets=16,
+    )
+
+    # manually run window w000000003_000000004 (seq 3-4, includes the
+    # way 5001 modify) up to the crash point: stage + store.apply, NO
+    # index apply
+    wid = "w000000003_000000004"
+    changes = rep.fetch_changes(client, 3, 4)
+    merged = merge_latest_wins(changes.drop_columns(["seq"])).materialize()
+    stream._stage_ref_index(idx, store, merged, wid)
+    all_ops = ("create", "modify", "delete")
+    store.apply_window(
+        wid,
+        {"nodes": (_keys_of(merged, "node", all_ops),
+                   _payload_nodes(merged)),
+         "ways": (_keys_of(merged, "way", all_ops), _payload_ways(merged)),
+         "relations": (_keys_of(merged, "relation", all_ops),
+                       _payload_relations(merged))},
+    )
+    assert idx.window_manifest(wid) is None  # crashed before idx apply
+
+    # full re-run from scratch
+    res = stream.run_replication_windows_store(
+        store, client, str(tmp_path / "geo"), sequence=3, window_size=2,
+        ref_index=idx,
+    )
+    assert idx.window_manifest(wid) is not None
+    rebuilt = RefIndex.create(
+        str(tmp_path / "idx_rebuild"), store.read("ways"),
+        store.read("relations"), n_buckets=16,
+    )
+    pd.testing.assert_frame_equal(
+        _idx_entries_df(idx), _idx_entries_df(rebuilt)
+    )
+    assert len(res["windows"]) >= 2
