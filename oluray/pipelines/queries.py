@@ -6537,6 +6537,194 @@ def _radius_gyration_sql() -> str:
     """
 
 
+# r4 wave: the persistent reverse-reference index + store point reads
+# exercised through the catalog, and IDW interpolation (exact-integer
+# weights so the oracle hashes bit-identically).
+
+
+def q_ref_index_owners(sf_dir: str):
+    """`state.refindex.RefIndex` end-to-end: 'ways' derived from
+    lineitem (way id = l_orderkey, one member node ref l_partkey*2+1
+    per item row), index built on disk, then the J1 reverse lookup —
+    which ways reference a modified node — answered from the index's
+    PRUNED buckets with in-change-file exclusions. Oracle = the
+    equivalent reverse-reference SQL."""
+    import shutil
+    import tempfile
+
+    from oluray.sources.fixtures import RELATIONS_SCHEMA
+    from oluray.state.refindex import RefIndex
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def as_ways(t: pa.Table) -> pa.Table:
+        refs = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64) * 2 + 1
+        offsets = pa.array(np.arange(t.num_rows + 1, dtype=np.int32))
+        return pa.table(
+            {
+                "id": t["l_orderkey"].cast(pa.int64()),
+                "nd_refs": pa.ListArray.from_arrays(offsets, pa.array(refs)),
+            }
+        )
+
+    ways = li.map_batches(as_ways, batch_format="pyarrow")
+    empty_rels = ray.data.from_arrow(
+        pa.schema([RELATIONS_SCHEMA.field("id"),
+                   RELATIONS_SCHEMA.field("members")]).empty_table()
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_size"])
+    modified = closure.distinct_ids(
+        part.map_batches(
+            lambda t: t.filter(pc.greater(t["p_size"], 47)),
+            batch_format="pyarrow",
+        ),
+        "p_partkey",
+    ) * 2 + 1
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def cf(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ok % 11 == 0))
+
+    excl = closure.distinct_ids(
+        orders.map_batches(cf, batch_format="pyarrow"), "o_orderkey"
+    )
+    root = tempfile.mkdtemp(prefix="oluray_refidx_q_")
+    try:
+        idx = RefIndex.create(root, ways, empty_rels, n_buckets=32)
+        owners = idx.owners_of(modified, ("node",), "way", exclude=excl)
+        # broadcast-sized result: safe to drop the on-disk index before
+        # returning (the KeySet holds a driver array, not file readers)
+        out = pa.table({"way_id": pa.array(owners.to_array(), pa.int64())})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return ray.data.from_arrow(out)
+
+
+def q_store_lookup(sf_dir: str):
+    """`SnapshotStore.lookup` point reads through the catalog: the
+    customer table bucketed by id on disk; a derived key set is read
+    back touching ONLY the buckets the keys hash to. Oracle =
+    WHERE-IN."""
+    import shutil
+    import tempfile
+
+    from oluray.state.snapshot import SnapshotStore
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def ren(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["c_custkey"].cast(pa.int64()),
+                "bal_cents": pa.array(_round_half_away(
+                    t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+                )),
+                "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    keys = closure.distinct_ids(
+        cust.map_batches(
+            lambda t: t.filter(pa.array(
+                t["c_custkey"].to_numpy(zero_copy_only=False) % 13 == 0
+            )),
+            batch_format="pyarrow",
+        ),
+        "c_custkey",
+    )
+    root = tempfile.mkdtemp(prefix="oluray_store_q_")
+    try:
+        store = SnapshotStore.create(
+            root, {"customers": cust.map_batches(ren, batch_format="pyarrow")},
+            n_buckets=16,
+        )
+        hits = store.lookup("customers", keys).materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    def back(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["c_custkey", "bal_cents", "c_nationkey"])
+
+    return hits.map_batches(back, batch_format="pyarrow")
+
+
+_IDW_Q = 64
+
+
+def q_idw_interpolate(sf_dir: str):
+    """Inverse-distance-weighted interpolation of the events `value`
+    field at 64 derived query points — the classic geospatial gridding
+    primitive, kept EXACT: distances are L1 in integer microdegrees,
+    weights are integer floor(1e6 / (1 + d//1000)), and the output is
+    the exact fraction (sum_w, sum_wv) per query point so the
+    distributed sum is associative and the oracle hashes
+    bit-identically (the float IDW value is sum_wv/sum_w, one division
+    the caller does). Engine shape: the 64 query points ride as driver
+    constants into a vectorized outer-difference per batch (events x
+    queries), partial sums per block, then a 64-key grouped sum."""
+    qk = (np.arange(_IDW_Q, dtype=np.int64) + 1) * 1009
+    qlon, qlat = geo.derive_lonlat(qk)
+    qx = _round_half_away(qlon * 1e7)
+    qy = _round_half_away(qlat * 1e7)
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = geo.derive_lonlat(eid)
+        x = _round_half_away(lon * 1e7)
+        y = _round_half_away(lat * 1e7)
+        v = _round_half_away(t["value"].to_numpy(zero_copy_only=False) * 100.0)
+        d = (np.abs(x[:, None] - qx[None, :])
+             + np.abs(y[:, None] - qy[None, :]))          # (n, Q) int64
+        w = 1_000_000 // (1 + d // 1000)                   # exact ints
+        return pa.table(
+            {
+                "qk": pa.array(qk),
+                "sum_w": pa.array(w.sum(axis=0)),
+                "sum_wv": pa.array((w * v[:, None]).sum(axis=0)),
+            }
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("qk", as_index=False).agg(
+            sum_w=("sum_w", "sum"), sum_wv=("sum_wv", "sum")
+        )
+        return g
+
+    return joins.grouped_agg(parts, ["qk"], combine, num_partitions=4,
+                             combine_fn=combine, pre_repartition=False)
+
+
+def _idw_sql() -> str:
+    elon, elat = geo.derive_lonlat_sql("event_id")
+    qlon, qlat = geo.derive_lonlat_sql("qk")
+    return f"""
+    WITH q AS (
+      SELECT (k + 1) * 1009 AS qk,
+             round(({qlon}) * 10000000.0)::BIGINT AS qx,
+             round(({qlat}) * 10000000.0)::BIGINT AS qy
+      FROM (SELECT unnest(range({_IDW_Q})) AS k)
+    ),
+    e AS (
+      SELECT round(({elon}) * 10000000.0)::BIGINT AS x,
+             round(({elat}) * 10000000.0)::BIGINT AS y,
+             round(value * 100.0)::BIGINT AS v
+      FROM events
+    )
+    SELECT qk,
+           sum(1000000 // (1 + (abs(x - qx) + abs(y - qy)) // 1000))::BIGINT
+               AS sum_w,
+           sum((1000000 // (1 + (abs(x - qx) + abs(y - qy)) // 1000)) * v
+               )::BIGINT AS sum_wv
+    FROM q CROSS JOIN e
+    GROUP BY qk
+    """
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -7293,6 +7481,19 @@ ORACLE: dict[str, str] = {
     "pushdown_scan": _PUSHDOWN_SQL,
     "flow_rose": _flow_rose_sql(),
     "radius_gyration": _radius_gyration_sql(),
+    "ref_index_owners": """
+        SELECT DISTINCT l_orderkey AS way_id FROM lineitem
+        WHERE l_partkey * 2 + 1 IN
+              (SELECT p_partkey * 2 + 1 FROM part WHERE p_size > 47)
+          AND l_orderkey NOT IN
+              (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0)
+    """,
+    "store_lookup": """
+        SELECT c_custkey, round(c_acctbal * 100.0)::BIGINT AS bal_cents,
+               c_nationkey
+        FROM customer WHERE c_custkey % 13 = 0
+    """,
+    "idw_interpolate": _idw_sql(),
 }
 
 QUERIES = {
@@ -7330,6 +7531,9 @@ QUERIES = {
     "impact_closure_shuffle": q_impact_closure_shuffle,
     "closure_2hop": q_closure_2hop,
     "rel_of_rel": q_rel_of_rel,
+    "ref_index_owners": q_ref_index_owners,
+    "store_lookup": q_store_lookup,
+    "idw_interpolate": q_idw_interpolate,
     "member_collect": q_member_collect,
     "refs_distinct": q_refs_distinct,
     "max_ts": q_max_ts,

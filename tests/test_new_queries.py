@@ -2437,3 +2437,24 @@ def test_radius_gyration_brute():
     # moments form == definitional form (up to the 1e-6-deg rounding)
     np.testing.assert_allclose(got["rog_1e6"].to_numpy(np.float64),
                                exp["rog"].to_numpy(), rtol=1e-9, atol=0.51)
+
+
+def test_r4_new_queries_match_duckdb():
+    """r4 wave (ref_index_owners / store_lookup / idw_interpolate):
+    oracle-exact at sf0.001 — the driver gate runs them at sf0.01,
+    this keeps the contract under pytest too."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("customer", "part", "orders", "lineitem", "events"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+    for name in ("ref_index_owners", "store_lookup", "idw_interpolate"):
+        got = Q.QUERIES[name](SF).to_pandas()
+        exp = con.sql(Q.ORACLE[name]).df()
+        cols = sorted(got.columns)
+        gs = got[cols].sort_values(cols).reset_index(drop=True)
+        es = exp[sorted(exp.columns)][cols].sort_values(cols).reset_index(
+            drop=True)
+        assert gs.shape == es.shape, name
+        assert (gs.astype(str).values == es.astype(str).values).all(), name
