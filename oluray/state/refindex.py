@@ -202,6 +202,8 @@ class RefIndex:
         tset = pa.array(list(ktypes), pa.string())
 
         if ks.is_broadcast:
+            from oluray.state.snapshot import LOCAL_READ_BYTES
+
             ids = ks.to_array()
             if len(ids) == 0:
                 return KeySet.from_array(np.array([], np.int64), lim)
@@ -215,6 +217,38 @@ class RefIndex:
             )
             if not files:
                 return KeySet.from_array(np.array([], np.int64), lim)
+            if sum(os.path.getsize(f) for f in files) <= LOCAL_READ_BYTES:
+                # diff-proportional fast path: one driver scan of the
+                # pruned buckets, zero Ray jobs (the reference's
+                # indexed SPARQL lookup costs one round-trip too)
+                t = pa.concat_tables(
+                    [pq.read_table(f).cast(SCHEMA) for f in files]
+                )
+                m = pc.and_(
+                    pc.is_in(t["key"], value_set=pa.array(ids, pa.int64())),
+                    pc.and_(pc.is_in(t["ktype"], value_set=tset),
+                            pc.equal(t["otype"], otype)),
+                )
+                owners = np.unique(
+                    t.filter(m)["owner"].to_numpy(zero_copy_only=False)
+                ).astype(np.int64)
+                if exclude is not None:
+                    ex = (exclude if isinstance(exclude, KeySet)
+                          else wrap_keys(exclude, lim))
+                    if ex.is_broadcast:
+                        owners = owners[~np.isin(owners, ex.to_array())]
+                        return KeySet.from_array(owners, lim)
+                    # dataset-backed exclusion: fall through to the
+                    # distributed anti-join below with the owner hits
+                    hits = ray.data.from_arrow(
+                        pa.table({"owner": pa.array(owners, pa.int64())})
+                    )
+                    hits = anti_join(
+                        hits, "owner", ex,
+                        schema=pa.schema([("owner", pa.int64())]),
+                    )
+                    return distinct_keys(hits, "owner", limit=lim)
+                return KeySet.from_array(owners, lim)
             ds = ray.data.read_parquet(files)
             ref = broadcast_keys(ids)
 
