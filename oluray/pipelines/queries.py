@@ -6725,6 +6725,360 @@ def _idw_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# r4 wave 2: bloom-prefiltered semi-join, spatial autocorrelation,
+# stay-run detection, bipartite k-core, image x tile color rollup
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_join(sf_dir: str):
+    """Bloom-prefiltered distributed semi-join (the shuffle-shrinking
+    runtime filter): order count + revenue per priority over orders
+    whose customer is in the AUTOMOBILE segment. Routed through
+    `joins.semi_join(bloom_bits=...)`: a Bloom filter built over the
+    key lineage drops definite non-matches MAP-SIDE, before the hash
+    exchange, so the shuffle moves ~|matches| + false positives
+    instead of |orders|; the partition-local exact `isin` removes the
+    false positives, so the result is exact — the oracle is the plain
+    IN-subquery. At 100 TB this is the difference between shuffling
+    the full fact table and shuffling the (usually tiny) hit set."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "AUTOMOBILE")),
+        batch_format="pyarrow",
+    ).select_columns(["c_custkey"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority", "o_totalprice"])
+    hit = joins.semi_join(orders, keys, "o_custkey", key_col="c_custkey",
+                          num_partitions=16, bloom_bits=1 << 18)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "o_orderpriority": pd.array([], dtype="str"),
+                "n": pd.array([], dtype="int64"),
+                "sum_cents": pd.array([], dtype="int64")})
+        cents = _round_half_away(df["o_totalprice"].to_numpy() * 100.0)
+        g = df.assign(cents=cents).groupby(
+            "o_orderpriority", as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum"))
+        g["n"] = g["n"].astype("int64")
+        g["sum_cents"] = g["sum_cents"].astype("int64")
+        return g
+
+    part1 = hit.map_batches(partial, batch_format="pandas",
+                            batch_size=65536)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+        g["n"] = g["n"].astype("int64")
+        g["sum_cents"] = g["sum_cents"].astype("int64")
+        return g
+
+    return joins.grouped_agg(part1, ["o_orderpriority"], fin,
+                             num_partitions=8, pre_repartition=False)
+
+
+MORAN_RES = 5
+
+
+def q_morans_i(sf_dir: str):
+    """Global Moran's I (spatial autocorrelation) of event density on
+    the res-5 cell grid, rook adjacency, binary weights — computed in
+    EXACT integers: with v_i the per-cell event count, n the
+    occupied-cell count and S = sum(v), the centered value
+    c_i = n*v_i - S is integer and
+    I = (n/W) * sum_ij c_i*c_j / sum_i c_i^2 needs only the four
+    BIGINTs (n, W, num, den) this query emits (the 1/n^2 factors
+    cancel in the ratio). Scale shape: the corpus passes ONCE through
+    a per-block cell-count combiner; everything downstream (neighbor
+    scatter, join-back, moment partials) runs on the
+    aggregate-bounded occupied-cell table (<= 4^res rows), never
+    corpus rows, and the driver only folds per-block partial sums.
+    At counts where c_i*c_j would exceed int64 the moments switch to
+    the split-word accumulation `q_group_linreg` documents; the SQL
+    twin already accumulates in HUGEINT."""
+    ev = _read(sf_dir, "events", ["event_id"])
+    pts = _with_points(ev, "event_id")
+
+    def xy(t: pa.Table) -> pa.Table:
+        cell = geo.cell_encode(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False), MORAN_RES)
+        u, cnt = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(u),
+                         "v": pa.array(cnt.astype(np.int64))})
+
+    def vsum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False)["v"].sum()
+        g["v"] = g["v"].astype("int64")
+        return g
+
+    cells = joins.grouped_agg(
+        pts.map_batches(xy, batch_format="pyarrow"),
+        ["cell"], vsum, num_partitions=8, pre_repartition=False,
+    ).materialize()
+    n_cells = int(cells.count())
+    s_v = int(cells.sum("v")) if n_cells else 0
+
+    def center(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"cell": t["cell"],
+                         "ci": pa.array(n_cells * v - s_v)})
+
+    cen = cells.map_batches(center, batch_format="pyarrow").materialize()
+
+    def scatter(t: pa.Table) -> pa.Table:
+        # donate ci to the 4 rook neighbours; no wrap — an off-grid
+        # target (x = -1, 2^res, ...) can never equal an occupied
+        # cell id, so the join drops it. Donations are emitted in
+        # BOTH directions, matching the SQL abs-diff self-join, so W
+        # counts each adjacent pair twice (symmetric weights).
+        if t.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "cj": pa.array([], pa.int64())})
+        _, x, y = geo.cell_decode(t["cell"].to_numpy(zero_copy_only=False))
+        ci = t["ci"].to_numpy(zero_copy_only=False)
+        tx = np.concatenate([x + 1, x - 1, x, x])
+        ty = np.concatenate([y, y, y + 1, y - 1])
+        tcell = (np.int64(MORAN_RES) * np.int64(geo.RES_SHIFT)
+                 + ty * np.int64(geo.Y_SHIFT) + tx)
+        return pa.table({"cell": pa.array(tcell),
+                         "cj": pa.array(np.tile(ci, 4))})
+
+    scat = cen.map_batches(scatter, batch_format="pyarrow")
+    joined = joins.hash_join(cen, scat, "cell", num_partitions=8)
+
+    def pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        ci = df["ci"].to_numpy(np.int64)
+        cj = df["cj"].to_numpy(np.int64)
+        return pd.DataFrame({"w": [np.int64(len(df))],
+                             "num": [np.int64((ci * cj).sum())]})
+
+    def den_part(df: pd.DataFrame) -> pd.DataFrame:
+        ci = df["ci"].to_numpy(np.int64)
+        return pd.DataFrame({"den": [np.int64((ci * ci).sum())]})
+
+    w_pairs = num = den = 0
+    for b in joined.map_batches(
+            pair_part, batch_format="pandas").iter_batches(
+            batch_format="pandas", batch_size=256):
+        w_pairs += int(b["w"].sum())
+        num += int(b["num"].sum())
+    for b in cen.map_batches(
+            den_part, batch_format="pandas").iter_batches(
+            batch_format="pandas", batch_size=256):
+        den += int(b["den"].sum())
+    return pd.DataFrame({"n_cells": [n_cells], "w_pairs": [w_pairs],
+                         "num": [num], "den": [den]}).astype("int64")
+
+
+def _morans_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("event_id")
+    n = 1 << MORAN_RES
+    x = (f"LEAST(GREATEST(floor((({lon} + 180.0) / 360.0) * {float(n)!r})"
+         f"::BIGINT, 0), {n - 1})")
+    y = (f"LEAST(GREATEST(floor((({lat} + 90.0) / 180.0) * {float(n)!r})"
+         f"::BIGINT, 0), {n - 1})")
+    return f"""
+    WITH c AS (
+      SELECT x, y, count(*)::BIGINT AS v
+      FROM (SELECT {x} AS x, {y} AS y FROM events) GROUP BY x, y),
+    s AS (SELECT count(*)::BIGINT AS n, SUM(v)::BIGINT AS sv FROM c),
+    cc AS (SELECT c.x, c.y, (s.n * c.v - s.sv)::HUGEINT AS ci FROM c, s),
+    pr AS (SELECT a.ci AS ca, b.ci AS cb
+           FROM cc a JOIN cc b
+             ON (abs(a.x - b.x) = 1 AND a.y = b.y)
+             OR (a.x = b.x AND abs(a.y - b.y) = 1))
+    SELECT (SELECT n FROM s) AS n_cells,
+           (SELECT count(*) FROM pr)::BIGINT AS w_pairs,
+           (SELECT COALESCE(SUM(ca * cb), 0) FROM pr)::BIGINT AS num,
+           (SELECT COALESCE(SUM(ci * ci), 0) FROM cc)::BIGINT AS den
+    """
+
+
+STAY_RES = 2
+
+
+def q_cell_stays(sf_dir: str):
+    """Trajectory stay-run detection: maximal runs of >= 2
+    CONSECUTIVE events (per user, ts/event_id order) inside one
+    coarse grid cell — the stay-point primitive behind dwell-time
+    and home-location mining. One (user_id) hash partition carries
+    each full trajectory; runs are found vectorized (cell-change
+    breakpoints -> cumulative run ids -> one groupby), the exact
+    computation the SQL lag/rows-window pair performs, so the oracle
+    is hash-exact."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    pts = spatial.add_cell_column(_with_points(ev, "event_id"), STAY_RES)
+
+    def runs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.array([], dtype="int64"),
+                "cell": pd.array([], dtype="int64"),
+                "n_events": pd.array([], dtype="int64"),
+                "first_event_id": pd.array([], dtype="int64"),
+                "start_ts": pd.Series([], dtype="datetime64[us]")})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        c = df["cell"].to_numpy(np.int64)
+        brk = np.ones(len(df), dtype=np.int64)
+        brk[1:] = ((u[1:] != u[:-1]) | (c[1:] != c[:-1])).astype(np.int64)
+        g = df.assign(rid=np.cumsum(brk)).groupby(
+            ["user_id", "rid", "cell"], as_index=False).agg(
+            n_events=("event_id", "size"),
+            first_event_id=("event_id", "min"),
+            start_ts=("ts", "min"))
+        g = g[g["n_events"] >= 2].drop(columns=["rid"])
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    return joins.partitioned_map(
+        pts.select_columns(["event_id", "user_id", "ts", "cell"]),
+        ["user_id"], runs, num_partitions=16)
+
+
+def _cell_stays_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("event_id")
+    cell = geo.cell_encode_sql(lon, lat, STAY_RES)
+    return f"""
+    WITH e AS (SELECT user_id, event_id, ts, {cell} AS cell FROM events),
+    o AS (SELECT *, CASE WHEN lag(cell) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS DISTINCT FROM cell THEN 1 ELSE 0 END AS brk
+          FROM e),
+    r AS (SELECT *, SUM(brk) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS rid
+          FROM o)
+    SELECT user_id, cell, count(*)::BIGINT AS n_events,
+           min(event_id)::BIGINT AS first_event_id, min(ts) AS start_ts
+    FROM r GROUP BY user_id, rid, cell HAVING count(*) >= 2
+    """
+
+
+KCORE_K = 10
+
+
+def q_kcore(sf_dir: str):
+    """Bipartite k-core of the supplier—part graph (distinct lineitem
+    edges): iteratively peel nodes with degree < k on EITHER side
+    until a fixed point — the graph-sparsification primitive behind
+    community mining and spam filtering. Each round is two
+    aggregate-bounded degree counts plus two distributed anti-joins
+    on the edge set (the driver sees peel COUNTS only, never ids);
+    every iterative materialize carries the block-count clamp
+    (`repartition(np)`) that keeps Ray's groupby block multiplication
+    from compounding across rounds (see joins.connected_components).
+    No SQL oracle — iterated deletion is not expressible as a
+    monotone recursive CTE; brute-force-verified in pytest."""
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    np_ = 8
+    edges = joins.distinct(li, ["l_suppkey", "l_partkey"],
+                           num_partitions=np_).repartition(np_).materialize()
+
+    def _degs(es: ray.data.Dataset, col: str) -> ray.data.Dataset:
+        def cnt(df: pd.DataFrame, _c=col) -> pd.DataFrame:
+            g = df.groupby(_c, as_index=False).size().rename(
+                columns={"size": "deg"})
+            g["deg"] = g["deg"].astype("int64")
+            return g
+
+        return joins.grouped_agg(es, [col], cnt, num_partitions=np_,
+                                 pre_repartition=False)
+
+    while True:
+        bad_s = _degs(edges, "l_suppkey").filter(
+            lambda r: r["deg"] < KCORE_K)
+        bad_p = _degs(edges, "l_partkey").filter(
+            lambda r: r["deg"] < KCORE_K)
+        ns, np_bad = bad_s.count(), bad_p.count()
+        if ns + np_bad == 0:
+            break
+        # a side with nothing to peel yields an EMPTY (schema-less)
+        # key dataset — skip its anti-join rather than hint a schema
+        if ns:
+            edges = joins.semi_join(edges, bad_s, "l_suppkey", anti=True,
+                                    num_partitions=np_)
+        if np_bad:
+            edges = joins.semi_join(edges, bad_p, "l_partkey", anti=True,
+                                    num_partitions=np_)
+        edges = edges.repartition(np_).materialize()
+        if edges.count() == 0:
+            return pd.DataFrame({"side": pd.array([], dtype="str"),
+                                 "node": pd.array([], dtype="int64"),
+                                 "deg": pd.array([], dtype="int64")})
+
+    def side(es: ray.data.Dataset, col: str, tag: str) -> ray.data.Dataset:
+        def name(df: pd.DataFrame, _c=col, _t=tag) -> pd.DataFrame:
+            return pd.DataFrame({"side": _t,
+                                 "node": df[_c].astype("int64"),
+                                 "deg": df["deg"].astype("int64")})
+
+        return _degs(es, col).map_batches(name, batch_format="pandas")
+
+    return side(edges, "l_suppkey", "supp").union(
+        side(edges, "l_partkey", "part"))
+
+
+TILE_COLOR_RES = 4
+
+
+def q_tile_color(sf_dir: str):
+    """Image x geo rollup: dominant color channel per map tile. Each
+    synthesized image is geolocated by its doc-id-derived point (the
+    coarse TILE_COLOR_RES grid); per batch the decoded pixels
+    reduce to exact per-channel uint64 sums -> the image's dominant
+    channel (argmax, tie -> lowest index); the (tile, channel) counts
+    then take ONE aggregate-bounded combiner shuffle — bytes never
+    leave the decode task, the only exchange rows are (tile, channel,
+    count). Rows-only (pixel decode is not SQL); brute-verified in
+    pytest against a pure-Python re-derivation."""
+    from oluray.functions import imagecodec
+
+    images = _synth_images(sf_dir)
+
+    def part(t: pa.Table) -> pa.Table:
+        ids = np.array([int(s[3:]) for s in t["image_id"].to_pylist()],
+                       dtype=np.int64)
+        lon, lat = geo.derive_lonlat(ids)
+        tile = geo.cell_encode(lon, lat, TILE_COLOR_RES)
+        fmts = t["fmt"].to_pylist()
+        dom = np.empty(len(ids), dtype=np.int64)
+        for j, (b, f) in enumerate(zip(t["bytes"].to_pylist(), fmts)):
+            px = imagecodec.decode(b, f)
+            sums = px.reshape(-1, px.shape[-1]).sum(axis=0,
+                                                    dtype=np.uint64)
+            dom[j] = int(np.argmax(sums))
+        g = (pd.DataFrame({"tile": tile, "dom": dom})
+             .groupby(["tile", "dom"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = images.map_batches(part, batch_format="pyarrow",
+                                  batch_size=128)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["tile", "dom"], as_index=False)["n"].sum()
+        tot = g.groupby("tile", as_index=False)["n"].sum().rename(
+            columns={"n": "n_images"})
+        g = g.sort_values(["tile", "n", "dom"],
+                          ascending=[True, False, True], kind="mergesort")
+        w = g.drop_duplicates("tile", keep="first").rename(
+            columns={"dom": "dom_channel", "n": "n_dom"})
+        out = w.merge(tot, on="tile")
+        for c in ("tile", "dom_channel", "n_dom", "n_images"):
+            out[c] = out[c].astype("int64")
+        return out[["tile", "dom_channel", "n_dom", "n_images"]]
+
+    return joins.grouped_agg(partials, ["tile"], fin, num_partitions=8,
+                             pre_repartition=False)
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -7494,6 +7848,17 @@ ORACLE: dict[str, str] = {
         FROM customer WHERE c_custkey % 13 = 0
     """,
     "idw_interpolate": _idw_sql(),
+    "bloom_join": """
+        SELECT o_orderpriority, count(*)::BIGINT AS n,
+               SUM(round(o_totalprice * 100.0, 0)::BIGINT)::BIGINT
+                 AS sum_cents
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'AUTOMOBILE')
+        GROUP BY o_orderpriority
+    """,
+    "morans_i": _morans_sql(),
+    "cell_stays": _cell_stays_sql(),
 }
 
 QUERIES = {
@@ -7667,4 +8032,9 @@ QUERIES = {
     "pushdown_scan": q_pushdown_scan,
     "flow_rose": q_flow_rose,
     "radius_gyration": q_radius_gyration,
+    "bloom_join": q_bloom_join,
+    "morans_i": q_morans_i,
+    "cell_stays": q_cell_stays,
+    "kcore": q_kcore,
+    "tile_color": q_tile_color,
 }
