@@ -365,6 +365,10 @@ def run_bench() -> dict:
         # r3 graph-analytics wave: value iteration + frontier expansion
         ("pagerank", Q.q_pagerank),
         ("bfs_hops", Q.q_bfs_hops),
+        # r4 wave 2: map-side Bloom runtime filter (shuffle ~|hits|);
+        # image-decode compute stage (bytes never leave the decode task)
+        ("bloom_join", Q.q_bloom_join),
+        ("tile_color", Q.q_tile_color),
     ]
     for name, fn in bench_queries:
         # best of 2: this shared-host VM shows +/-2-3x run-to-run noise

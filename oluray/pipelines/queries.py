@@ -7079,6 +7079,280 @@ def q_tile_color(sf_dir: str):
                              pre_repartition=False)
 
 
+# ---------------------------------------------------------------------------
+# r4 wave 3: relational division, hop-bounded SSSP, incremental
+# aggregate maintenance (IVM), cross-modal near-dup
+# ---------------------------------------------------------------------------
+
+
+DIV_PRICE = 150000.0  # high-price cut for the division candidate set
+
+
+def q_rel_division(sf_dir: str):
+    """Relational division ("for all"): customers whose HIGH-PRICE
+    orders cover EVERY order priority that appears among high-price
+    orders — the universal-quantifier join SQL spells HAVING
+    count(DISTINCT)=total. Shape: one distinct on (cust, priority)
+    bounds the shuffle at the pair-universe size (|custs| x
+    |priorities|, never |orders|); the divisor cardinality is a
+    single driver int (priorities are an enum-sized set by
+    construction); the final filter is a per-partition groupby."""
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority", "o_totalprice"])
+    hi = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], DIV_PRICE)),
+        batch_format="pyarrow",
+    ).select_columns(["o_custkey", "o_orderpriority"])
+    pairs = joins.distinct(hi, ["o_custkey", "o_orderpriority"],
+                           num_partitions=16)
+    total = int(joins.distinct(hi.select_columns(["o_orderpriority"]),
+                               ["o_orderpriority"],
+                               num_partitions=4).count())
+
+    def cover(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        g = g[g["size"] == total][["o_custkey"]]
+        g["o_custkey"] = g["o_custkey"].astype("int64")
+        return g
+
+    return joins.grouped_agg(pairs, ["o_custkey"], cover,
+                             num_partitions=8)
+
+
+SSSP_SRC_MOD = 10       # suppliers with key % 10 == 0 are sources
+SSSP_PART_OFF = 10_000_000  # part node ids live above this offset
+SSSP_ROUNDS = 4         # hop bound — fixed so Ray == unrolled SQL
+
+
+def q_sssp(sf_dir: str):
+    """Hop-bounded single-source-set shortest paths (Bellman-Ford,
+    integer weights) over the bipartite supplier—part graph: edge
+    weight = min rounded quantity across that edge's lineitems;
+    sources = every SSSP_SRC_MOD-th supplier at distance 0; exactly
+    SSSP_ROUNDS relaxation rounds, so the result equals the oracle's
+    unrolled min-plus CTE chain. Scale shape: FRONTIER relaxation —
+    each round joins only the nodes whose distance improved last
+    round against the edge table (the `bfs_hops` discipline with
+    weights), the new distance table is one aggregate-bounded
+    grouped min, and every per-round materialize carries the
+    block-count clamp. The driver sees frontier COUNTS only."""
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_quantity"])
+
+    def ew(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"s": pd.array([], dtype="int64"),
+                                 "p": pd.array([], dtype="int64"),
+                                 "w": pd.array([], dtype="int64")})
+        g = (pd.DataFrame({"s": df["l_suppkey"].to_numpy(np.int64),
+                           "p": df["l_partkey"].to_numpy(np.int64),
+                           "w": _round_half_away(
+                               df["l_quantity"].to_numpy())})
+             .groupby(["s", "p"], as_index=False)["w"].min())
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return g
+
+    def emin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["s", "p"], as_index=False)["w"].min()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return g
+
+    e0 = joins.grouped_agg(li, ["s", "p"], emin, num_partitions=8,
+                           combine_fn=ew)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy(np.int64)
+        p = df["p"].to_numpy(np.int64) + SSSP_PART_OFF
+        w = df["w"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([s, p]),
+                             "dst": np.concatenate([p, s]),
+                             "w": np.concatenate([w, w])})
+
+    edges = (e0.map_batches(sym, batch_format="pandas")
+             .repartition(8).materialize())
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey"])
+
+    def src0(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas out: every later dist lineage (grouped_agg) is
+        # pandas-blocked, and union() requires homogeneous block types
+        k = df["s_suppkey"].to_numpy(np.int64)
+        k = k[k % SSSP_SRC_MOD == 0]
+        return pd.DataFrame({"node": k.astype("int64"),
+                             "d": np.zeros(len(k), np.int64)})
+
+    dist = (sup.map_batches(src0, batch_format="pandas")
+            .repartition(4).materialize())
+    frontier = dist
+
+    def relax(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["dst"].to_numpy(np.int64),
+            "d": df["d"].to_numpy(np.int64) + df["w"].to_numpy(np.int64)})
+
+    def dmin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["d"].min()
+        g["node"] = g["node"].astype("int64")
+        g["d"] = g["d"].astype("int64")
+        return g
+
+    def improved(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["d_old"].isna() | (df["d"] < df["d_old"])
+        out = df.loc[m, ["node", "d"]].copy()
+        out["node"] = out["node"].astype("int64")
+        out["d"] = out["d"].astype("int64")
+        return out
+
+    for _ in range(SSSP_ROUNDS):
+        if frontier.count() == 0:
+            break
+        cand = joins.hash_join(frontier, edges, on="node", right_on="src",
+                               num_partitions=8)
+        new = joins.grouped_agg(
+            dist.union(cand.map_batches(relax, batch_format="pandas")),
+            ["node"], dmin, num_partitions=8, combine_fn=dmin,
+        ).repartition(8).materialize()
+        j = joins.hash_join(new, dist, on="node", how="left",
+                            suffix="_old", num_partitions=8)
+        frontier = (j.map_batches(improved, batch_format="pandas")
+                    .repartition(4).materialize())
+        dist = new
+    return dist
+
+
+def _sssp_sql() -> str:
+    sql = f"""
+    WITH e0 AS (SELECT l_suppkey AS s, l_partkey AS p,
+                       min(round(l_quantity, 0)::BIGINT) AS w
+                FROM lineitem GROUP BY s, p),
+    e AS (SELECT s AS src, p + {SSSP_PART_OFF} AS dst, w FROM e0
+          UNION ALL SELECT p + {SSSP_PART_OFF} AS src, s AS dst, w FROM e0),
+    d0 AS (SELECT s_suppkey::BIGINT AS node, 0::BIGINT AS d
+           FROM supplier WHERE s_suppkey % {SSSP_SRC_MOD} = 0)"""
+    for k in range(1, SSSP_ROUNDS + 1):
+        sql += f""",
+    d{k} AS (SELECT node, min(d)::BIGINT AS d FROM (
+        SELECT node, d FROM d{k - 1}
+        UNION ALL
+        SELECT e.dst AS node, d{k - 1}.d + e.w AS d
+        FROM d{k - 1} JOIN e ON e.src = d{k - 1}.node) GROUP BY node)"""
+    return sql + f"\n    SELECT node, d FROM d{SSSP_ROUNDS}"
+
+
+IVM_RES = 6
+
+
+def q_ivm_cell_counts(sf_dir: str):
+    """Incremental view maintenance of a grouped count: a per-cell
+    event-count MV is first materialized from the BASE slice
+    (event_id % 8 != 0), then maintained by applying a signed delta —
+    inserts (+1, the % 8 == 0 slice) and retractions (-1, the
+    % 16 == 1 slice, a subset of base) — through ONE aggregate-bounded
+    combiner merge, dropping counts that reach zero. This is the
+    engine's diff-proportional update semantics (the SnapshotStore /
+    RefIndex contract) applied to an AGGREGATE: in production the
+    base agg is the stored MV and only delta-proportional rows move;
+    the oracle is the full recompute the maintained view must equal
+    (all events except the retracted slice)."""
+    ev = _read(sf_dir, "events", ["event_id"])
+    pts = spatial.add_cell_column(_with_points(ev, "event_id"), IVM_RES)
+
+    def base_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["event_id"].to_numpy(np.int64)
+        c = df["cell"].to_numpy(np.int64)[ids % 8 != 0]
+        u, n = np.unique(c, return_counts=True)
+        return pd.DataFrame({"cell": u.astype("int64"),
+                             "n": n.astype("int64")})
+
+    def delta_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["event_id"].to_numpy(np.int64)
+        c = df["cell"].to_numpy(np.int64)
+        ui, ni = np.unique(c[ids % 8 == 0], return_counts=True)
+        ud, nd = np.unique(c[ids % 16 == 1], return_counts=True)
+        return pd.DataFrame(
+            {"cell": np.concatenate([ui, ud]).astype("int64"),
+             "n": np.concatenate([ni, -nd]).astype("int64")})
+
+    def nsum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False)["n"].sum()
+        g = g[g["n"] > 0]
+        g["cell"] = g["cell"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    base_mv = joins.grouped_agg(pts, ["cell"], nsum, num_partitions=8,
+                                combine_fn=base_partial).materialize()
+    deltas = pts.map_batches(delta_partial, batch_format="pandas")
+    return joins.grouped_agg(base_mv.union(deltas), ["cell"], nsum,
+                             num_partitions=8)
+
+
+def _ivm_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("event_id")
+    cell = geo.cell_encode_sql(lon, lat, IVM_RES)
+    return f"""
+    SELECT {cell} AS cell, count(*)::BIGINT AS n
+    FROM events WHERE event_id % 16 <> 1 GROUP BY cell
+    """
+
+
+CM_JACC_E6 = 100_000  # caption word-bigram Jaccard floor (>= 1 shared)
+
+
+def q_cross_modal_dup(sf_dir: str):
+    """Cross-modal near-duplicate pairs: BOTH modalities must agree —
+    image phash within Hamming 2 (banded candidate generation, bytes
+    never move) AND caption word-bigram Jaccard >= threshold. The
+    caption check runs only on the image-side candidates (two hash
+    joins ship captions to the pair rows), so text comparison cost is
+    bounded by the image duplicate mass, not the corpus — the
+    standard agreement filter for (image, caption) training-pair
+    curation. The per-pair set intersection is a Python loop over
+    CANDIDATE pairs only (vanishing fraction of the corpus). Rows-
+    only (phash is not SQL); brute-verified in pytest."""
+    from oluray.sources import fixtures
+
+    pairs = q_phash_near_dup(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def caps(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(ids.astype("int64")),
+             "caption": pa.array([fixtures.caption_for(int(i), 42)
+                                  for i in ids])})
+
+    capds = docs.map_batches(caps, batch_format="pyarrow", batch_size=1024)
+    j1 = joins.hash_join(pairs, capds, on="image_a", right_on="doc_id",
+                         num_partitions=16)
+    j2 = joins.hash_join(j1, capds, on="image_b", right_on="doc_id",
+                         suffix="_b", num_partitions=16)
+
+    def agree(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "image_a": pd.array([], dtype="int64"),
+                "image_b": pd.array([], dtype="int64"),
+                "hamming": pd.array([], dtype="int64"),
+                "jacc_e6": pd.array([], dtype="int64")})
+        je6 = np.empty(len(df), dtype=np.int64)
+        for i, (ca, cb) in enumerate(zip(df["caption"], df["caption_b"])):
+            ta, tb = ca.split(), cb.split()
+            sa = set(zip(ta, ta[1:]))
+            sb = set(zip(tb, tb[1:]))
+            union = len(sa | sb)
+            je6[i] = (len(sa & sb) * 1_000_000) // union if union else 0
+        out = df.loc[je6 >= CM_JACC_E6,
+                     ["image_a", "image_b", "hamming"]].copy()
+        out["jacc_e6"] = je6[je6 >= CM_JACC_E6]
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return j2.map_batches(agree, batch_format="pandas")
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -7859,6 +8133,15 @@ ORACLE: dict[str, str] = {
     """,
     "morans_i": _morans_sql(),
     "cell_stays": _cell_stays_sql(),
+    "rel_division": f"""
+        WITH hi AS (SELECT DISTINCT o_custkey, o_orderpriority
+                    FROM orders WHERE o_totalprice > {DIV_PRICE!r})
+        SELECT o_custkey FROM hi GROUP BY o_custkey
+        HAVING count(*) = (SELECT count(DISTINCT o_orderpriority)
+                           FROM hi)
+    """,
+    "sssp": _sssp_sql(),
+    "ivm_cell_counts": _ivm_sql(),
 }
 
 QUERIES = {
@@ -8037,4 +8320,8 @@ QUERIES = {
     "cell_stays": q_cell_stays,
     "kcore": q_kcore,
     "tile_color": q_tile_color,
+    "rel_division": q_rel_division,
+    "sssp": q_sssp,
+    "ivm_cell_counts": q_ivm_cell_counts,
+    "cross_modal_dup": q_cross_modal_dup,
 }
