@@ -7353,6 +7353,46 @@ def q_cross_modal_dup(sf_dir: str):
     return j2.map_batches(agree, batch_format="pandas")
 
 
+def q_skew_join(sf_dir: str):
+    """Per-priority lineitem rollup routed through
+    `joins.skew_join`: the fact side's heavy keys (Misra-Gries
+    detector) join MAP-SIDE against their broadcast dimension rows
+    while the cold rest takes the normal hash exchange — the
+    salting counterpart for joins (a hot key never funnels into one
+    reducer). Any hot/cold split is semantics-preserving, so the
+    oracle is the plain join; `hot_top`/`per_block` are sized so the
+    hot path genuinely activates at sf0.01."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = joins.skew_join(li, orders, on="l_orderkey",
+                        right_on="o_orderkey", num_partitions=16,
+                        hot_top=16, per_block=512)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "o_orderpriority": pd.array([], dtype="str"),
+                "n": pd.array([], dtype="int64"),
+                "sum_qty": pd.array([], dtype="int64")})
+        g = (df.assign(q=_round_half_away(df["l_quantity"].to_numpy()))
+             .groupby("o_orderpriority", as_index=False)
+             .agg(n=("q", "size"), sum_qty=("q", "sum")))
+        g["n"] = g["n"].astype("int64")
+        g["sum_qty"] = g["sum_qty"].astype("int64")
+        return g
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n=("n", "sum"), sum_qty=("sum_qty", "sum"))
+        g["n"] = g["n"].astype("int64")
+        g["sum_qty"] = g["sum_qty"].astype("int64")
+        return g
+
+    return joins.grouped_agg(
+        j.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["o_orderpriority"], fin, num_partitions=4)
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -8142,6 +8182,12 @@ ORACLE: dict[str, str] = {
     """,
     "sssp": _sssp_sql(),
     "ivm_cell_counts": _ivm_sql(),
+    "skew_join": """
+        SELECT o_orderpriority, count(*)::BIGINT AS n,
+               SUM(round(l_quantity, 0)::BIGINT)::BIGINT AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
 }
 
 QUERIES = {
@@ -8324,4 +8370,5 @@ QUERIES = {
     "sssp": q_sssp,
     "ivm_cell_counts": q_ivm_cell_counts,
     "cross_modal_dup": q_cross_modal_dup,
+    "skew_join": q_skew_join,
 }

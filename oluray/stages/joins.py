@@ -877,6 +877,101 @@ def auto_join(
     )
 
 
+def skew_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int = DEFAULT_PARTITIONS,
+    suffix: str = "_r",
+    hot_keys: np.ndarray | None = None,
+    hot_top: int = 32,
+    per_block: int = 8192,
+    hot_broadcast_rows: int = DEFAULT_BROADCAST_JOIN_ROWS,
+    hot_broadcast_bytes: int = DEFAULT_BROADCAST_JOIN_BYTES,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Hot-key-replicated join for a SKEWED left (fact) key
+    distribution — the salting counterpart for joins. A plain
+    `hash_join` funnels every occurrence of a hot key into ONE
+    reducer (a city-sized cell, a null-ish default id, a viral
+    document): that partition runs as long as the hot key is heavy
+    while the rest of the cluster idles. Here the heavy keys take the
+    map side instead:
+
+    - detect candidate hot keys on the left with the Misra-Gries
+      heavy-hitter pass (`sketch.approx_heavy_hitters` — block-count
+      bounded driver state), or take the caller's `hot_keys`;
+    - the right rows for those keys (dimension-side: ~1 row/key) are
+      counted, bounded by the broadcast budget, and shipped once via
+      `broadcast_join` — hot left rows stream through map-side, never
+      entering the exchange;
+    - everything else takes the normal hash-partitioned `hash_join`,
+      with the hot rows filtered OFF the right side so the exchange
+      moves neither side's hot mass.
+
+    Any hot/cold split is semantics-preserving (each left row joins
+    against exactly the right rows of its key on exactly one path),
+    so the approximate detector can over- or under-select without
+    affecting correctness — only the balance. If the hot right rows
+    exceed the broadcast budget (the key is hot on BOTH sides —
+    a genuine join explosion no partitioning fixes), falls back to
+    plain `hash_join`. `on` must be integer-typed when auto-detecting
+    (the detector's contract); only inner/left joins (broadcast
+    expressibility)."""
+    if how not in ("inner", "left"):
+        return hash_join(left, right, on, right_on=right_on, how=how,
+                         num_partitions=num_partitions, suffix=suffix,
+                         left_schema=left_schema, right_schema=right_schema)
+    right_on = right_on or on
+    if hot_keys is None:
+        from oluray.stages.sketch import approx_heavy_hitters
+
+        left = left.materialize()  # detector + join scan it once
+        hh = approx_heavy_hitters(left, on, k=hot_top, per_block=per_block)
+        hot_keys = hh["key"].to_numpy(dtype=np.int64)
+    hot = np.sort(np.asarray(hot_keys, dtype=np.int64))
+    if len(hot) == 0:
+        return hash_join(left, right, on, right_on=right_on, how=how,
+                         num_partitions=num_partitions, suffix=suffix,
+                         left_schema=left_schema, right_schema=right_schema)
+
+    def split(col: str, keep_hot: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.isin(k, hot)
+            return t.filter(pa.array(m if keep_hot else ~m))
+
+        return fn
+
+    rm = right.materialize()
+    right_hot = rm.map_batches(split(right_on, True),
+                               batch_format="pyarrow").materialize()
+    if (right_hot.count() > hot_broadcast_rows
+            or (right_hot.size_bytes() or 0) > hot_broadcast_bytes):
+        return hash_join(left, rm, on, right_on=right_on, how=how,
+                         num_partitions=num_partitions, suffix=suffix,
+                         left_schema=left_schema, right_schema=right_schema)
+    rs = _arrow_schema(rm, right_schema)
+    rhot_df = (right_hot.to_pandas() if right_hot.count() > 0
+               else pd.DataFrame({f.name: pd.Series([], dtype="object")
+                                  for f in rs}))
+    left_hot = left.map_batches(split(on, True), batch_format="pyarrow")
+    left_cold = left.map_batches(split(on, False), batch_format="pyarrow")
+    right_cold = rm.map_batches(split(right_on, False),
+                                batch_format="pyarrow")
+    hot_out = broadcast_join(left_hot, rhot_df, on, right_on=right_on,
+                             how=how, suffix=suffix,
+                             left_schema=left_schema, right_schema=rs)
+    cold_out = hash_join(left_cold, right_cold, on, right_on=right_on,
+                         how=how, num_partitions=num_partitions,
+                         suffix=suffix, left_schema=left_schema,
+                         right_schema=rs)
+    return hot_out.union(cold_out)
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
