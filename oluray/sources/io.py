@@ -36,29 +36,90 @@ def is_lance_path(path: str) -> bool:
     return path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))
 
 
-def read_table(path: str, columns: list[str] | None = None, **kw) -> ray.data.Dataset:
-    """Read a table, dispatching on path format. Column pruning is
-    pushed into the read for both formats (at 100 TB, a read that
-    loads all columns for a 2-column transform is wrong)."""
+def read_jsonl(path: str, columns: list[str] | None = None,
+               **kw) -> ray.data.Dataset:
+    """Distributed JSONL ingest (`ray.data.read_json` — one read task
+    per file / block). JSON is a row-major TEXT format: there is no
+    storage-level column pruning, so `columns` projects AFTER parse —
+    fine for ingest, wrong as a steady-state 100 TB layout. The
+    intended flow is read_jsonl -> (clean/typed) -> write_table to
+    parquet/Lance once, then every later pass prunes at the read."""
+    ds = ray.data.read_json(path, **kw)
+    return ds.select_columns(columns) if columns else ds
+
+
+def write_jsonl(ds: ray.data.Dataset, path: str, **kw) -> None:
+    """One .json file per block (Ray's layout) — an export/interchange
+    sink, not the scale layout (see read_jsonl)."""
+    ds.write_json(path, **kw)
+
+
+def read_csv(path: str, columns: list[str] | None = None,
+             **kw) -> ray.data.Dataset:
+    """Distributed CSV ingest (Arrow CSV parser per block, types
+    inferred). Same ingest-only caveat as read_jsonl: projection
+    happens after parse; convert to parquet/Lance for reuse."""
+    ds = ray.data.read_csv(path, **kw)
+    return ds.select_columns(columns) if columns else ds
+
+
+def write_csv(ds: ray.data.Dataset, path: str, **kw) -> None:
+    ds.write_csv(path, **kw)
+
+
+def _fmt_of(path: str, fmt: str | None) -> str:
+    if fmt:
+        return fmt
+    low = path.rstrip("/").lower()
+    if low.endswith((".jsonl", ".json", ".ndjson")):
+        return "jsonl"
+    if low.endswith(".csv"):
+        return "csv"
     if is_lance_path(path):
+        return "lance"
+    return "parquet"
+
+
+def read_table(path: str, columns: list[str] | None = None,
+               fmt: str | None = None, **kw) -> ray.data.Dataset:
+    """Read a table, dispatching on path format (or explicit `fmt`:
+    parquet | lance | jsonl | csv). Column pruning is pushed into the
+    read for the columnar formats (at 100 TB, a read that loads all
+    columns for a 2-column transform is wrong); for the row-major
+    ingest formats it is a post-parse projection (see read_jsonl)."""
+    f = _fmt_of(path, fmt)
+    if f == "lance":
         if lance_available():
             return ray.data.read_lance(path, columns=columns, **kw)
         raise ImportError(
             f"{path} is a Lance dataset but the 'lance' package is not "
             "installed; install pylance or convert to parquet"
         )
+    if f == "jsonl":
+        return read_jsonl(path, columns=columns, **kw)
+    if f == "csv":
+        return read_csv(path, columns=columns, **kw)
     return ray.data.read_parquet(path, columns=columns, **kw)
 
 
-def write_table(ds: ray.data.Dataset, path: str, **kw) -> None:
-    """Write a Dataset, dispatching on path format."""
-    if path.endswith(".lance"):
+def write_table(ds: ray.data.Dataset, path: str,
+                fmt: str | None = None, **kw) -> None:
+    """Write a Dataset, dispatching on path format (or explicit
+    `fmt`)."""
+    f = _fmt_of(path, fmt)
+    if f == "lance":
         if lance_available():
             ds.write_lance(path, **kw)
             return
         raise ImportError(
             f"{path} targets Lance but the 'lance' package is not installed"
         )
+    if f == "jsonl":
+        write_jsonl(ds, path, **kw)
+        return
+    if f == "csv":
+        write_csv(ds, path, **kw)
+        return
     ds.write_parquet(path, **kw)
 
 

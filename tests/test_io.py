@@ -82,3 +82,46 @@ def test_bucketed_join_shuffle_free(tmp_path):
         io.bucketed_join(ld, bad)
     with pytest.raises(ValueError, match="not a bucketed table"):
         io.bucketed_join(str(tmp_path), rd_)
+
+
+def test_jsonl_roundtrip_and_projection(tmp_path):
+    import ray.data as rd
+
+    from oluray.sources import io
+
+    df = pd.DataFrame({"id": np.arange(20, dtype=np.int64),
+                       "name": [f"n{i}" for i in range(20)],
+                       "v": np.arange(20, dtype=np.int64) * 3})
+    out = str(tmp_path / "t_jsonl")
+    io.write_table(rd.from_pandas(df).repartition(3), out, fmt="jsonl")
+    got = io.read_table(out, columns=["id", "v"], fmt="jsonl").to_pandas()
+    assert sorted(got.columns) == ["id", "v"]
+    pd.testing.assert_frame_equal(
+        got.sort_values("id").reset_index(drop=True),
+        df[["id", "v"]], check_dtype=False)
+
+
+def test_csv_roundtrip_by_extension(tmp_path):
+    import ray.data as rd
+
+    from oluray.sources import io
+
+    df = pd.DataFrame({"id": np.arange(15, dtype=np.int64),
+                       "name": [f"n{i}" for i in range(15)]})
+    out = str(tmp_path / "t.csv")
+    io.write_table(rd.from_pandas(df), out)  # dispatch on .csv
+    got = io.read_table(out).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("id").reset_index(drop=True), df,
+        check_dtype=False)
+
+
+def test_fmt_dispatch():
+    from oluray.sources import io
+
+    assert io._fmt_of("/x/docs.jsonl", None) == "jsonl"
+    assert io._fmt_of("/x/docs.ndjson", None) == "jsonl"
+    assert io._fmt_of("/x/t.csv", None) == "csv"
+    assert io._fmt_of("/x/t.lance", None) == "lance"
+    assert io._fmt_of("/x/t", None) == "parquet"
+    assert io._fmt_of("/x/t", "csv") == "csv"
