@@ -7393,6 +7393,135 @@ def q_skew_join(sf_dir: str):
         ["o_orderpriority"], fin, num_partitions=4)
 
 
+def _change_polys_table() -> pa.Table:
+    return pa.Table.from_pylist(
+        [
+            {
+                "poly_id": pid,
+                "op": "modify",
+                "ring": [{"lon": x, "lat": y} for x, y in zip(rx, ry)],
+            }
+            for pid, (rx, ry) in PIP_POLYS.items()
+        ]
+    )
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics — the aggregate layer of the raster↔vector
+    north rule: per changeset polygon, count + exact cents-sum of the
+    event VALUES it contains. `spatial.pip_join` (cell-cover
+    prefilter + exact ray-casting, `carry_cols` riding the measure
+    through the stage) emits (event, poly) hits; ONE aggregate-
+    bounded combiner then reduces to |polys| rows. The oracle shares
+    the ray-casting arithmetic literal-for-literal
+    (`geo.pip_sql_expr`), so containment verdicts are bit-identical."""
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    pts = _with_points(ev, "event_id")
+    hits = spatial.pip_join(pts, _change_polys_table(), res=7,
+                            id_col="event_id", concurrency=4,
+                            carry_cols=("value",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "poly_id": pd.array([], dtype="int64"),
+                "n": pd.array([], dtype="int64"),
+                "sum_value_cents": pd.array([], dtype="int64")})
+        g = (df.assign(c=_round_half_away(df["value"].to_numpy() * 100.0))
+             .groupby("poly_id", as_index=False)
+             .agg(n=("c", "size"), sum_value_cents=("c", "sum")))
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return g
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("poly_id", as_index=False).agg(
+            n=("n", "sum"), sum_value_cents=("sum_value_cents", "sum"))
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return g
+
+    return joins.grouped_agg(
+        hits.map_batches(partial, batch_format="pandas",
+                         batch_size=65536),
+        ["poly_id"], fin, num_partitions=4)
+
+
+def _zonal_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("event_id")
+    parts = []
+    for pid, (rx, ry) in PIP_POLYS.items():
+        expr = geo.pip_sql_expr(rx, ry, lon, lat)
+        parts.append(
+            f"SELECT {pid} AS poly_id, count(*)::BIGINT AS n, "
+            f"SUM(round(value * 100.0, 0)::BIGINT)::BIGINT "
+            f"AS sum_value_cents FROM events WHERE {expr}")
+    return " UNION ALL ".join(parts)
+
+
+def q_zonal_pixel_stats(sf_dir: str):
+    """Zonal PIXEL statistics — the image-payload sibling of
+    `zonal_stats`: per changeset polygon, the exact per-channel pixel
+    sums and pixel count of every contained image. Decode happens in
+    the synth/reduce task and each image leaves it as FOUR integers
+    per channel-row (never bytes); the PIP stage then joins point
+    rows whose carried columns are those integers; one combiner
+    reduces to |polys| rows. Rows-only (pixel decode is not SQL);
+    brute-verified in pytest against a pure-Python re-derivation."""
+    from oluray.functions import imagecodec
+
+    images = _synth_images(sf_dir)
+
+    def feat(t: pa.Table) -> pa.Table:
+        ids = np.array([int(s[3:]) for s in t["image_id"].to_pylist()],
+                       dtype=np.int64)
+        lon, lat = geo.derive_lonlat(ids)
+        n = len(ids)
+        sums = np.zeros((n, 3), dtype=np.uint64)
+        npx = np.empty(n, dtype=np.int64)
+        for j, (b, f) in enumerate(zip(t["bytes"].to_pylist(),
+                                       t["fmt"].to_pylist())):
+            px = imagecodec.decode(b, f)
+            sums[j] = px.reshape(-1, px.shape[-1]).sum(
+                axis=0, dtype=np.uint64)
+            npx[j] = px.shape[0] * px.shape[1]
+        return pa.table({
+            "img": pa.array(ids), "lon": pa.array(lon),
+            "lat": pa.array(lat),
+            "sum_r": pa.array(sums[:, 0].astype(np.int64)),
+            "sum_g": pa.array(sums[:, 1].astype(np.int64)),
+            "sum_b": pa.array(sums[:, 2].astype(np.int64)),
+            "n_px": pa.array(npx)})
+
+    pts = images.map_batches(feat, batch_format="pyarrow", batch_size=128)
+    hits = spatial.pip_join(
+        pts, _change_polys_table(), res=7, id_col="img", concurrency=4,
+        carry_cols=("sum_r", "sum_g", "sum_b", "n_px"))
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("poly_id", as_index=False).agg(
+            n_images=("n_px", "size"), sum_r=("sum_r", "sum"),
+            sum_g=("sum_g", "sum"), sum_b=("sum_b", "sum"),
+            n_px=("n_px", "sum"))
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return g
+
+    return joins.grouped_agg(
+        hits.map_batches(agg, batch_format="pandas", batch_size=65536),
+        ["poly_id"], _zps_fin, num_partitions=4)
+
+
+def _zps_fin(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby("poly_id", as_index=False).agg(
+        n_images=("n_images", "sum"), sum_r=("sum_r", "sum"),
+        sum_g=("sum_g", "sum"), sum_b=("sum_b", "sum"),
+        n_px=("n_px", "sum"))
+    for c in g.columns:
+        g[c] = g[c].astype("int64")
+    return g
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -8188,6 +8317,7 @@ ORACLE: dict[str, str] = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
+    "zonal_stats": _zonal_sql(),
 }
 
 QUERIES = {
@@ -8371,4 +8501,6 @@ QUERIES = {
     "ivm_cell_counts": q_ivm_cell_counts,
     "cross_modal_dup": q_cross_modal_dup,
     "skew_join": q_skew_join,
+    "zonal_stats": q_zonal_stats,
+    "zonal_pixel_stats": q_zonal_pixel_stats,
 }
