@@ -5639,6 +5639,79 @@ def _resample_sql() -> str:
     """
 
 
+# trajectory similarity join: symmetric Hausdorff distance between
+# per-user anchored tracks. Each user's track = anchor point
+# (derive_lonlat(user_id)) plus small deterministic offsets
+# (derive_lonlat(event_id) / TRACK_DIV) for the first TRACK_K events
+# by (ts, event_id) — local trajectories, so the tau-dilated-envelope
+# prefilter in spatial.hausdorff_self_join is genuinely selective.
+# Output: user pairs with H(A,B) <= HAUS_TAU_M meters, exact-mm.
+TRACK_K = 24
+TRACK_DIV = 500.0
+HAUS_TAU_M = 1_000_000.0  # 1000 km
+
+
+def q_track_hausdorff(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"tid": pd.Series([], dtype="int64"),
+                                 "lons": pd.Series([], dtype="object"),
+                                 "lats": pd.Series([], dtype="object")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        df = df.groupby("user_id", sort=True).head(TRACK_K)
+        alon, alat = geo.derive_lonlat(df["user_id"].to_numpy(np.int64))
+        olon, olat = geo.derive_lonlat(df["event_id"].to_numpy(np.int64))
+        lon = alon + olon / TRACK_DIV
+        lat = alat + olat / TRACK_DIV
+        uid = df["user_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        return pd.DataFrame({
+            "tid": uid[starts],
+            "lons": np.split(lon, starts[1:]),
+            "lats": np.split(lat, starts[1:])})
+
+    tracks = joins.partitioned_map(ev, ["user_id"], build,
+                                   num_partitions=16, pre_repartition=False)
+    return spatial.hausdorff_self_join(tracks, HAUS_TAU_M, id_col="tid",
+                                       num_partitions=16)
+
+
+def _track_hausdorff_sql() -> str:
+    alon, alat = geo.derive_lonlat_sql("user_id")
+    olon, olat = geo.derive_lonlat_sql("event_id")
+    lon = f"(({alon}) + (({olon}) / {TRACK_DIV!r}))"
+    lat = f"(({alat}) + (({olat}) / {TRACK_DIV!r}))"
+    hav = geo.haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    tau_mm = int(HAUS_TAU_M * 1000)
+    return f"""
+    WITH ranked AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    pts AS (
+      SELECT user_id, event_id, {lon} AS lon, {lat} AS lat
+      FROM ranked WHERE rn <= {TRACK_K}),
+    d AS (
+      SELECT a.user_id AS u1, b.user_id AS u2,
+             a.event_id AS e1, b.event_id AS e2, {hav} AS dist
+      FROM pts a JOIN pts b ON a.user_id < b.user_id),
+    h1 AS (SELECT u1, u2, max(md) AS h FROM
+             (SELECT u1, u2, e1, min(dist) AS md FROM d GROUP BY u1, u2, e1)
+           GROUP BY u1, u2),
+    h2 AS (SELECT u1, u2, max(md) AS h FROM
+             (SELECT u1, u2, e2, min(dist) AS md FROM d GROUP BY u1, u2, e2)
+           GROUP BY u1, u2)
+    SELECT h1.u1 AS u1, h1.u2 AS u2,
+           round(greatest(h1.h, h2.h) * 1000.0, 0)::BIGINT AS haus_mm
+    FROM h1 JOIN h2 ON h1.u1 = h2.u1 AND h1.u2 = h2.u2
+    WHERE round(greatest(h1.h, h2.h) * 1000.0, 0)::BIGINT <= {tau_mm}
+    """
+
+
 # robust outlier flags via MAD (median absolute deviation): per-group
 # discrete median (the group_quantiles index convention) of value,
 # then the discrete median of |value - med|, flag rows with
@@ -8265,6 +8338,7 @@ ORACLE: dict[str, str] = {
     "trimmed_stats": _TRIMMED_SQL,
     "track_corridor": _track_corridor_sql(),
     "resample_tracks": _resample_sql(),
+    "track_hausdorff": _track_hausdorff_sql(),
     "mad_outliers": _MAD_SQL,
     "entity_clusters": _ENTITY_SQL,
     "attribution": _ATTRIBUTION_SQL,
@@ -8476,6 +8550,7 @@ QUERIES = {
     "track_corridor": q_track_corridor,
     "pq_topk": q_pq_topk,
     "resample_tracks": q_resample_tracks,
+    "track_hausdorff": q_track_hausdorff,
     "mad_outliers": q_mad_outliers,
     "entity_clusters": q_entity_clusters,
     "attribution": q_attribution,

@@ -1387,3 +1387,261 @@ def distance_self_join(
     return joins.partitioned_map(
         expanded, ["cell"], pairs, num_partitions, pre_repartition=False
     )
+
+# ---------------------------------------------------------------------------
+# trajectory similarity: symmetric-Hausdorff self-join
+# ---------------------------------------------------------------------------
+
+_LON_L = 180 * 10**7  # lon extent in 1e-7-degree units
+_ENV_SLACK = 4  # float->int quantization slack, units of 1e-7 deg
+
+
+def _col_points(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat float64 values, 0-based offsets) of a list-like column in
+    any encoding Ray Data produces for per-track coordinate arrays:
+    list / large_list / fixed_size_list, or the dense tensor extension
+    a pandas object column of EQUAL-length numpy arrays collapses
+    into. Slice-safe (list_flatten respects array offsets)."""
+    import pyarrow.compute as _pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = arr.type
+    if isinstance(t, (pa.ListType, pa.LargeListType, pa.FixedSizeListType)):
+        flat = _pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+        lens = _pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        off = np.concatenate(([0], np.cumsum(lens.astype(np.int64))))
+        return flat.astype(np.float64), off
+    mat = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.float64)
+    if mat.ndim == 1:  # object vector of arrays (ragged fallback)
+        lens = np.fromiter((len(v) for v in mat), dtype=np.int64,
+                           count=len(mat))
+        off = np.concatenate(([0], np.cumsum(lens)))
+        flat = (np.concatenate(mat).astype(np.float64)
+                if len(mat) else np.empty(0, np.float64))
+        return flat, off
+    n, k = mat.shape
+    return mat.astype(np.float64).ravel(), (
+        np.arange(n + 1, dtype=np.int64) * k)
+
+
+def _pad_lists(col) -> tuple[np.ndarray, np.ndarray]:
+    """list-like column -> (padded 2-d float64, bool mask of real
+    entries), fully vectorized (no per-row Python)."""
+    flat, off = _col_points(col)
+    lens = off[1:] - off[:-1]
+    n = len(lens)
+    k = int(lens.max()) if n else 0
+    out = np.zeros((n, k), dtype=np.float64)
+    mask = np.zeros((n, k), dtype=bool)
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(len(flat)) - np.repeat(off[:-1], lens)
+    out[rows, cols] = flat
+    mask[rows, cols] = True
+    return out, mask
+
+
+def _reduceat_minmax(flat: np.ndarray, off: np.ndarray):
+    starts = off[:-1]
+    return (np.minimum.reduceat(flat, starts),
+            np.maximum.reduceat(flat, starts))
+
+
+def hausdorff_self_join(
+    tracks: ray.data.Dataset,
+    tau_m: float,
+    id_col: str = "tid",
+    num_partitions: int = 32,
+    cell_units: int | None = None,
+    verify_batch: int = 1024,
+) -> ray.data.Dataset:
+    """Trajectory similarity self-join: every unordered track pair
+    whose SYMMETRIC Hausdorff distance (great-circle, meters) is
+    within `tau_m`. Input: one row per track — (`id_col` int64,
+    `lons` list<double>, `lats` list<double>), non-empty lists.
+    Output: (u1, u2, haus_mm) with u1 < u2, haus_mm the exact
+    max(h(A,B), h(B,A)) haversine rounded half-away to millimeters,
+    filtered to haus_mm <= round(tau_m * 1000).
+
+    Shape (both sides LARGE — the trajectory analog of
+    `distance_self_join`):
+
+    1. ENVELOPE PREFILTER, completeness-preserving: H(A,B) <= tau
+       implies B is inside A's tau-dilated envelope, so candidate
+       pairs come from `rect_intersect_join` (PBSM grid + reference-
+       point dedup) between tau-EXPANDED envelopes (side a) and raw
+       envelopes (side b), in 1e-7-degree integer coordinates.
+       - lat dilation: tau * 180 / (pi * R) degrees (haversine >=
+         R * |dlat| along a meridian).
+       - lon dilation from the inverse haversine at the WORST
+         latitude the partner can occupy (the track's lat range
+         widened by the lat dilation): sin(dlon/2) =
+         sin(tau/2R) / cos_min; if that exceeds 1 the dilated rect
+         wraps the full lon range.
+       - DATELINE: a dilated rect overhanging +/-180 also emits the
+         overhang shifted by 360 deg, so cross-antimeridian pairs
+         (haversine wraps; plain lon intervals don't) are kept. A
+         degenerate raw envelope that itself straddles the dateline
+         spans the full lon range — conservative, still sound — and
+         the pair-distinct pass below absorbs any double emission.
+    2. pair-distinct + u1 < u2 (tiny groupby over candidate ids).
+    3. VERIFY: two `hash_join`s pull both point lists onto each
+       candidate pair row, then a batched kernel computes the exact
+       (P, Ka, Kb) haversine tensor with masked padding — min over
+       one axis, max over the other, both directions — entirely in
+       numpy (identical per-element IEEE ops to the scalar formula,
+       so the rounded mm value matches the SQL oracle bit-for-bit).
+
+    Only (id, envelope) rows enter the all-to-all exchange; point
+    lists move exactly twice (once per hash_join side). Candidate
+    count scales with tau-ball density, not |tracks|^2. Skew: a hot
+    grid cell is one fat merge — same growth path as
+    `distance_self_join` (split hot cells at finer res).
+    """
+    from oluray.stages import joins
+
+    tau_m = float(tau_m)
+    tau_mm = int(np.floor(tau_m * 1000.0 + 0.5))
+    dlat_deg = tau_m * 180.0 / (np.pi * geo.EARTH_RADIUS_M)
+    dlat_units = int(np.ceil(dlat_deg * 1e7)) + _ENV_SLACK
+    sin_half = np.sin(tau_m / (2.0 * geo.EARTH_RADIUS_M))
+    if cell_units is None:
+        # ~2x the lat dilation: equatorial rects cover a handful of
+        # cells; the key-space bound (|coord|//g < 2^20) is safe for
+        # any g >= 1717 at 1e-7-deg coords
+        cell_units = max(int(np.ceil(2.2 * dlat_deg * 1e7)), 1717 * 4)
+
+    def rects(t: pa.Table, expand: bool) -> pa.Table:
+        cols = {"rid": pa.array([], pa.int64()),
+                "xmin": pa.array([], pa.int64()), "xmax": pa.array([], pa.int64()),
+                "ymin": pa.array([], pa.int64()), "ymax": pa.array([], pa.int64())}
+        if t.num_rows == 0:
+            return pa.table(cols)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lf, off = _col_points(t["lons"])
+        yf, _ = _col_points(t["lats"])
+        lon_mn, lon_mx = _reduceat_minmax(lf, off)
+        lat_mn, lat_mx = _reduceat_minmax(yf, off)
+        xmin = np.floor(lon_mn * 1e7).astype(np.int64) - _ENV_SLACK
+        xmax = np.ceil(lon_mx * 1e7).astype(np.int64) + _ENV_SLACK
+        ymin = np.floor(lat_mn * 1e7).astype(np.int64) - _ENV_SLACK
+        ymax = np.ceil(lat_mx * 1e7).astype(np.int64) + _ENV_SLACK
+        if not expand:
+            return pa.table({"rid": pa.array(ids),
+                             "xmin": pa.array(xmin), "xmax": pa.array(xmax),
+                             "ymin": pa.array(ymin), "ymax": pa.array(ymax)})
+        ymin_e = ymin - dlat_units
+        ymax_e = ymax + dlat_units
+        # worst-case cos over the partner's possible lat interval
+        lo = np.maximum(ymin_e, -89.0 * 1e7) / 1e7
+        hi = np.minimum(ymax_e, 89.0 * 1e7) / 1e7
+        cos_min = np.minimum(np.cos(np.radians(lo)), np.cos(np.radians(hi)))
+        # interval containing 0 has cos max at 0, min at an endpoint:
+        # already covered; clamp away from the poles
+        cos_min = np.maximum(cos_min, 1e-6)
+        s = sin_half / cos_min
+        full = s >= 1.0  # dilation wraps the whole lon range
+        s = np.minimum(s, 1.0)
+        dlon_units = (np.ceil(np.degrees(2.0 * np.arcsin(s)) * 1e7)
+                      .astype(np.int64) + _ENV_SLACK)
+        xmin_e = xmin - dlon_units
+        xmax_e = xmax + dlon_units
+        width_full = full | ((xmax_e - xmin_e) >= 2 * _LON_L)
+        out_rid, out_x0, out_x1, out_y0, out_y1 = [], [], [], [], []
+        # main rect, clamped to [-L, L] (with slack) when wrapping
+        mx0 = np.where(width_full, -_LON_L - _ENV_SLACK,
+                       np.maximum(xmin_e, -_LON_L - _ENV_SLACK))
+        mx1 = np.where(width_full, _LON_L + _ENV_SLACK,
+                       np.minimum(xmax_e, _LON_L + _ENV_SLACK))
+        out_rid.append(ids); out_x0.append(mx0); out_x1.append(mx1)
+        out_y0.append(ymin_e); out_y1.append(ymax_e)
+        # dateline overhangs (disjoint from main by construction)
+        over_r = (~width_full) & (xmax_e > _LON_L + _ENV_SLACK)
+        if over_r.any():
+            out_rid.append(ids[over_r])
+            out_x0.append(np.full(over_r.sum(), -_LON_L - _ENV_SLACK, np.int64))
+            out_x1.append(xmax_e[over_r] - 2 * _LON_L)
+            out_y0.append(ymin_e[over_r]); out_y1.append(ymax_e[over_r])
+        over_l = (~width_full) & (xmin_e < -_LON_L - _ENV_SLACK)
+        if over_l.any():
+            out_rid.append(ids[over_l])
+            out_x0.append(xmin_e[over_l] + 2 * _LON_L)
+            out_x1.append(np.full(over_l.sum(), _LON_L + _ENV_SLACK, np.int64))
+            out_y0.append(ymin_e[over_l]); out_y1.append(ymax_e[over_l])
+        return pa.table({"rid": pa.array(np.concatenate(out_rid)),
+                         "xmin": pa.array(np.concatenate(out_x0)),
+                         "xmax": pa.array(np.concatenate(out_x1)),
+                         "ymin": pa.array(np.concatenate(out_y0)),
+                         "ymax": pa.array(np.concatenate(out_y1))})
+
+    dilated = tracks.map_batches(
+        lambda t: rects(t, True), batch_format="pyarrow")
+    raw = tracks.map_batches(
+        lambda t: rects(t, False), batch_format="pyarrow")
+    cand = rect_intersect_join(
+        dilated, raw, cell_units=cell_units, id_col="rid",
+        num_partitions=num_partitions)
+
+    def order_pairs(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False)
+        b = t["b_id"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        return pa.table({"u1": pa.array(a[keep]), "u2": pa.array(b[keep])})
+
+    cand = cand.map_batches(order_pairs, batch_format="pyarrow")
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["u1", "u2"])
+
+    cand = joins.partitioned_map(cand, ["u1", "u2"], distinct,
+                                 num_partitions=num_partitions,
+                                 pre_repartition=False)
+
+    pair_schema = pa.schema([("u1", pa.int64()), ("u2", pa.int64())])
+    track_schema = pa.schema([
+        (id_col, pa.int64()),
+        ("lons", pa.list_(pa.float64())), ("lats", pa.list_(pa.float64()))])
+    j1 = joins.hash_join(cand, tracks, on="u1", right_on=id_col,
+                         num_partitions=num_partitions,
+                         left_schema=pair_schema, right_schema=track_schema)
+
+    def ren_a(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([id_col]) if id_col in t.column_names else t
+        return t.rename_columns(
+            ["lons_a" if c == "lons" else "lats_a" if c == "lats" else c
+             for c in t.column_names])
+
+    j1 = j1.map_batches(ren_a, batch_format="pyarrow")
+    j1_schema = pa.schema([
+        ("u1", pa.int64()), ("u2", pa.int64()),
+        ("lons_a", pa.list_(pa.float64())), ("lats_a", pa.list_(pa.float64()))])
+    j2 = joins.hash_join(j1, tracks, on="u2", right_on=id_col,
+                         num_partitions=num_partitions,
+                         left_schema=j1_schema, right_schema=track_schema)
+
+    empty_out = pa.table({"u1": pa.array([], pa.int64()),
+                          "u2": pa.array([], pa.int64()),
+                          "haus_mm": pa.array([], pa.int64())})
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        lon_a, m_a = _pad_lists(t["lons_a"])
+        lat_a, _ = _pad_lists(t["lats_a"])
+        lon_b, m_b = _pad_lists(t["lons"])
+        lat_b, _ = _pad_lists(t["lats"])
+        d = geo.haversine_m(lon_a[:, :, None], lat_a[:, :, None],
+                            lon_b[:, None, :], lat_b[:, None, :])
+        d_ab = np.where(m_b[:, None, :], d, np.inf).min(axis=2)
+        h_ab = np.where(m_a, d_ab, -np.inf).max(axis=1)
+        d_ba = np.where(m_a[:, :, None], d, np.inf).min(axis=1)
+        h_ba = np.where(m_b, d_ba, -np.inf).max(axis=1)
+        h = np.maximum(h_ab, h_ba)
+        mm = (np.sign(h) * np.floor(np.abs(h) * 1000.0 + 0.5)).astype(np.int64)
+        keep = mm <= tau_mm
+        return pa.table({
+            "u1": pa.array(t["u1"].to_numpy(zero_copy_only=False)[keep]),
+            "u2": pa.array(t["u2"].to_numpy(zero_copy_only=False)[keep]),
+            "haus_mm": pa.array(mm[keep])})
+
+    return j2.map_batches(verify, batch_format="pyarrow",
+                          batch_size=verify_batch)
