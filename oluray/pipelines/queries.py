@@ -5651,7 +5651,9 @@ TRACK_DIV = 500.0
 HAUS_TAU_M = 1_000_000.0  # 1000 km
 
 
-def q_track_hausdorff(sf_dir: str):
+def _event_tracks(sf_dir: str):
+    """Per-user anchored tracks (tid, lons, lats) — the shared input
+    of the trajectory-similarity joins."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def build(df: pd.DataFrame) -> pd.DataFrame:
@@ -5673,21 +5675,35 @@ def q_track_hausdorff(sf_dir: str):
             "lons": np.split(lon, starts[1:]),
             "lats": np.split(lat, starts[1:])})
 
-    tracks = joins.partitioned_map(ev, ["user_id"], build,
-                                   num_partitions=16, pre_repartition=False)
-    return spatial.hausdorff_self_join(tracks, HAUS_TAU_M, id_col="tid",
-                                       num_partitions=16)
+    return joins.partitioned_map(ev, ["user_id"], build,
+                                 num_partitions=16, pre_repartition=False)
 
 
-def _track_hausdorff_sql() -> str:
+def q_track_hausdorff(sf_dir: str):
+    return spatial.hausdorff_self_join(_event_tracks(sf_dir), HAUS_TAU_M,
+                                       id_col="tid", num_partitions=16)
+
+
+def q_track_frechet(sf_dir: str):
+    """Order-aware trajectory similarity: discrete Frechet (coupling)
+    distance pairs within HAUS_TAU_M. Rows-only — the DP recurrence
+    isn't SQL; verified against a pure-Python reference DP in pytest
+    (tests/test_hausdorff.py). Frechet >= Hausdorff, so this is
+    always a subset of `track_hausdorff`'s pairs at the same tau."""
+    return spatial.frechet_self_join(_event_tracks(sf_dir), HAUS_TAU_M,
+                                     id_col="tid", num_partitions=16)
+
+
+def _track_hausdorff_parts() -> tuple[str, str]:
+    """(cte_block, final_select) — split so `_track_clusters_sql` can
+    extend the same chain with a recursive min-label closure."""
     alon, alat = geo.derive_lonlat_sql("user_id")
     olon, olat = geo.derive_lonlat_sql("event_id")
     lon = f"(({alon}) + (({olon}) / {TRACK_DIV!r}))"
     lat = f"(({alat}) + (({olat}) / {TRACK_DIV!r}))"
     hav = geo.haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
     tau_mm = int(HAUS_TAU_M * 1000)
-    return f"""
-    WITH ranked AS (
+    ctes = f"""ranked AS (
       SELECT user_id, event_id,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
@@ -5704,11 +5720,50 @@ def _track_hausdorff_sql() -> str:
            GROUP BY u1, u2),
     h2 AS (SELECT u1, u2, max(md) AS h FROM
              (SELECT u1, u2, e2, min(dist) AS md FROM d GROUP BY u1, u2, e2)
-           GROUP BY u1, u2)
+           GROUP BY u1, u2)"""
+    final = f"""
     SELECT h1.u1 AS u1, h1.u2 AS u2,
            round(greatest(h1.h, h2.h) * 1000.0, 0)::BIGINT AS haus_mm
     FROM h1 JOIN h2 ON h1.u1 = h2.u1 AND h1.u2 = h2.u2
     WHERE round(greatest(h1.h, h2.h) * 1000.0, 0)::BIGINT <= {tau_mm}
+    """
+    return ctes, final
+
+
+def _track_hausdorff_sql() -> str:
+    ctes, final = _track_hausdorff_parts()
+    return f"WITH {ctes} {final}"
+
+
+def q_track_clusters(sf_dir: str):
+    """Trajectory clustering: connected components over the symmetric-
+    Hausdorff similarity graph (`track_hausdorff` pairs as edges) —
+    the DBSCAN-style "group users who move alike" step. Only users
+    with at least one within-tau partner get a row; cluster_id is the
+    component's min user_id (the same min-label contract as
+    `cc_labels`). Everything downstream of the pair join is the
+    frontier-contracting distributed CC — the driver sees only
+    per-round edge counts."""
+    pairs = q_track_hausdorff(sf_dir)
+    labels = joins.connected_components(
+        pairs, a_col="u1", b_col="u2", num_partitions=16)
+    return labels.map_batches(
+        lambda t: t.rename_columns(["user_id", "cluster_id"]),
+        batch_format="pyarrow")
+
+
+def _track_clusters_sql() -> str:
+    ctes, final = _track_hausdorff_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({final}),
+    edges AS (SELECT u1 AS a, u2 AS b FROM pairs
+              UNION ALL SELECT u2 AS a, u1 AS b FROM pairs),
+    reach AS (SELECT a AS node, b AS other FROM edges
+              UNION
+              SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other)
+    SELECT node AS user_id, least(node, min(other)) AS cluster_id
+    FROM reach GROUP BY node
     """
 
 
@@ -8339,6 +8394,7 @@ ORACLE: dict[str, str] = {
     "track_corridor": _track_corridor_sql(),
     "resample_tracks": _resample_sql(),
     "track_hausdorff": _track_hausdorff_sql(),
+    "track_clusters": _track_clusters_sql(),
     "mad_outliers": _MAD_SQL,
     "entity_clusters": _ENTITY_SQL,
     "attribution": _ATTRIBUTION_SQL,
@@ -8551,6 +8607,8 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "resample_tracks": q_resample_tracks,
     "track_hausdorff": q_track_hausdorff,
+    "track_clusters": q_track_clusters,
+    "track_frechet": q_track_frechet,
     "mad_outliers": q_mad_outliers,
     "entity_clusters": q_entity_clusters,
     "attribution": q_attribution,

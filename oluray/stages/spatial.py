@@ -1446,30 +1446,24 @@ def _reduceat_minmax(flat: np.ndarray, off: np.ndarray):
             np.maximum.reduceat(flat, starts))
 
 
-def hausdorff_self_join(
+def _track_candidates(
     tracks: ray.data.Dataset,
     tau_m: float,
-    id_col: str = "tid",
-    num_partitions: int = 32,
-    cell_units: int | None = None,
-    verify_batch: int = 1024,
+    id_col: str,
+    num_partitions: int,
+    cell_units: int | None,
 ) -> ray.data.Dataset:
-    """Trajectory similarity self-join: every unordered track pair
-    whose SYMMETRIC Hausdorff distance (great-circle, meters) is
-    within `tau_m`. Input: one row per track — (`id_col` int64,
-    `lons` list<double>, `lats` list<double>), non-empty lists.
-    Output: (u1, u2, haus_mm) with u1 < u2, haus_mm the exact
-    max(h(A,B), h(B,A)) haversine rounded half-away to millimeters,
-    filtered to haus_mm <= round(tau_m * 1000).
+    """Completeness-preserving candidate-pair stage shared by the
+    trajectory similarity joins (`hausdorff_self_join`,
+    `frechet_self_join` — sound for Frechet because discrete Frechet
+    >= symmetric Hausdorff: a coupling maps every point of A to a
+    point of B within the coupling width, and vice versa).
 
-    Shape (both sides LARGE — the trajectory analog of
-    `distance_self_join`):
-
-    1. ENVELOPE PREFILTER, completeness-preserving: H(A,B) <= tau
-       implies B is inside A's tau-dilated envelope, so candidate
-       pairs come from `rect_intersect_join` (PBSM grid + reference-
-       point dedup) between tau-EXPANDED envelopes (side a) and raw
-       envelopes (side b), in 1e-7-degree integer coordinates.
+    1. ENVELOPE PREFILTER: H(A,B) <= tau implies B is inside A's
+       tau-dilated envelope, so candidate pairs come from
+       `rect_intersect_join` (PBSM grid + reference-point dedup)
+       between tau-EXPANDED envelopes (side a) and raw envelopes
+       (side b), in 1e-7-degree integer coordinates.
        - lat dilation: tau * 180 / (pi * R) degrees (haversine >=
          R * |dlat| along a meridian).
        - lon dilation from the inverse haversine at the WORST
@@ -1484,12 +1478,8 @@ def hausdorff_self_join(
          spans the full lon range — conservative, still sound — and
          the pair-distinct pass below absorbs any double emission.
     2. pair-distinct + u1 < u2 (tiny groupby over candidate ids).
-    3. VERIFY: two `hash_join`s pull both point lists onto each
-       candidate pair row, then a batched kernel computes the exact
-       (P, Ka, Kb) haversine tensor with masked padding — min over
-       one axis, max over the other, both directions — entirely in
-       numpy (identical per-element IEEE ops to the scalar formula,
-       so the rounded mm value matches the SQL oracle bit-for-bit).
+    3. two `hash_join`s pull both point lists onto each candidate
+       pair row: (u1, u2, lons_a, lats_a, lons, lats).
 
     Only (id, envelope) rows enter the all-to-all exchange; point
     lists move exactly twice (once per hash_join side). Candidate
@@ -1500,7 +1490,6 @@ def hausdorff_self_join(
     from oluray.stages import joins
 
     tau_m = float(tau_m)
-    tau_mm = int(np.floor(tau_m * 1000.0 + 0.5))
     dlat_deg = tau_m * 180.0 / (np.pi * geo.EARTH_RADIUS_M)
     dlat_units = int(np.ceil(dlat_deg * 1e7)) + _ENV_SLACK
     sin_half = np.sin(tau_m / (2.0 * geo.EARTH_RADIUS_M))
@@ -1617,7 +1606,54 @@ def hausdorff_self_join(
     j2 = joins.hash_join(j1, tracks, on="u2", right_on=id_col,
                          num_partitions=num_partitions,
                          left_schema=j1_schema, right_schema=track_schema)
+    return j2
 
+
+def _pair_dist_tensor(t: pa.Table):
+    """(P, Ka, Kb) haversine tensor + the two padding masks for a
+    candidate-pair batch, identical per-element IEEE ops to the
+    scalar formula (so rounded mm values match the SQL oracle)."""
+    lon_a, m_a = _pad_lists(t["lons_a"])
+    lat_a, _ = _pad_lists(t["lats_a"])
+    lon_b, m_b = _pad_lists(t["lons"])
+    lat_b, _ = _pad_lists(t["lats"])
+    d = geo.haversine_m(lon_a[:, :, None], lat_a[:, :, None],
+                        lon_b[:, None, :], lat_b[:, None, :])
+    return d, m_a, m_b
+
+
+def _emit_pairs(t: pa.Table, mm: np.ndarray, tau_mm: int,
+                val_col: str) -> pa.Table:
+    keep = mm <= tau_mm
+    return pa.table({
+        "u1": pa.array(t["u1"].to_numpy(zero_copy_only=False)[keep]),
+        "u2": pa.array(t["u2"].to_numpy(zero_copy_only=False)[keep]),
+        val_col: pa.array(mm[keep])})
+
+
+def hausdorff_self_join(
+    tracks: ray.data.Dataset,
+    tau_m: float,
+    id_col: str = "tid",
+    num_partitions: int = 32,
+    cell_units: int | None = None,
+    verify_batch: int = 1024,
+) -> ray.data.Dataset:
+    """Trajectory similarity self-join: every unordered track pair
+    whose SYMMETRIC Hausdorff distance (great-circle, meters) is
+    within `tau_m`. Input: one row per track — (`id_col` int64,
+    `lons` list<double>, `lats` list<double>), non-empty lists.
+    Output: (u1, u2, haus_mm) with u1 < u2, haus_mm the exact
+    max(h(A,B), h(B,A)) haversine rounded half-away to millimeters,
+    filtered to haus_mm <= round(tau_m * 1000).
+
+    Candidates come from the dilated-envelope prefilter
+    (`_track_candidates`); VERIFY is a batched masked-padding kernel:
+    min over one axis of the (P, Ka, Kb) tensor, max over the other,
+    both directions — entirely vectorized numpy."""
+    tau_mm = int(np.floor(float(tau_m) * 1000.0 + 0.5))
+    cands = _track_candidates(tracks, tau_m, id_col, num_partitions,
+                              cell_units)
     empty_out = pa.table({"u1": pa.array([], pa.int64()),
                           "u2": pa.array([], pa.int64()),
                           "haus_mm": pa.array([], pa.int64())})
@@ -1625,23 +1661,82 @@ def hausdorff_self_join(
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty_out
-        lon_a, m_a = _pad_lists(t["lons_a"])
-        lat_a, _ = _pad_lists(t["lats_a"])
-        lon_b, m_b = _pad_lists(t["lons"])
-        lat_b, _ = _pad_lists(t["lats"])
-        d = geo.haversine_m(lon_a[:, :, None], lat_a[:, :, None],
-                            lon_b[:, None, :], lat_b[:, None, :])
+        d, m_a, m_b = _pair_dist_tensor(t)
         d_ab = np.where(m_b[:, None, :], d, np.inf).min(axis=2)
         h_ab = np.where(m_a, d_ab, -np.inf).max(axis=1)
         d_ba = np.where(m_a[:, :, None], d, np.inf).min(axis=1)
         h_ba = np.where(m_b, d_ba, -np.inf).max(axis=1)
         h = np.maximum(h_ab, h_ba)
         mm = (np.sign(h) * np.floor(np.abs(h) * 1000.0 + 0.5)).astype(np.int64)
-        keep = mm <= tau_mm
-        return pa.table({
-            "u1": pa.array(t["u1"].to_numpy(zero_copy_only=False)[keep]),
-            "u2": pa.array(t["u2"].to_numpy(zero_copy_only=False)[keep]),
-            "haus_mm": pa.array(mm[keep])})
+        return _emit_pairs(t, mm, tau_mm, "haus_mm")
 
-    return j2.map_batches(verify, batch_format="pyarrow",
-                          batch_size=verify_batch)
+    return cands.map_batches(verify, batch_format="pyarrow",
+                             batch_size=verify_batch)
+
+
+def frechet_self_join(
+    tracks: ray.data.Dataset,
+    tau_m: float,
+    id_col: str = "tid",
+    num_partitions: int = 32,
+    cell_units: int | None = None,
+    verify_batch: int = 1024,
+) -> ray.data.Dataset:
+    """Discrete Frechet similarity self-join: every unordered track
+    pair whose discrete Frechet (coupling) distance is within
+    `tau_m` meters — the ORDER-AWARE sibling of
+    `hausdorff_self_join` (a dog-walk coupling must traverse both
+    tracks monotonically, so two tracks covering the same area in
+    opposite directions are Frechet-far but Hausdorff-close).
+    Output: (u1, u2, frechet_mm) with u1 < u2.
+
+    The same dilated-envelope prefilter is COMPLETE here because
+    discrete Frechet >= symmetric Hausdorff. VERIFY runs the classic
+    DP — dp[i][j] = max(d[i][j], min(dp[i-1][j], dp[i][j-1],
+    dp[i-1][j-1])) — vectorized ACROSS pairs: the (i, j) recurrence
+    is sequential (Ka x Kb scalar steps) but each step operates on
+    the whole P-pair batch at once, so per-pair cost is a handful of
+    fused numpy ops. Ragged tracks: each pair's result is read off
+    the DP at its own (na-1, nb-1) corner."""
+    tau_mm = int(np.floor(float(tau_m) * 1000.0 + 0.5))
+    cands = _track_candidates(tracks, tau_m, id_col, num_partitions,
+                              cell_units)
+    empty_out = pa.table({"u1": pa.array([], pa.int64()),
+                          "u2": pa.array([], pa.int64()),
+                          "frechet_mm": pa.array([], pa.int64())})
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        d, m_a, m_b = _pair_dist_tensor(t)
+        P, ka, kb = d.shape
+        na = m_a.sum(axis=1)  # real lengths (lists are left-packed)
+        nb = m_b.sum(axis=1)
+        res = np.empty(P, dtype=np.float64)
+        prev = np.full((P, kb), np.inf)
+        rows = np.arange(P)
+        for i in range(ka):
+            cur = np.empty((P, kb))
+            di = d[:, i, :]
+            # j = 0: only the straight-down predecessor (none at i=0:
+            # prev is inf-initialized, max(d, inf) would be wrong, so
+            # the start cell is just d[0][0])
+            cur[:, 0] = di[:, 0] if i == 0 else np.maximum(di[:, 0],
+                                                           prev[:, 0])
+            for j in range(1, kb):
+                # prev rows are +inf at i=0, so the three-way min
+                # collapses to the left neighbor there — the general
+                # formula is uniform
+                best = np.minimum(np.minimum(cur[:, j - 1], prev[:, j]),
+                                  prev[:, j - 1])
+                cur[:, j] = np.maximum(di[:, j], best)
+            hit = na - 1 == i
+            if hit.any():
+                res[hit] = cur[rows[hit], nb[hit] - 1]
+            prev = cur
+        mm = (np.sign(res) * np.floor(np.abs(res) * 1000.0 + 0.5)
+              ).astype(np.int64)
+        return _emit_pairs(t, mm, tau_mm, "frechet_mm")
+
+    return cands.map_batches(verify, batch_format="pyarrow",
+                             batch_size=verify_batch)

@@ -110,3 +110,83 @@ def test_hausdorff_asymmetric_directions(ray_session):
     assert _norm(got).equals(_norm(exp))
     # the outlier drives H to ~330 km, far above h(A,B)
     assert got["haus_mm"].iloc[0] > 300_000_000
+
+
+def _brute_frechet(tracks: dict[int, tuple[np.ndarray, np.ndarray]],
+                   tau_m: float) -> pd.DataFrame:
+    """Pure-Python reference DP (scalar, no shared code with the
+    vectorized kernel)."""
+    rows = []
+    ids = sorted(tracks)
+    tau_mm = int(np.floor(tau_m * 1000.0 + 0.5))
+    for i, u in enumerate(ids):
+        for v in ids[i + 1:]:
+            la, pa_ = tracks[u]
+            lb, pb = tracks[v]
+            na, nb = len(la), len(lb)
+            d = geo.haversine_m(la[:, None], pa_[:, None],
+                                lb[None, :], pb[None, :])
+            dp = [[None] * nb for _ in range(na)]
+            for a in range(na):
+                for b in range(nb):
+                    if a == 0 and b == 0:
+                        prev = d[0, 0]
+                    elif a == 0:
+                        prev = dp[0][b - 1]
+                    elif b == 0:
+                        prev = dp[a - 1][0]
+                    else:
+                        prev = min(dp[a - 1][b], dp[a][b - 1],
+                                   dp[a - 1][b - 1])
+                    dp[a][b] = max(float(d[a, b]), float(prev))
+            mm = int(np.floor(abs(dp[na - 1][nb - 1]) * 1000.0 + 0.5))
+            if mm <= tau_mm:
+                rows.append((u, v, mm))
+    return (pd.DataFrame(rows, columns=["u1", "u2", "frechet_mm"])
+            .astype("int64"))
+
+
+def _run_frechet(tracks, tau_m, **kw) -> pd.DataFrame:
+    ds = ray.data.from_items(
+        [{"tid": k, "lons": lon.tolist(), "lats": lat.tolist()}
+         for k, (lon, lat) in sorted(tracks.items())])
+    out = spatial.frechet_self_join(ds, tau_m, id_col="tid",
+                                    num_partitions=4, **kw).to_pandas()
+    return out.astype("int64")
+
+
+def test_frechet_matches_brute_ragged(ray_session):
+    rng = np.random.default_rng(11)
+    tracks = {}
+    tid = 0
+    for cx, cy in [(-60.0, 10.0), (-59.5, 10.5), (120.0, -30.0)]:
+        for _ in range(4):
+            n = int(rng.integers(1, 7))
+            tracks[tid] = (cx + rng.uniform(-2, 2, n),
+                           cy + rng.uniform(-2, 2, n))
+            tid += 1
+    tau = 600_000.0
+    got = (_run_frechet(tracks, tau)
+           .sort_values(["u1", "u2"]).reset_index(drop=True))
+    exp = (_brute_frechet(tracks, tau)
+           .sort_values(["u1", "u2"]).reset_index(drop=True))
+    assert got.equals(exp)
+    assert len(exp) > 0
+
+
+def test_frechet_order_aware_vs_hausdorff(ray_session):
+    # same street walked in OPPOSITE directions: Hausdorff ~ 0 but
+    # the coupling must cross the whole track -> Frechet ~ track span
+    lon = np.linspace(0.0, 1.0, 8)
+    lat = np.zeros(8)
+    tracks = {1: (lon, lat), 2: (lon[::-1].copy(), lat)}
+    tau = 50_000.0  # 50 km: Hausdorff-close, Frechet-far (~111 km)
+    h = _run(tracks, tau)
+    f = _run_frechet(tracks, tau)
+    assert len(h) == 1 and h["haus_mm"].iloc[0] == 0
+    assert len(f) == 0
+    # at a tau above the span the pair appears with the span distance
+    f2 = _run_frechet(tracks, 200_000.0)
+    exp = _brute_frechet(tracks, 200_000.0)
+    assert f2.astype("int64").equals(exp)
+    assert f2["frechet_mm"].iloc[0] > 100_000_000  # > 100 km
