@@ -5767,6 +5767,64 @@ def _track_clusters_sql() -> str:
     """
 
 
+# tiled-raster blob extraction: nation-derived discs rasterized onto
+# a global binary mask, tiled 32x32; per-tile dense labeling + cross-
+# tile merge in oluray.stages.raster (pixels never become rows).
+# Rows-only (pixel CCL is not SQL); brute-verified in pytest against
+# a whole-raster BFS labeling (tests/test_raster.py).
+RAST_TILE = 32
+RAST_GW, RAST_GH = 12, 6  # raster = 384 x 192 px
+
+
+def _raster_discs(sf_dir: str) -> np.ndarray:
+    """(n, 3) int array of disc (cx, cy, r) in global pixel coords,
+    derived from nation keys (25 rows at every sf — a SMALL side,
+    shipped once via ray.put)."""
+    keys = np.sort(_read(sf_dir, "nation", ["n_nationkey"])
+                   .to_pandas()["n_nationkey"].to_numpy(np.int64))
+    lon, lat = geo.derive_lonlat(keys)
+    w, h = RAST_GW * RAST_TILE, RAST_GH * RAST_TILE
+    cx = np.clip(((lon + 180.0) / 360.0 * w).astype(np.int64), 0, w - 1)
+    cy = np.clip(((lat + 85.0) / 170.0 * h).astype(np.int64), 0, h - 1)
+    r = 5 + (keys % 4) * 5
+    return np.stack([cx, cy, r], axis=1)
+
+
+def q_raster_blobs(sf_dir: str):
+    from oluray.stages import raster
+
+    discs_ref = ray.put(_raster_discs(sf_dir))
+
+    def make_tiles(t: pa.Table) -> pa.Table:
+        discs = ray.get(discs_ref)
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tx = ids % RAST_GW
+        ty = ids // RAST_GW
+        n = len(ids)
+        masks = np.zeros((n, RAST_TILE * RAST_TILE), dtype=np.uint8)
+        py, px = np.mgrid[0:RAST_TILE, 0:RAST_TILE]
+        for i in range(n):
+            gx = px + tx[i] * RAST_TILE
+            gy = py + ty[i] * RAST_TILE
+            m = np.zeros((RAST_TILE, RAST_TILE), dtype=bool)
+            for cx, cy, r in discs:
+                # skip discs whose bbox misses the tile entirely
+                if (cx + r < gx[0, 0] or cx - r > gx[0, -1]
+                        or cy + r < gy[0, 0] or cy - r > gy[-1, 0]):
+                    continue
+                m |= (gx - cx) ** 2 + (gy - cy) ** 2 <= r * r
+            masks[i] = m.ravel()
+        return pa.table({
+            "tx": pa.array(tx), "ty": pa.array(ty),
+            "mask": pa.FixedSizeListArray.from_arrays(
+                pa.array(masks.ravel()), RAST_TILE * RAST_TILE)})
+
+    tiles = ray.data.range(RAST_GW * RAST_GH).map_batches(
+        make_tiles, batch_format="pyarrow", batch_size=8)
+    return raster.blob_labels(tiles, RAST_TILE, RAST_TILE, RAST_GW,
+                              num_partitions=8)
+
+
 # robust outlier flags via MAD (median absolute deviation): per-group
 # discrete median (the group_quantiles index convention) of value,
 # then the discrete median of |value - med|, flag rows with
@@ -8609,6 +8667,7 @@ QUERIES = {
     "track_hausdorff": q_track_hausdorff,
     "track_clusters": q_track_clusters,
     "track_frechet": q_track_frechet,
+    "raster_blobs": q_raster_blobs,
     "mad_outliers": q_mad_outliers,
     "entity_clusters": q_entity_clusters,
     "attribution": q_attribution,
