@@ -95,8 +95,9 @@ def cell_encode(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
     return np.int64(res) * np.int64(RES_SHIFT) + y * np.int64(Y_SHIFT) + x
 
 
-def cell_encode_sql(lon_expr: str, lat_expr: str, res: int) -> str:
-    """ANSI-SQL expression computing exactly :func:`cell_encode`."""
+def cell_xy_sql(lon_expr: str, lat_expr: str, res: int) -> tuple[str, str]:
+    """SQL expressions for the raw grid (x, y) of :func:`cell_encode`
+    at `res` — for oracles that work in grid coordinates directly."""
     n = 1 << res
     x = (
         f"LEAST(GREATEST(floor((({lon_expr} + 180.0) / 360.0) * {float(n)!r})::BIGINT,"
@@ -106,6 +107,12 @@ def cell_encode_sql(lon_expr: str, lat_expr: str, res: int) -> str:
         f"LEAST(GREATEST(floor((({lat_expr} + 90.0) / 180.0) * {float(n)!r})::BIGINT,"
         f" 0), {n - 1})"
     )
+    return x, y
+
+
+def cell_encode_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """ANSI-SQL expression computing exactly :func:`cell_encode`."""
+    x, y = cell_xy_sql(lon_expr, lat_expr, res)
     return f"({res} * {RES_SHIFT} + {y} * {Y_SHIFT} + {x})"
 
 

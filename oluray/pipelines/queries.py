@@ -5825,6 +5825,74 @@ def q_raster_blobs(sf_dir: str):
                               num_partitions=8)
 
 
+# KDE heat-splat rendering: every event point splats an integer
+# Epanechnikov-style kernel (w = R2 - dx^2 - dy^2 where positive)
+# onto its 7x7 grid neighborhood; per-cell heat = exact integer sum.
+# The rasterization step of a density heatmap layer: replicate-by-
+# stencil is bounded (<= 45 tiny rows per point, combined per block
+# BEFORE the shuffle, so the exchange carries distinct-cell partials,
+# not point fan-out). No antimeridian wrap (matches the SQL exactly).
+KDE_RES = 6   # 64 x 64 grid
+KDE_K = 3
+KDE_R2 = 16
+
+_kde_dy, _kde_dx = np.mgrid[-KDE_K:KDE_K + 1, -KDE_K:KDE_K + 1]
+_kde_w = KDE_R2 - _kde_dx ** 2 - _kde_dy ** 2
+_KDE_DX = _kde_dx[_kde_w > 0].astype(np.int64)
+_KDE_DY = _kde_dy[_kde_w > 0].astype(np.int64)
+_KDE_W = _kde_w[_kde_w > 0].astype(np.int64)
+
+
+def q_kde_heat(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id"])
+    pts = _with_points(ev, "event_id")
+    n = 1 << KDE_RES
+
+    def splat(t: pa.Table) -> pa.Table:
+        cell = geo.cell_encode(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False), KDE_RES)
+        _, x, y = geo.cell_decode(cell)
+        tx = (x[:, None] + _KDE_DX[None, :]).ravel()
+        ty = (y[:, None] + _KDE_DY[None, :]).ravel()
+        ww = np.broadcast_to(_KDE_W, (len(x), len(_KDE_W))).ravel()
+        ok = (tx >= 0) & (tx < n) & (ty >= 0) & (ty < n)
+        key = tx[ok] * n + ty[ok]
+        uk, inv = np.unique(key, return_inverse=True)
+        heat = np.bincount(inv, weights=ww[ok]).astype(np.int64)
+        return pa.table({"gx": pa.array(uk // n), "gy": pa.array(uk % n),
+                         "heat": pa.array(heat)})
+
+    partials = pts.map_batches(splat, batch_format="pyarrow")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["gx", "gy"], as_index=False)["heat"].sum()
+        return g.astype("int64")
+
+    return joins.grouped_agg(partials, ["gx", "gy"], fin,
+                             num_partitions=16, pre_repartition=False)
+
+
+def _kde_heat_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("event_id")
+    xs, ys = geo.cell_xy_sql(lon, lat, KDE_RES)
+    n = 1 << KDE_RES
+    return f"""
+    WITH pts AS (SELECT {xs} AS x, {ys} AS y FROM events),
+    offs AS (
+      SELECT dx.range::BIGINT AS dx, dy.range::BIGINT AS dy,
+             ({KDE_R2} - dx.range * dx.range
+                       - dy.range * dy.range)::BIGINT AS w
+      FROM range(-{KDE_K}, {KDE_K + 1}) dx, range(-{KDE_K}, {KDE_K + 1}) dy
+      WHERE {KDE_R2} - dx.range * dx.range - dy.range * dy.range > 0)
+    SELECT p.x + o.dx AS gx, p.y + o.dy AS gy, sum(o.w)::BIGINT AS heat
+    FROM pts p CROSS JOIN offs o
+    WHERE p.x + o.dx BETWEEN 0 AND {n - 1}
+      AND p.y + o.dy BETWEEN 0 AND {n - 1}
+    GROUP BY 1, 2
+    """
+
+
 # robust outlier flags via MAD (median absolute deviation): per-group
 # discrete median (the group_quantiles index convention) of value,
 # then the discrete median of |value - med|, flag rows with
@@ -8453,6 +8521,7 @@ ORACLE: dict[str, str] = {
     "resample_tracks": _resample_sql(),
     "track_hausdorff": _track_hausdorff_sql(),
     "track_clusters": _track_clusters_sql(),
+    "kde_heat": _kde_heat_sql(),
     "mad_outliers": _MAD_SQL,
     "entity_clusters": _ENTITY_SQL,
     "attribution": _ATTRIBUTION_SQL,
@@ -8668,6 +8737,7 @@ QUERIES = {
     "track_clusters": q_track_clusters,
     "track_frechet": q_track_frechet,
     "raster_blobs": q_raster_blobs,
+    "kde_heat": q_kde_heat,
     "mad_outliers": q_mad_outliers,
     "entity_clusters": q_entity_clusters,
     "attribution": q_attribution,
