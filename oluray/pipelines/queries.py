@@ -5893,6 +5893,90 @@ def _kde_heat_sql() -> str:
     """
 
 
+# non-max suppression over synthetic per-image detection boxes: the
+# standard vision-pipeline post-detector step. NMS_B boxes per
+# document image (integer geometry + score from splitmix64 of
+# doc_id * B + b), grouped per image; greedy keep-highest-score with
+# ALL-INTEGER IoU tests (inter * 10 >= 3 * union, i.e. IoU >= 0.3 —
+# no float, so results are platform-exact). The greedy scan is
+# sequential per image but bounded by NMS_B (constant); the pairwise
+# intersection matrix it consults is vectorized. Rows-only (greedy
+# selection isn't SQL); brute-verified in pytest against a scalar
+# pure-Python NMS.
+NMS_B = 8           # candidate boxes per image
+NMS_IOU_NUM = 3     # keep while inter * DEN < NUM * union
+NMS_IOU_DEN = 10
+NMS_IMG = 128       # image side in px (dense enough that boxes overlap)
+
+
+def _nms_boxes_for(doc_ids: np.ndarray):
+    """(n*B) synthetic detections: integer x0,y0,x1,y1 + score."""
+    ids = np.repeat(doc_ids.astype(np.int64), NMS_B)
+    b = np.tile(np.arange(NMS_B, dtype=np.int64), len(doc_ids))
+    h = joins._mix64(ids * NMS_B + b)
+    cx = (h % np.uint64(NMS_IMG)).astype(np.int64)
+    cy = ((h >> np.uint64(8)) % np.uint64(NMS_IMG)).astype(np.int64)
+    w = 16 + ((h >> np.uint64(16)) % np.uint64(96)).astype(np.int64)
+    ht = 16 + ((h >> np.uint64(24)) % np.uint64(96)).astype(np.int64)
+    score = ((h >> np.uint64(32)) % np.uint64(1_000_000)).astype(np.int64)
+    x0 = np.clip(cx - w // 2, 0, NMS_IMG - 2)
+    y0 = np.clip(cy - ht // 2, 0, NMS_IMG - 2)
+    x1 = np.clip(cx + w // 2, x0 + 1, NMS_IMG - 1)
+    y1 = np.clip(cy + ht // 2, y0 + 1, NMS_IMG - 1)
+    return ids, b, x0, y0, x1, y1, score
+
+
+def _nms_group(x0, y0, x1, y1, score) -> np.ndarray:
+    """Greedy NMS keep-mask for ONE image's boxes (closed-interval
+    pixel boxes, area = (x1-x0+1)*(y1-y0+1)); ties broken by box
+    order. Bounded by NMS_B rows; the IoU matrix is vectorized."""
+    order = np.lexsort((np.arange(len(score)), -score))
+    ix0 = np.maximum(x0[order][:, None], x0[order][None, :])
+    iy0 = np.maximum(y0[order][:, None], y0[order][None, :])
+    ix1 = np.minimum(x1[order][:, None], x1[order][None, :])
+    iy1 = np.minimum(y1[order][:, None], y1[order][None, :])
+    inter = (np.maximum(ix1 - ix0 + 1, 0) * np.maximum(iy1 - iy0 + 1, 0))
+    area = (x1[order] - x0[order] + 1) * (y1[order] - y0[order] + 1)
+    union = area[:, None] + area[None, :] - inter
+    sup = inter * NMS_IOU_DEN >= NMS_IOU_NUM * union  # integer-exact
+    keep_sorted = np.zeros(len(score), dtype=bool)
+    for i in range(len(score)):
+        if not (sup[i, :i] & keep_sorted[:i]).any():
+            keep_sorted[i] = True
+    keep = np.zeros(len(score), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def q_nms_boxes(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def detect(t: pa.Table) -> pa.Table:
+        ids, b, x0, y0, x1, y1, sc = _nms_boxes_for(
+            t["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": pa.array(ids), "box_id": pa.array(b),
+                         "x0": pa.array(x0), "y0": pa.array(y0),
+                         "x1": pa.array(x1), "y1": pa.array(y1),
+                         "score": pa.array(sc)})
+
+    boxes = docs.map_batches(detect, batch_format="pyarrow")
+
+    def nms(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.astype({c: "int64" for c in df.columns})
+        parts = []
+        for _, g in df.groupby("doc_id", sort=False):
+            keep = _nms_group(g["x0"].to_numpy(), g["y0"].to_numpy(),
+                              g["x1"].to_numpy(), g["y1"].to_numpy(),
+                              g["score"].to_numpy())
+            parts.append(g[keep])
+        out = pd.concat(parts, ignore_index=True)
+        return out.astype("int64")
+
+    return joins.partitioned_map(boxes, ["doc_id"], nms,
+                                 num_partitions=16, pre_repartition=False)
+
+
 # robust outlier flags via MAD (median absolute deviation): per-group
 # discrete median (the group_quantiles index convention) of value,
 # then the discrete median of |value - med|, flag rows with
@@ -8738,6 +8822,7 @@ QUERIES = {
     "track_frechet": q_track_frechet,
     "raster_blobs": q_raster_blobs,
     "kde_heat": q_kde_heat,
+    "nms_boxes": q_nms_boxes,
     "mad_outliers": q_mad_outliers,
     "entity_clusters": q_entity_clusters,
     "attribution": q_attribution,
