@@ -5977,6 +5977,99 @@ def q_nms_boxes(sf_dir: str):
                                  num_partitions=16, pre_repartition=False)
 
 
+# spatio-temporal co-location join ("contact" pairs): user pairs
+# with events in the SAME grid cell within COLOC_DT_US of each other,
+# counted per pair. The bucketed two-sided shape: each event lands
+# home in its (cell, t // W) partition and as a GHOST in the previous
+# bucket; same-bucket pairs form home x home (event-id order), cross-
+# bucket pairs form home x ghost — exactly once, with W = DT so two
+# buckets always cover the window. Partition key is (cell, bucket):
+# a hot cell-bucket is one fat merge; growth path is the same hot-key
+# split as distance_self_join. Counts pre-combine per partition
+# before the (u1, u2) aggregate.
+COLOC_RES = 4                      # 16 x 16 grid
+COLOC_DT_US = 8 * 3_600_000_000    # 8 h window
+
+
+def q_colocation_pairs(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    W = COLOC_DT_US
+
+    def expand(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (t["ts"].to_pandas().astype("datetime64[us]")
+              .astype("int64").to_numpy())
+        lon, lat = geo.derive_lonlat(eid)
+        cell = geo.cell_encode(lon, lat, COLOC_RES)
+        bucket = ts // W
+        return pa.table({
+            "cell": pa.array(np.concatenate([cell, cell])),
+            "bucket": pa.array(np.concatenate([bucket, bucket - 1])),
+            "uid": pa.array(np.concatenate([uid, uid])),
+            "eid": pa.array(np.concatenate([eid, eid])),
+            "t": pa.array(np.concatenate([ts, ts])),
+            "ghost": pa.array(np.concatenate([
+                np.zeros(len(eid), bool), np.ones(len(eid), bool)]))})
+
+    rows = ev.map_batches(expand, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"u1": pd.Series([], dtype="int64"),
+                              "u2": pd.Series([], dtype="int64"),
+                              "n_coloc": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        home = df[~df["ghost"]]
+        if len(home) == 0:
+            return empty
+        m = home.merge(df, on=["cell", "bucket"], suffixes=("_a", "_b"))
+        keep = ((np.abs(m["t_a"].to_numpy() - m["t_b"].to_numpy())
+                 <= COLOC_DT_US)
+                & (m["uid_a"].to_numpy() != m["uid_b"].to_numpy())
+                & (m["ghost_b"].to_numpy()
+                   | (m["eid_a"].to_numpy() < m["eid_b"].to_numpy())))
+        m = m[keep]
+        if len(m) == 0:
+            return empty
+        ua = m["uid_a"].to_numpy()
+        ub = m["uid_b"].to_numpy()
+        g = pd.DataFrame({"u1": np.minimum(ua, ub),
+                          "u2": np.maximum(ua, ub)})
+        out = g.groupby(["u1", "u2"], as_index=False).size()
+        return out.rename(columns={"size": "n_coloc"}).astype("int64")
+
+    partial = joins.partitioned_map(rows, ["cell", "bucket"], pairs,
+                                    num_partitions=16,
+                                    pre_repartition=False)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["u1", "u2"], as_index=False)["n_coloc"]
+                .sum().astype("int64"))
+
+    return joins.grouped_agg(partial, ["u1", "u2"], fin,
+                             num_partitions=16, pre_repartition=False)
+
+
+def _colocation_sql() -> str:
+    lon, lat = geo.derive_lonlat_sql("event_id")
+    cell = geo.cell_encode_sql(lon, lat, COLOC_RES)
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, {cell} AS cell,
+             epoch_us(ts)::BIGINT AS t
+      FROM events)
+    SELECT least(a.user_id, b.user_id) AS u1,
+           greatest(a.user_id, b.user_id) AS u2,
+           count(*)::BIGINT AS n_coloc
+    FROM pts a JOIN pts b
+      ON a.cell = b.cell AND a.event_id < b.event_id
+     AND a.user_id <> b.user_id
+     AND abs(a.t - b.t) <= {COLOC_DT_US}
+    GROUP BY 1, 2
+    """
+
+
 # robust outlier flags via MAD (median absolute deviation): per-group
 # discrete median (the group_quantiles index convention) of value,
 # then the discrete median of |value - med|, flag rows with
@@ -8606,6 +8699,7 @@ ORACLE: dict[str, str] = {
     "track_hausdorff": _track_hausdorff_sql(),
     "track_clusters": _track_clusters_sql(),
     "kde_heat": _kde_heat_sql(),
+    "colocation_pairs": _colocation_sql(),
     "mad_outliers": _MAD_SQL,
     "entity_clusters": _ENTITY_SQL,
     "attribution": _ATTRIBUTION_SQL,
@@ -8823,6 +8917,7 @@ QUERIES = {
     "raster_blobs": q_raster_blobs,
     "kde_heat": q_kde_heat,
     "nms_boxes": q_nms_boxes,
+    "colocation_pairs": q_colocation_pairs,
     "mad_outliers": q_mad_outliers,
     "entity_clusters": q_entity_clusters,
     "attribution": q_attribution,
