@@ -7953,6 +7953,119 @@ def _zps_fin(df: pd.DataFrame) -> pd.DataFrame:
     return g
 
 
+PASSAGE_W = 8
+
+
+def q_line_dedup(sf_dir: str):
+    """Passage-level exact dedup (the C4/RefinedWeb line-dedup op):
+    every distinct 8-token passage keeps only its global first
+    occurrence (by doc_id, start) and documents are rebuilt from
+    their kept passages. Three bounded stages (`text.passage_dedup`):
+    digests-only first shuffle, removal traffic proportional to
+    duplicate mass, one doc-keyed co-partition for the rebuild."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.passage_dedup(docs, width=PASSAGE_W, num_partitions=16)
+
+
+def q_rep_ngrams(sf_dir: str):
+    """Gopher/MassiveText repetition signal: per document, the count
+    and e6-fraction of token-trigram occurrences belonging to a
+    trigram that repeats within the document. Zero shuffle — one
+    flat-buffer lexsort + run-length pass per batch
+    (`text.dup_ngram_stats_batch`)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: text.dup_ngram_stats_batch(t, 3),
+        batch_format="pyarrow")
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed full-corpus Lloyd k-means over the embeddings
+    table (`ann.kmeans_lloyd`): per-iteration E-step streams the
+    corpus emitting k partial (count, sum, sse) rows per block; the
+    M-step reduces k x dim on the driver. Rows-only (iterative, not
+    SQL); pytest checks bit-level agreement with a single-process
+    numpy Lloyd and monotone SSE."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, assign = ann.kmeans_lloyd(emb, k=8, iters=5)
+    return assign
+
+
+PROFILE_COLS = ("l_returnflag", "l_quantity", "l_extendedprice",
+                "l_discount")
+
+
+def q_profile_table(sf_dir: str):
+    """Per-column table profiling (the Deequ/dataset-stats pass):
+    one streamed pass computes per-column n / min / max / sum as
+    exact cents-scaled integers via a per-block combiner, plus an
+    exact distinct count per column through the `joins.distinct`
+    shuffle (per-block unique first, so shuffle traffic is
+    distinct-per-block, not rows). Output long-form
+    (column, metric, value)."""
+    li = _read(sf_dir, "lineitem", list(PROFILE_COLS))
+    num_cols = [c for c in PROFILE_COLS if c != "l_returnflag"]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in num_cols:
+            v = _round_half_away(df[c].to_numpy(np.float64) * 100.0)
+            rows.append((c, len(v), int(v.min()) if len(v) else 0,
+                         int(v.max()) if len(v) else 0, int(v.sum())))
+        rows.append(("l_returnflag", len(df), 0, 0, 0))
+        return pd.DataFrame(
+            rows, columns=["column", "n", "min_c", "max_c", "sum_c"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("column", as_index=False).agg(
+            n=("n", "sum"), min_c=("min_c", "min"),
+            max_c=("max_c", "max"), sum_c=("sum_c", "sum"))
+        return g
+
+    stats = joins.grouped_agg(
+        li.map_batches(combine, batch_format="pandas",
+                       batch_size=65536),
+        ["column"], fin, num_partitions=4,
+        pre_repartition=False).to_pandas()
+
+    out = []
+    for c in PROFILE_COLS:
+        r = stats[stats["column"] == c].iloc[0]
+        nd = joins.distinct(
+            li.select_columns([c]), [c], num_partitions=8).count()
+        out.append((c, "n", int(r["n"])))
+        out.append((c, "n_distinct", int(nd)))
+        if c in num_cols:
+            out.append((c, "min_e2", int(r["min_c"])))
+            out.append((c, "max_e2", int(r["max_c"])))
+            out.append((c, "sum_e2", int(r["sum_c"])))
+    return pd.DataFrame(out, columns=["column", "metric", "value"])
+
+
+def q_cum_distinct(sf_dir: str):
+    """Cumulative distinct event-type count per user over time (the
+    running COUNT(DISTINCT) window): first-occurrence flags per
+    (user, type) then a running sum in event order — vectorized per
+    user-hash partition, no per-user loop."""
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "event_type"])
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+        df = df.sort_values(["user_id", "_us", "event_id"],
+                            kind="mergesort")
+        first = ~df.duplicated(["user_id", "event_type"])
+        df["cum_types"] = (
+            first.astype(np.int64).groupby(
+                df["user_id"].to_numpy()).cumsum().astype(np.int64))
+        return df[["user_id", "event_id", "cum_types"]]
+
+    return joins.partitioned_map(ev, ["user_id"], run,
+                                 num_partitions=16,
+                                 pre_repartition=False)
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -8753,6 +8866,100 @@ ORACLE: dict[str, str] = {
         GROUP BY o_orderpriority
     """,
     "zonal_stats": _zonal_sql(),
+    "line_dedup": f"""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                          len(string_split(text, ' ')) AS n
+                   FROM documents),
+        c AS (SELECT doc_id, toks, n,
+                     unnest(generate_series(1, n, {PASSAGE_W})) AS st
+              FROM s),
+        p AS (SELECT doc_id, st,
+                     array_to_string(
+                       toks[st:least(st + {PASSAGE_W - 1}, n)], ' ')
+                       AS passage
+              FROM c),
+        r AS (SELECT doc_id, st, passage,
+                     row_number() OVER (PARTITION BY passage
+                                        ORDER BY doc_id, st) AS rn
+              FROM p)
+        SELECT doc_id,
+               COALESCE(string_agg(passage, ' ' ORDER BY st)
+                          FILTER (WHERE rn = 1), '') AS clean_text,
+               COUNT(*) FILTER (WHERE rn > 1)::BIGINT AS n_removed
+        FROM r GROUP BY doc_id
+    """,
+    "rep_ngrams": """
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                          len(string_split(text, ' ')) AS n
+                   FROM documents),
+        t AS (SELECT doc_id, toks,
+                     unnest(generate_series(1, n - 2)) AS i
+              FROM s WHERE n >= 3),
+        g AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS tri
+              FROM t),
+        c AS (SELECT doc_id, tri, count(*)::BIGINT AS c
+              FROM g GROUP BY doc_id, tri)
+        SELECT doc_id, SUM(c)::BIGINT AS n_grams,
+               COALESCE(SUM(c) FILTER (WHERE c > 1), 0)::BIGINT
+                 AS dup_occ,
+               round(1000000.0
+                     * COALESCE(SUM(c) FILTER (WHERE c > 1), 0)
+                     / SUM(c), 0)::BIGINT AS dup_frac_e6
+        FROM c GROUP BY doc_id
+    """,
+    "profile_table": """
+        WITH num AS (
+          SELECT 'l_quantity' AS col, count(*)::BIGINT AS n,
+                 count(DISTINCT l_quantity)::BIGINT AS nd,
+                 min(round(l_quantity * 100.0, 0))::BIGINT AS mn,
+                 max(round(l_quantity * 100.0, 0))::BIGINT AS mx,
+                 SUM(round(l_quantity * 100.0, 0)::BIGINT)::BIGINT AS sm
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', count(*),
+                 count(DISTINCT l_extendedprice),
+                 min(round(l_extendedprice * 100.0, 0))::BIGINT,
+                 max(round(l_extendedprice * 100.0, 0))::BIGINT,
+                 SUM(round(l_extendedprice * 100.0, 0)::BIGINT)::BIGINT
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', count(*), count(DISTINCT l_discount),
+                 min(round(l_discount * 100.0, 0))::BIGINT,
+                 max(round(l_discount * 100.0, 0))::BIGINT,
+                 SUM(round(l_discount * 100.0, 0)::BIGINT)::BIGINT
+          FROM lineitem),
+        str AS (
+          SELECT 'l_returnflag' AS col, count(*)::BIGINT AS n,
+                 count(DISTINCT l_returnflag)::BIGINT AS nd
+          FROM lineitem)
+        SELECT col AS "column", 'n' AS metric, n AS value FROM num
+        UNION ALL
+        SELECT col, 'n_distinct', nd FROM num
+        UNION ALL
+        SELECT col, 'min_e2', mn FROM num
+        UNION ALL
+        SELECT col, 'max_e2', mx FROM num
+        UNION ALL
+        SELECT col, 'sum_e2', sm FROM num
+        UNION ALL
+        SELECT col, 'n', n FROM str
+        UNION ALL
+        SELECT col, 'n_distinct', nd FROM str
+    """,
+    "cum_distinct": """
+        WITH f AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                      THEN 1 ELSE 0 END AS fn
+          FROM events)
+        SELECT user_id, event_id,
+               SUM(fn) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT
+                 AS cum_types
+        FROM f
+    """,
 }
 
 QUERIES = {
@@ -8945,4 +9152,9 @@ QUERIES = {
     "skew_join": q_skew_join,
     "zonal_stats": q_zonal_stats,
     "zonal_pixel_stats": q_zonal_pixel_stats,
+    "line_dedup": q_line_dedup,
+    "rep_ngrams": q_rep_ngrams,
+    "profile_table": q_profile_table,
+    "cum_distinct": q_cum_distinct,
+    "kmeans": q_kmeans,
 }

@@ -968,3 +968,101 @@ def pq_topk(
                       dict(queries_ref=qref, books_ref=bref, k=k),
                       concurrency)
     return _final_topk(cand, k, round_digits)
+
+
+def kmeans_lloyd(
+    embeddings, k: int = 8, iters: int = 5,
+) -> tuple[np.ndarray, "ray.data.Dataset"]:
+    """Distributed full-corpus Lloyd's k-means (Euclidean), the
+    MapReduce k-means shape — unlike `train_centroids` (which runs on
+    a bounded driver-side sample), every E-step here streams the
+    WHOLE corpus through `map_batches`:
+
+      E-step: centroids broadcast once per iteration via `ray.put`;
+        each block emits k partial rows (cluster, count, sum-vector,
+        sse) — per-iteration driver traffic is O(blocks x k x dim),
+        never corpus-sized.
+      M-step: the partials reduce to k rows; empty clusters keep
+        their previous centroid (deterministic; no RNG re-seed).
+
+    Init is deterministic: the k corpus rows with the smallest
+    vec_id — found with a per-block min-k combiner (k rows per block
+    to the driver), NOT a global sort. Accumulation is float64; the
+    per-iteration SSE is recorded so callers/tests can assert
+    monotone non-increase.
+
+    Returns (centroids (k, dim) float64, assignment Dataset
+    (vec_id, cluster, n_iters)); the assignment pass is one extra
+    corpus stream with the final centroids."""
+    def mink(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, "vec_id")[["vec_id", "embedding"]]
+
+    first = embeddings.map_batches(
+        mink, batch_format="pandas").to_pandas().nsmallest(k, "vec_id")
+    if len(first) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(first)}")
+    cents = np.stack(first["embedding"].map(np.asarray)).astype(np.float64)
+    dim = cents.shape[1]
+    sse_hist: list[float] = []
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partials(batch: pa.Table, cref=cref) -> pd.DataFrame:
+            c = ray.get(cref)
+            m = _matrix(batch)
+            if m.shape[0] == 0:
+                return pd.DataFrame({
+                    "cluster": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="object"),
+                    "sse": pd.Series([], dtype="float64")})
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+            d2 = (-2.0 * (m @ c.T)
+                  + (c * c).sum(axis=1)[None, :])
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            sse_c = np.zeros(len(c))
+            np.add.at(sse_c, a,
+                      d2[np.arange(len(a)), a] + (m * m).sum(axis=1))
+            nz = counts > 0
+            return pd.DataFrame({
+                "cluster": np.flatnonzero(nz).astype(np.int64),
+                "n": counts[nz],
+                "s": list(sums[nz]),
+                "sse": sse_c[nz]})
+
+        agg = embeddings.map_batches(
+            partials, batch_format="pyarrow").to_pandas()
+        g = agg.groupby("cluster")
+        counts = g["n"].sum()
+        sse_hist.append(float(agg["sse"].sum()))
+        new = cents.copy()  # empty cluster: keep previous centroid
+        for cl, sub in g["s"]:
+            new[cl] = np.sum(np.stack(sub.map(np.asarray)), axis=0) \
+                / counts[cl]
+        cents = new
+
+    fref = ray.put(cents)
+
+    def assign(batch: pa.Table, fref=fref, iters=iters) -> pa.Table:
+        c = ray.get(fref)
+        m = _matrix(batch)
+        if m.shape[0] == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "n_iters": pa.array([], pa.int64())})
+        d2 = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+        a = np.argmin(d2, axis=1).astype(np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "cluster": pa.array(a),
+            "n_iters": pa.array(np.full(len(a), iters, np.int64))})
+
+    out = embeddings.map_batches(assign, batch_format="pyarrow")
+    # stash the SSE trajectory on the function for test introspection
+    kmeans_lloyd.last_sse = sse_hist  # type: ignore[attr-defined]
+    return cents, out

@@ -1003,3 +1003,218 @@ def bpe_merges(docs, n_merges: int = 8,
 
     return pd.DataFrame(merges,
                         columns=["rank", "left", "right", "pair_count"])
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact dedup (the C4 / RefinedWeb line-dedup op)
+# ---------------------------------------------------------------------------
+
+PASSAGE_WIDTH = 8
+
+_PASSAGE_KEY1 = "0123456789123456"
+_PASSAGE_KEY2 = "6543210987654321"
+
+
+def passage_digests_batch(t: pa.Table, width: int = PASSAGE_WIDTH) -> pa.Table:
+    """Map-side explode of each document into NON-overlapping
+    `width`-token passages, emitting only (doc_id, start, h1, h2):
+    two independent 64-bit digests of the passage text, never the
+    text itself. At 100 TB the first dedup shuffle therefore moves
+    ~24 bytes per passage instead of the passage bytes — the digest
+    pair makes a cross-passage collision (which would over-remove)
+    a ~2^-128 event, so the SQL oracle that groups by the exact
+    passage string still hash-matches.
+
+    `start` is the 0-based token offset of the passage (SQL parity:
+    `generate_series(1, n, width)` starts minus one)."""
+    ch = chunk_tokens_batch(t, chunk=width, stride=width)
+    txt = ch["chunk_text"].to_numpy(zero_copy_only=False)
+    h1 = pd.util.hash_array(txt, hash_key=_PASSAGE_KEY1).view(np.int64)
+    h2 = pd.util.hash_array(txt, hash_key=_PASSAGE_KEY2).view(np.int64)
+    start = pc.multiply(ch["chunk_id"], pa.scalar(width, pa.int64()))
+    return pa.table({
+        "doc_id": ch["doc_id"],
+        "start": start,
+        "h1": pa.array(h1),
+        "h2": pa.array(h2),
+    })
+
+
+def passage_dedup(docs, width: int = PASSAGE_WIDTH,
+                  num_partitions: int = 32) -> "ray.data.Dataset":
+    """Corpus-wide passage-level exact dedup (C4's three-sentence-span
+    dedup / RefinedWeb's exact-substring pass, expressed at fixed
+    token width): every distinct passage keeps its FIRST occurrence
+    (global order by doc_id, then start) and every later occurrence —
+    including repeats inside one document — is removed; each document
+    is rebuilt from its kept passages in order.
+
+    Scale shape (three stages, each bounded):
+      1. digest explode — map-side, digests only (no passage text
+         leaves the node);
+      2. winner election — hash-partition by digest; removal rows
+         (doc_id, start) are emitted ONLY for duplicates, so stage-2
+         output traffic is proportional to duplicate mass, not corpus
+         size;
+      3. rebuild — documents and their removal rows co-partition by
+         doc_id (one corpus-proportional shuffle); the passage
+         re-explode + anti-join + rejoin runs vectorized per
+         partition (Arrow gather + binary_join, no per-row Python).
+
+    Output: (doc_id, clean_text, n_removed) — one row per input
+    document; a document whose every passage was removed keeps an
+    empty clean_text (SQL parity: COALESCE(string_agg(...), ''))."""
+    import ray.data  # noqa: F401  (type only)
+
+    from . import joins
+
+    dig = docs.map_batches(
+        lambda t: passage_digests_batch(t, width), batch_format="pyarrow"
+    )
+
+    def removals(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h1", "h2", "doc_id", "start"],
+                            kind="mergesort")
+        dup = df.duplicated(["h1", "h2"], keep="first")
+        return df.loc[dup, ["doc_id", "start"]]
+
+    rem = joins.partitioned_map(dig, ["h1", "h2"], removals,
+                                num_partitions, pre_repartition=False)
+
+    # union schema: docs carry start=-1, removals carry text=''
+    def tag_doc(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": t["text"],
+            "start": pa.array(
+                np.full(t.num_rows, -1, dtype=np.int64)),
+        })
+
+    def tag_rem(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "text": np.full(len(df), "", dtype=object),
+            "start": df["start"].to_numpy(dtype=np.int64),
+        })
+
+    both = docs.map_batches(tag_doc, batch_format="pyarrow").union(
+        rem.map_batches(tag_rem, batch_format="pandas"))
+
+    out_schema = pa.schema([
+        pa.field("doc_id", pa.int64()),
+        pa.field("clean_text", pa.string()),
+        pa.field("n_removed", pa.int64()),
+    ])
+
+    def rebuild(df: pd.DataFrame) -> pa.Table:
+        d = df[df["start"] < 0]
+        if len(d) == 0:
+            return out_schema.empty_table()
+        r = df[df["start"] >= 0]
+        ch = chunk_tokens_batch(
+            pa.table({
+                "doc_id": pa.array(d["doc_id"].to_numpy(dtype=np.int64)),
+                "text": pa.array(d["text"].to_numpy(dtype=object),
+                                 pa.string()),
+            }),
+            chunk=width, stride=width,
+        )
+        cdf = pd.DataFrame({
+            "doc_id": ch["doc_id"].to_numpy(zero_copy_only=False),
+            "start": ch["chunk_id"].to_numpy(zero_copy_only=False) * width,
+            "chunk_text": ch["chunk_text"].to_numpy(zero_copy_only=False),
+        })
+        m = cdf.merge(r.assign(rm=np.True_), on=["doc_id", "start"],
+                      how="left")
+        kept = m[m["rm"].isna()].sort_values(["doc_id", "start"],
+                                             kind="mergesort")
+        # vectorized per-doc rejoin: run-length list offsets over the
+        # kept rows + the C++ binary_join kernel (no per-group Python)
+        kid = kept["doc_id"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, kid[1:] != kid[:-1]])
+        offs = np.concatenate((starts, [len(kid)])).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, pa.int64()),
+            pa.array(kept["chunk_text"].to_numpy(dtype=object),
+                     pa.string()),
+        )
+        joined = pd.DataFrame({
+            "doc_id": kid[starts] if len(kid) else np.empty(0, np.int64),
+            "clean_text": pc.binary_join(
+                lists, pa.scalar(" ")).to_numpy(zero_copy_only=False),
+        })
+        base = cdf.groupby("doc_id", as_index=False).size().rename(
+            columns={"size": "n_total"})
+        n_kept = kept.groupby("doc_id", as_index=False).size().rename(
+            columns={"size": "n_kept"})
+        out = base.merge(joined, on="doc_id", how="left").merge(
+            n_kept, on="doc_id", how="left")
+        out["clean_text"] = out["clean_text"].fillna("")
+        out["n_removed"] = (
+            out["n_total"] - out["n_kept"].fillna(0)).astype(np.int64)
+        return _typed_table_text(out[["doc_id", "clean_text", "n_removed"]],
+                                 out_schema)
+
+    return joins.partitioned_map(both, ["doc_id"], rebuild,
+                                 num_partitions)
+
+
+def _typed_table_text(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
+    return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# duplicate n-gram repetition stats (the Gopher repetition filters)
+# ---------------------------------------------------------------------------
+
+def dup_ngram_stats_batch(t: pa.Table, n: int = 3) -> pa.Table:
+    """Per-document duplicate-n-gram statistics (the Gopher /
+    MassiveText repetition signals): over the document's token
+    n-grams, count occurrences belonging to an n-gram that appears
+    more than once, and the duplicate fraction scaled to e6.
+
+    Entirely map-side — zero shuffle at any corpus size; the whole
+    batch is processed as ONE flat token buffer: per-token 64-bit
+    digest pairs, a rolling combine over `n` consecutive tokens,
+    one lexsort over (doc, g1, g2), run-length counts, and a bincount
+    scatter back to documents. No per-document Python loop.
+
+    Documents with fewer than `n` tokens emit no row (SQL parity:
+    the generate_series explode is empty). Output:
+    (doc_id, n_grams, dup_occ, dup_frac_e6)."""
+    ids = t["doc_id"].combine_chunks()
+    toks, offs = _split_tokens(t["text"])
+    nt = np.diff(offs)
+    m = nt - (n - 1)
+    m = np.where(m > 0, m, 0)
+    flat = toks.values.to_numpy(zero_copy_only=False)
+    th1 = pd.util.hash_array(flat, hash_key=_PASSAGE_KEY1)
+    th2 = pd.util.hash_array(flat, hash_key=_PASSAGE_KEY2)
+    idx = _multi_arange(offs[:-1], m)
+    did = np.repeat(np.arange(len(nt), dtype=np.int64), m)
+    g1 = np.zeros(len(idx), dtype=np.uint64)
+    g2 = np.zeros(len(idx), dtype=np.uint64)
+    P = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        for j in range(n):  # n is a small constant (3), not data-sized
+            g1 = g1 * P + th1[idx + j]
+            g2 = g2 * P + th2[idx + j]
+    order = np.lexsort((g2, g1, did))
+    sd, s1, s2 = did[order], g1[order], g2[order]
+    new = np.r_[True, (sd[1:] != sd[:-1]) | (s1[1:] != s1[:-1])
+                 | (s2[1:] != s2[:-1])]
+    run_start = np.flatnonzero(new)
+    run_len = np.diff(np.concatenate((run_start, [len(sd)])))
+    dup = run_len > 1
+    dup_occ = np.bincount(sd[run_start[dup]], weights=run_len[dup],
+                          minlength=len(nt)).astype(np.int64)
+    keep = m > 0
+    n_grams = m[keep].astype(np.int64)
+    occ = dup_occ[keep]
+    frac = np.floor(1_000_000.0 * occ / n_grams + 0.5).astype(np.int64)
+    return pa.table({
+        "doc_id": ids.filter(pa.array(keep)),
+        "n_grams": pa.array(n_grams),
+        "dup_occ": pa.array(occ),
+        "dup_frac_e6": pa.array(frac),
+    })
