@@ -73,6 +73,28 @@ def derive_lonlat_sql(key_expr: str) -> tuple[str, str]:
     return lon, lat
 
 
+def derive_units(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The INTEGER 1e-7-degree units underlying :func:`derive_lonlat`
+    (lon_u in [0, 3.6e9), lat_u in [0, 1.7e9)) — for operators that
+    need exact integer geometry (orientation tests, lattice binning)
+    with a bit-exact SQL twin and no float in the compare path."""
+    k = np.asarray(keys, dtype=np.uint64)
+    h1 = (k * np.uint64(_HASH_MULT)) % np.uint64(_MOD32)
+    h2 = (h1 * h1) % np.uint64(_MOD32)
+    lon_u = ((h1 * np.uint64(_KNUTH)) // np.uint64(_MOD32)).astype(np.int64)
+    lat_u = ((h2 * np.uint64(_LAT_SPAN)) // np.uint64(_MOD32)).astype(np.int64)
+    return lon_u, lat_u
+
+
+def derive_units_sql(key_expr: str) -> tuple[str, str]:
+    """SQL expressions computing exactly :func:`derive_units`."""
+    h1 = f"((({key_expr})::HUGEINT * {_HASH_MULT}) % {_MOD32})"
+    h2 = f"(({h1}::HUGEINT * {h1}) % {_MOD32})"
+    lon_u = f"((({h1}::HUGEINT * {_KNUTH}) // {_MOD32})::BIGINT)"
+    lat_u = f"((({h2}::HUGEINT * {_LAT_SPAN}) // {_MOD32})::BIGINT)"
+    return lon_u, lat_u
+
+
 # ---------------------------------------------------------------------------
 # cell grid
 # ---------------------------------------------------------------------------

@@ -9158,3 +9158,10 @@ QUERIES = {
     "cum_distinct": q_cum_distinct,
     "kmeans": q_kmeans,
 }
+
+# wave-5 catalog (kept in its own module; merged here so the driver
+# sees one registry)
+from oluray.pipelines import queries_wave5 as _wave5  # noqa: E402
+
+QUERIES.update(_wave5.QUERIES)
+ORACLE.update(_wave5.ORACLE)
