@@ -183,3 +183,31 @@ def phash64(pixels: np.ndarray) -> int:
     for b in bits:
         val = (val << 1) | int(b)
     return val - 2**63 if val >= 2**63 else val  # int64 range
+
+
+_FJQ_MAGIC = b"FJQ1"  # parameterized-quantization container magic
+
+
+def encode_quantized(pixels: np.ndarray, bits: int) -> bytes:
+    """Parameterized lossy stand-in: quantize to `bits` bits/channel
+    then zlib — the rate/distortion knob `encode_fake_jpeg` fixes at
+    6 bits. Uniform quantization step 2^(8-bits) gives a predictable
+    PSNR ladder (7 -> ~48.1 dB, 6 -> ~42.7, 5 -> ~36.6, 4 -> ~30.7),
+    so adaptive-recompression logic exercises a REAL accept/reject
+    boundary around the 40 dB contract."""
+    if not 1 <= bits <= 8:
+        raise ValueError(f"bits must be in [1, 8], got {bits}")
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    shift = 8 - bits
+    q = (px >> shift) << shift
+    return (_FJQ_MAGIC + struct.pack(">IIB", w, h, bits)
+            + zlib.compress(q.tobytes(), 6))
+
+
+def decode_quantized(data: bytes) -> np.ndarray:
+    if data[:4] != _FJQ_MAGIC:
+        raise ValueError("not a FJQ payload")
+    w, h, _bits = struct.unpack(">IIB", data[4:13])
+    return np.frombuffer(
+        zlib.decompress(data[13:]), dtype=np.uint8).reshape(h, w, 3)

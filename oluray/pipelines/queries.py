@@ -9159,9 +9159,12 @@ QUERIES = {
     "kmeans": q_kmeans,
 }
 
-# wave-5 catalog (kept in its own module; merged here so the driver
-# sees one registry)
+# wave-5/6 catalogs (kept in their own modules; merged here so the
+# driver sees one registry)
 from oluray.pipelines import queries_wave5 as _wave5  # noqa: E402
+from oluray.pipelines import queries_wave6 as _wave6  # noqa: E402
 
 QUERIES.update(_wave5.QUERIES)
 ORACLE.update(_wave5.ORACLE)
+QUERIES.update(_wave6.QUERIES)
+ORACLE.update(_wave6.ORACLE)

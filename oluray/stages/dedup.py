@@ -997,3 +997,106 @@ def incremental_exact_dedup(docs, seen_dir: str, id_col: str = "doc_id",
         _os.makedirs(seen_dir, exist_ok=True)
         fresh.select_columns(["text_hash"]).write_parquet(seen_dir)
     return fresh
+
+
+def ngram_containment_pairs(docs, n: int = 8, threshold_e6: int = 500000,
+                            num_partitions: int = 64):
+    """DIRECTED n-gram containment pairs: (doc_sub, doc_sup) where
+    |grams(sub) ∩ grams(sup)| / |grams(sub)| >= threshold — the
+    near-SUBSET detector Jaccard structurally misses (a paragraph
+    quoted inside a much longer page has high containment but low
+    Jaccard because the union is dominated by the superset). Same
+    distributed skeleton as :func:`ngram_jaccard_pairs` (distinct-gram
+    explode -> per-gram-partition UNORDERED pair partials -> grouped
+    |A∩B| -> two hash joins against per-doc gram counts); the finish
+    step then emits up to TWO directed rows per unordered pair, each
+    thresholded against ITS OWN subset-side count — so the shuffle
+    still carries each candidate pair once. Integer containment_e6 =
+    n_inter * 1e6 // cnt_sub (scaled-int division, bit-exact in SQL).
+    """
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out: list[np.ndarray] = []
+        grams_out: list[list[str]] = []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"]):
+            t = txt or ""
+            gs = list({t[i:i + n] for i in range(max(len(t) - n + 1, 0))})
+            if gs:
+                ids_out.append(np.full(len(gs), did, dtype=np.int64))
+                grams_out.append(gs)
+        if not ids_out:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "gram": pd.Series([], dtype="object")})
+        return pd.DataFrame(
+            {"doc_id": np.concatenate(ids_out),
+             "gram": np.concatenate(
+                 [np.asarray(g, dtype=object) for g in grams_out])})
+
+    gram_rows = docs.map_batches(
+        explode, batch_format="pandas", batch_size=512
+    ).materialize()  # feeds counts AND pair partials (see jaccard twin)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def count_total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False)["cnt"].sum()
+
+    counts = joins.grouped_agg(
+        gram_rows, ["doc_id"], count_total, num_partitions=num_partitions,
+        combine_fn=count_partial, pre_repartition=False,
+    ).materialize()
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="gram")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        g = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+        return g.rename(
+            columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b", "size": "c"})
+
+    partials = joins.partitioned_map(
+        gram_rows, ["gram"], pair_partial, num_partitions=num_partitions,
+        pre_repartition=False)
+
+    def inter_total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False)["c"].sum()
+        return g.rename(columns={"c": "n_inter"})
+
+    inter = joins.grouped_agg(
+        partials, ["doc_a", "doc_b"], inter_total,
+        num_partitions=num_partitions, combine_fn=None)
+
+    _INTER = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                        ("n_inter", pa.int64())])
+    _CNT = pa.schema([("doc_id", pa.int64()), ("cnt", pa.int64())])
+    j1 = joins.hash_join(
+        inter, counts, on="doc_a", right_on="doc_id",
+        num_partitions=num_partitions, left_schema=_INTER, right_schema=_CNT)
+    _J1 = pa.schema(list(_INTER) + [pa.field("cnt", pa.int64())])
+    j2 = joins.hash_join(
+        j1, counts, on="doc_b", right_on="doc_id",
+        num_partitions=num_partitions, left_schema=_J1, right_schema=_CNT)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ia = t["n_inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["cnt_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # two directed candidates per unordered pair
+        sub = np.concatenate([da, db])
+        sup = np.concatenate([db, da])
+        csub = np.concatenate([ca, cb])
+        ii = np.concatenate([ia, ia])
+        keep = (csub > 0) & (ii * 1000000 >= threshold_e6 * csub)
+        cont = np.zeros(len(ii), dtype=np.int64)
+        nz = csub > 0
+        cont[nz] = (ii[nz] * 1000000) // csub[nz]
+        return pa.table(
+            {"doc_sub": pa.array(sub[keep]), "doc_sup": pa.array(sup[keep]),
+             "n_inter": pa.array(ii[keep]), "cnt_sub": pa.array(csub[keep]),
+             "containment_e6": pa.array(cont[keep])})
+
+    return j2.map_batches(finish, batch_format="pyarrow")

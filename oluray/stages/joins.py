@@ -1583,3 +1583,81 @@ def bfs_hops(
         labels = labels.union(fresh).materialize()
         frontier = fresh
     return labels
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    a_col: str = "ka",
+    b_col: str = "kb",
+    rounds: int = 4,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Synchronous label propagation (community detection) — the
+    modularity-seeking sibling of :func:`connected_components` (CC
+    merges everything reachable; LPA splits a component into dense
+    communities). Deterministic update rule so runs are reproducible:
+    each node takes the label with MAX frequency among its neighbors'
+    labels, ties broken by MIN label; labels start as node ids;
+    exactly `rounds` synchronous sweeps (the usual 3-5 — LPA has no
+    stable fixpoint under sync updates, so a fixed budget IS the
+    published algorithm).
+
+    Per round: one hash join (labels onto edge sources) + one grouped
+    vote with a per-block (dst, label) count combiner — the shuffle
+    carries distinct (dst, label) pairs per block, not edges. Labels
+    re-materialize per round with a block-count clamp (the CC
+    lesson: Ray groupbys multiply block counts round over round).
+    Only nodes with at least one edge appear (the cc_labels
+    contract); returns (node, label)."""
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    E = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["dst"].drop_duplicates().to_numpy(np.int64)
+        return pd.DataFrame({"node": n, "label": n})
+
+    labels = partitioned_map(
+        E.select_columns(["dst"]).map_batches(
+            lambda d: d.drop_duplicates(), batch_format="pandas"),
+        ["dst"], init, num_partitions=num_partitions,
+        pre_repartition=False,
+    ).materialize()
+
+    _EDGE = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    _LAB = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def vote_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["dst", "label"], as_index=False).size().rename(
+            columns={"size": "c"})
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "label": pd.Series([], dtype="int64")})
+        g = df.groupby(["dst", "label"], as_index=False)["c"].sum()
+        g = g.sort_values(["dst", "c", "label"],
+                          ascending=[True, False, True], kind="mergesort")
+        w = g.drop_duplicates("dst")
+        return pd.DataFrame({"node": w["dst"].to_numpy(np.int64),
+                             "label": w["label"].to_numpy(np.int64)})
+
+    for _ in range(rounds):
+        j = hash_join(
+            E, labels, on="src", right_on="node",
+            num_partitions=num_partitions,
+            left_schema=_EDGE, right_schema=_LAB,
+        ).select_columns(["dst", "label"])
+        labels = grouped_agg(
+            j, ["dst"], pick, num_partitions=num_partitions,
+            combine_fn=vote_combine,
+        ).repartition(num_partitions).materialize()
+
+    return labels
