@@ -9163,8 +9163,8 @@ QUERIES = {
 # driver sees one registry)
 from oluray.pipelines import queries_wave5 as _wave5  # noqa: E402
 from oluray.pipelines import queries_wave6 as _wave6  # noqa: E402
+from oluray.pipelines import queries_wave7 as _wave7  # noqa: E402
 
-QUERIES.update(_wave5.QUERIES)
-ORACLE.update(_wave5.ORACLE)
-QUERIES.update(_wave6.QUERIES)
-ORACLE.update(_wave6.ORACLE)
+for _w in (_wave5, _wave6, _wave7):
+    QUERIES.update(_w.QUERIES)
+    ORACLE.update(_w.ORACLE)

@@ -419,3 +419,46 @@ def join_size_estimate(
     per_row = (ca.astype(np.float64) * cb.astype(np.float64)).sum(axis=1)
     return {"estimate": int(per_row.min()),
             "per_row": [int(x) for x in per_row]}
+
+
+# ---------------------------------------------------------------------------
+# DGIM sliding-window counting (Datar-Gionis-Indyk-Motwani)
+# ---------------------------------------------------------------------------
+
+DGIM_R = 4  # max buckets per size => relative error <= 1/(2*(R-1))
+
+
+def dgim_update(buckets: list[tuple[int, int]], ts: int,
+                r: int = DGIM_R) -> list[tuple[int, int]]:
+    """Fold one hit at timestamp `ts` into a DGIM bucket list
+    ((newest_ts, size), newest first; sizes are powers of two and
+    non-decreasing toward the tail). Whenever more than `r` buckets
+    share a size, the two OLDEST of that size merge into one of
+    double size — the cascade walks sizes upward, so state is
+    O(r log n) per key and no event is ever stored individually."""
+    buckets = [(ts, 1)] + buckets
+    size = 1
+    while True:
+        idxs = [k for k, (_, s) in enumerate(buckets) if s == size]
+        if len(idxs) <= r:
+            break
+        ia, ib = idxs[-1], idxs[-2]  # the two oldest of this size
+        merged = (max(buckets[ia][0], buckets[ib][0]), size * 2)
+        buckets = [b for k, b in enumerate(buckets) if k not in (ia, ib)]
+        pos = 0
+        while pos < len(buckets) and buckets[pos][0] > merged[0]:
+            pos += 1
+        buckets.insert(pos, merged)
+        size *= 2
+    return buckets
+
+
+def dgim_query(buckets: list[tuple[int, int]], cutoff_ts: int) -> int:
+    """Estimate hits with ts >= cutoff: all buckets whose newest ts is
+    inside the window count fully except the OLDEST such bucket,
+    which counts half (rounded up) — the canonical DGIM estimator,
+    relative error <= 1/(2*(R-1)) for R buckets per size."""
+    inside = [s for t, s in buckets if t >= cutoff_ts]
+    if not inside:
+        return 0
+    return sum(inside[:-1]) + (inside[-1] + 1) // 2

@@ -1218,3 +1218,53 @@ def dup_ngram_stats_batch(t: pa.Table, n: int = 3) -> pa.Table:
         "dup_occ": pa.array(occ),
         "dup_frac_e6": pa.array(frac),
     })
+
+
+class BpeApply:
+    """Apply learned BPE merge rules (from :func:`bpe_merges`) to the
+    token stream — the tokenizer-APPLY op that pairs with the trainer.
+    The rule list is vocab-sized state handed to the constructor (the
+    broadcast small side: at scale pass it via `fn_constructor_args`
+    after one `ray.put`); each ACTOR memoizes word -> symbol-count
+    across every batch it sees, so a word's merge walk runs once per
+    actor, not once per occurrence (the Zipf head dominates real
+    corpora). Emits (doc_id, n_bpe_tokens)."""
+
+    def __init__(self, merges: list[tuple[str, str]]) -> None:
+        self._merges = [(str(lft), str(rgt)) for lft, rgt in merges]
+        self._memo: dict[str, int] = {}
+
+    def _n_syms(self, word: str) -> int:
+        got = self._memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        for lft, rgt in self._merges:
+            i, res = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                    res.append(lft + rgt)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+            if len(syms) == 1:
+                break
+        self._memo[word] = len(syms)
+        return len(syms)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        tok = _explode_terms(batch)
+        if len(tok) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_bpe_tokens": pd.Series([], dtype="int64")})
+        uniq, inv = np.unique(tok["term"].to_numpy(dtype=object),
+                              return_inverse=True)
+        per_word = np.fromiter((self._n_syms(w) for w in uniq),
+                               np.int64, len(uniq))
+        tok = tok.assign(n=per_word[inv])
+        g = tok.groupby("doc_id", as_index=False)["n"].sum().rename(
+            columns={"n": "n_bpe_tokens"})
+        g["n_bpe_tokens"] = g["n_bpe_tokens"].astype("int64")
+        return g
