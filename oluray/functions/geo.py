@@ -619,3 +619,76 @@ def seg_cross_sql_expr(
             f"((({d1} > 0) <> ({d2} > 0)) AND (({d3} > 0) <> ({d4} > 0)))"
         )
     return "(" + " OR ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Hilbert space-filling curve (xy -> d), SQL-reproducible
+# ---------------------------------------------------------------------------
+
+def hilbert_encode(gx: np.ndarray, gy: np.ndarray, order: int = 8) -> np.ndarray:
+    """Hilbert-curve index d of grid cells (gx, gy) in a 2^order x
+    2^order grid — the locality-preserving alternative to the
+    Z-order (`zorder_cells`): consecutive d values are ALWAYS
+    edge-adjacent cells (Z-order jumps at quadrant seams), which is
+    why Hilbert keys shrink the range-query tile spread at scale.
+
+    Canonical bit-twiddling transform (Wikipedia "Hilbert curve",
+    public domain C): per bit-plane s, accumulate the quadrant digit
+    (3*rx) XOR ry and rotate/flip the frame. Pure int64 numpy, no
+    loop over rows (the loop is over `order` bit planes);
+    :func:`hilbert_encode_sql` unrolls the identical steps so DuckDB
+    reproduces it bit-for-bit."""
+    n = 1 << order
+    x = np.asarray(gx, dtype=np.int64).copy()
+    y = np.asarray(gy, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        flip = (ry == 0) & (rx == 1)
+        xf = np.where(flip, (n - 1) - x, x)
+        yf = np.where(flip, (n - 1) - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
+        s >>= 1
+    return d
+
+
+def hilbert_encode_sql(gx_expr: str, gy_expr: str, order: int = 8,
+                       key_col: str = "c_custkey",
+                       src: str = "customer") -> str:
+    """CTE chain computing exactly :func:`hilbert_encode` — one
+    rotate/flip step per bit plane, unrolled (integer CASE arithmetic
+    only, no floats). Returns a query with columns
+    (key_col, gx, gy, hd)."""
+    n = 1 << order
+    parts = [
+        f"p{n} AS (SELECT {key_col}, ({gx_expr})::BIGINT AS gx,"
+        f" ({gy_expr})::BIGINT AS gy, ({gx_expr})::BIGINT AS x,"
+        f" ({gy_expr})::BIGINT AS y, 0::BIGINT AS d FROM {src})"
+    ]
+    s = n >> 1
+    prev = n
+    while s > 0:
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        parts.append(
+            f"r{s} AS (SELECT {key_col}, gx, gy, x, y, d,"
+            f" {rx} AS rx, {ry} AS ry FROM p{prev})"
+        )
+        digit = ("(CASE WHEN rx = 0 AND ry = 0 THEN 0"
+                 " WHEN rx = 0 THEN 1 WHEN ry = 0 THEN 3 ELSE 2 END)")
+        newx = (f"(CASE WHEN ry = 1 THEN x WHEN rx = 1"
+                f" THEN {n - 1} - y ELSE y END)")
+        newy = (f"(CASE WHEN ry = 1 THEN y WHEN rx = 1"
+                f" THEN {n - 1} - x ELSE x END)")
+        parts.append(
+            f"p{s} AS (SELECT {key_col}, gx, gy, {newx} AS x,"
+            f" {newy} AS y, d + {s * s} * {digit} AS d FROM r{s})"
+        )
+        prev = s
+        s >>= 1
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT {key_col}, gx, gy, d AS hd FROM p{prev}")

@@ -1100,3 +1100,186 @@ def ngram_containment_pairs(docs, n: int = 8, threshold_e6: int = 500000,
              "containment_e6": pa.array(cont[keep])})
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_prefix_jaccard_pairs(docs, n: int = 6, threshold_e6: int = 150000,
+                               num_partitions: int = 64):
+    """PPJoin-style PREFIX-FILTERED exact Jaccard pairs — the same
+    output contract as :func:`ngram_jaccard_pairs` (doc_a < doc_b,
+    jaccard_e6 >= threshold, integer-exact) but with the scale-path
+    candidate generation of Chaudhuri/Xiao's prefix filter: order
+    every doc's gram set by GLOBAL (df, gram) ascending (rarest
+    first) and self-join only each doc's first
+    L = |g| - ceil(tau*|g|) + 1 grams. Guarantee: if J(A,B) >= tau
+    then |A∩B| >= ceil(tau*max(|A|,|B|)), so the globally-smallest
+    common gram sits inside BOTH prefixes — no pair is missed.
+
+    Why it scales where the brute operator doesn't: the brute
+    pair-emission is quadratic in per-gram document frequency and the
+    most frequent grams dominate; here frequent grams fall at the END
+    of the global order and drop out of every prefix, so candidate
+    cost tracks the RARE-gram co-occurrence mass, and verification
+    cost is candidate-proportional (one gram-partitioned count join
+    per candidate pair), never all-pairs.
+
+    Stages (all Dataset-native, driver sees nothing corpus-sized):
+      1. distinct gram explode (shared with the brute operator);
+      2. per-gram df via grouped_agg; joined back gram-side;
+      3. per-doc prefix selection (partitioned sort + cumcount head);
+      4. prefix self-join per gram partition -> distinct candidates;
+      5. exact verify: candidates x doc_a grams, matched against
+         doc_b's gram rows inside gram partitions -> n_inter;
+      6. the brute operator's integer finish (jaccard_e6 =
+         |A∩B|*1e6 // |A∪B|, never a rounded float)."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out: list[np.ndarray] = []
+        grams_out: list[list[str]] = []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"]):
+            t = txt or ""
+            gs = list({t[i:i + n] for i in range(max(len(t) - n + 1, 0))})
+            if gs:
+                ids_out.append(np.full(len(gs), did, dtype=np.int64))
+                grams_out.append(gs)
+        if not ids_out:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "gram": pd.Series([], dtype="object")})
+        return pd.DataFrame(
+            {"doc_id": np.concatenate(ids_out),
+             "gram": np.concatenate(
+                 [np.asarray(g, dtype=object) for g in grams_out])})
+
+    gram_rows = docs.map_batches(
+        explode, batch_format="pandas", batch_size=512).materialize()
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def count_total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False)["cnt"].sum()
+
+    counts = joins.grouped_agg(
+        gram_rows, ["doc_id"], count_total, num_partitions=num_partitions,
+        combine_fn=count_partial, pre_repartition=False).materialize()
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram", as_index=False).size()
+        return g.rename(columns={"size": "df"})
+
+    def df_total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("gram", as_index=False)["df"].sum()
+
+    gram_df = joins.grouped_agg(
+        gram_rows, ["gram"], df_total, num_partitions=num_partitions,
+        combine_fn=df_partial, pre_repartition=False)
+
+    _GR = pa.schema([("doc_id", pa.int64()), ("gram", pa.string())])
+    _DF = pa.schema([("gram", pa.string()), ("df", pa.int64())])
+    ranked = joins.hash_join(gram_rows, gram_df, on="gram",
+                             num_partitions=num_partitions,
+                             left_schema=_GR, right_schema=_DF)
+
+    def take_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "gram": pd.Series([], dtype="object")})
+        df = df.sort_values(["doc_id", "df", "gram"], kind="mergesort")
+        pos = df.groupby("doc_id").cumcount()
+        tot = df.groupby("doc_id")["gram"].transform("size")
+        # L = cnt - ceil(tau*cnt) + 1, integer ceil at e6 scale
+        lim = tot - (threshold_e6 * tot + 999_999) // 1_000_000 + 1
+        keep = pos.to_numpy() < lim.to_numpy()
+        return df.loc[keep, ["doc_id", "gram"]]
+
+    prefix = joins.partitioned_map(ranked, ["doc_id"], take_prefix,
+                                   num_partitions=num_partitions)
+
+    def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="gram")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        return out.rename(columns={"doc_id_x": "doc_a",
+                                   "doc_id_y": "doc_b"})
+
+    cand = joins.distinct(
+        joins.partitioned_map(prefix, ["gram"], cand_pairs,
+                              num_partitions=num_partitions),
+        ["doc_a", "doc_b"], num_partitions=num_partitions)
+
+    # verify: replicate each candidate across doc_a's grams, then count
+    # matches against doc_b's gram rows inside gram partitions
+    _CAND = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    probes = joins.hash_join(cand, gram_rows, on="doc_a",
+                             right_on="doc_id",
+                             num_partitions=num_partitions,
+                             left_schema=_CAND, right_schema=_GR)
+
+    def pad_probe(t: pa.Table) -> pa.Table:
+        nr = len(t)
+        return pa.table({
+            "gram": t["gram"], "doc_a": t["doc_a"], "doc_b": t["doc_b"],
+            "doc_id": pa.nulls(nr, pa.int64())})
+
+    def pad_gram(t: pa.Table) -> pa.Table:
+        nr = len(t)
+        return pa.table({
+            "gram": t["gram"], "doc_a": pa.nulls(nr, pa.int64()),
+            "doc_b": pa.nulls(nr, pa.int64()),
+            "doc_id": t["doc_id"]})
+
+    both = probes.map_batches(pad_probe, batch_format="pyarrow").union(
+        gram_rows.map_batches(pad_gram, batch_format="pyarrow"))
+
+    def inter_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pr = df[df["doc_a"].notna()]
+        gr = df[df["doc_id"].notna()]
+        if len(pr) == 0 or len(gr) == 0:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        m = pr[["gram", "doc_a", "doc_b"]].merge(
+            gr[["gram", "doc_id"]],
+            left_on=["gram", "doc_b"], right_on=["gram", "doc_id"])
+        g = m.groupby(["doc_a", "doc_b"], as_index=False).size()
+        out = g.rename(columns={"size": "c"})
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "c": "int64"})
+
+    partials = joins.partitioned_map(both, ["gram"], inter_partial,
+                                     num_partitions=num_partitions)
+
+    def inter_total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False)["c"].sum()
+        return g.rename(columns={"c": "n_inter"})
+
+    inter = joins.grouped_agg(partials, ["doc_a", "doc_b"], inter_total,
+                              num_partitions=num_partitions)
+
+    _INTER = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                        ("n_inter", pa.int64())])
+    _CNT = pa.schema([("doc_id", pa.int64()), ("cnt", pa.int64())])
+    j1 = joins.hash_join(inter, counts, on="doc_a", right_on="doc_id",
+                         num_partitions=num_partitions,
+                         left_schema=_INTER, right_schema=_CNT)
+    _J1 = pa.schema(list(_INTER) + [pa.field("cnt", pa.int64())])
+    j2 = joins.hash_join(j1, counts, on="doc_b", right_on="doc_id",
+                         num_partitions=num_partitions,
+                         left_schema=_J1, right_schema=_CNT)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ia = t["n_inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["cnt_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = ca + cb - ia
+        keep = ia * 1000000 >= threshold_e6 * union
+        jac = np.zeros(len(ia), dtype=np.int64)
+        nz = union > 0
+        jac[nz] = (ia[nz] * 1000000) // union[nz]
+        return pa.table(
+            {"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+             "n_inter": pa.array(ia), "n_union": pa.array(union),
+             "jaccard_e6": pa.array(jac)}).filter(pa.array(keep))
+
+    return j2.map_batches(finish, batch_format="pyarrow")

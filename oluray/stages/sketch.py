@@ -462,3 +462,63 @@ def dgim_query(buckets: list[tuple[int, int]], cutoff_ts: int) -> int:
     if not inside:
         return 0
     return sum(inside[:-1]) + (inside[-1] + 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values / bottom-k) distinct sketch
+# ---------------------------------------------------------------------------
+
+def kmv_minima(ds: "ray.data.Dataset", col: str, k: int = 256) -> np.ndarray:
+    """One streaming scan -> the sorted k smallest distinct 64-bit
+    hash values of an int64 key column (the bottom-k / KMV sketch,
+    Bar-Yossef et al.). Mergeable exactly like HLL registers — the
+    union sketch is the k smallest of the concatenated minima — and
+    unlike HLL it supports DIRECT intersection estimation via the
+    resemblance of two signatures (min-wise property), which is what
+    `kmv_intersect_estimate` uses. Per-block combiner keeps each
+    block's bottom-k only, so driver traffic is k * block count."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def block_mins(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"h": pd.Series([], dtype="uint64")})
+        h = _mix64(
+            df[col].to_numpy(dtype=np.int64, na_value=0).view(np.uint64))
+        h = np.unique(h)  # sorted distinct
+        return pd.DataFrame({"h": h[:k]})
+
+    mapped = ds.select_columns([col]).map_batches(
+        block_mins, batch_format="pandas")
+    acc = np.array([], dtype=np.uint64)
+    for b in mapped.iter_batches(batch_format="pandas", batch_size=4096):
+        acc = np.unique(np.concatenate([acc, b["h"].to_numpy()]))[:k]
+    return acc
+
+
+def kmv_estimate(minima: np.ndarray, k: int = 256) -> float:
+    """Distinct-count estimate: if fewer than k distinct hashes were
+    ever seen the sketch IS the exact distinct set; else the k-th
+    minimum's normalized rank gives (k-1) / h_(k) (unbiased)."""
+    if len(minima) < k:
+        return float(len(minima))
+    hk = float(minima[k - 1]) / float(2**64)
+    if hk <= 0.0:
+        return float(k)
+    return (k - 1) / hk
+
+
+def kmv_intersect_estimate(
+    ma: np.ndarray, mb: np.ndarray, k: int = 256,
+) -> float:
+    """|A ∩ B| estimate from two KMV signatures: take the union
+    sketch's bottom-k, measure the fraction of those that appear in
+    BOTH signatures (the min-wise resemblance rho), and scale the
+    union estimate — rho * |A ∪ B|. Direct (no inclusion-exclusion
+    cancellation), the KMV advantage over HLL intersection."""
+    u = np.unique(np.concatenate([ma, mb]))[:k]
+    if len(u) == 0:
+        return 0.0
+    both = np.intersect1d(ma, mb, assume_unique=True)
+    rho = np.isin(u, both, assume_unique=True).sum() / len(u)
+    return float(rho) * kmv_estimate(u, k)
