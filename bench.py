@@ -369,6 +369,12 @@ def run_bench() -> dict:
         # image-decode compute stage (bytes never leave the decode task)
         ("bloom_join", Q.q_bloom_join),
         ("tile_color", Q.q_tile_color),
+        # r4 waves 8-10: interval stream-stream join (bucketed ghosts),
+        # SCD2 change-history, raster gradient, Hilbert keys
+        ("stream_join", Q.QUERIES["stream_join"]),
+        ("scd2_history", Q.QUERIES["scd2_history"]),
+        ("slope_aspect", Q.QUERIES["slope_aspect"]),
+        ("hilbert_cells", Q.QUERIES["hilbert_cells"]),
     ]
     for name, fn in bench_queries:
         # best of 2: this shared-host VM shows +/-2-3x run-to-run noise

@@ -1119,16 +1119,27 @@ def ngram_prefix_jaccard_pairs(docs, n: int = 6, threshold_e6: int = 150000,
     most frequent grams dominate; here frequent grams fall at the END
     of the global order and drop out of every prefix, so candidate
     cost tracks the RARE-gram co-occurrence mass, and verification
-    cost is candidate-proportional (one gram-partitioned count join
-    per candidate pair), never all-pairs.
+    cost is candidate-proportional (one sorted-set merge per
+    candidate), never all-pairs. Degenerate regime, documented
+    honestly: at LOW tau over a corpus where random pairs already
+    share grams (the sandbox's 30-word-vocab synthetic), prefixes
+    approach the full gram sets and candidates approach all pairs —
+    exactness is unchanged but the win over brute shrinks; the
+    measured sparse-duplicate regime (BASELINE.md r4) is where the
+    filter pays.
 
     Stages (all Dataset-native, driver sees nothing corpus-sized):
       1. distinct gram explode (shared with the brute operator);
       2. per-gram df via grouped_agg; joined back gram-side;
       3. per-doc prefix selection (partitioned sort + cumcount head);
-      4. prefix self-join per gram partition -> distinct candidates;
-      5. exact verify: candidates x doc_a grams, matched against
-         doc_b's gram rows inside gram partitions -> n_inter;
+      4. prefix self-join per gram partition -> candidates with
+         shared-prefix counts -> PPJoin count filter
+         (s + |A|-L_A + |B|-L_B >= alpha) drops impossible pairs
+         without verification;
+      5. exact verify via SET-PAYLOAD co-partitioning: each doc's
+         sorted gram array ships at most once per partition that
+         needs it (never once per pair); per-pair np.intersect1d
+         is the irreducible exact-merge cost;
       6. the brute operator's integer finish (jaccard_e6 =
          |A∩B|*1e6 // |A∪B|, never a rounded float)."""
 
@@ -1199,63 +1210,172 @@ def ngram_prefix_jaccard_pairs(docs, n: int = 6, threshold_e6: int = 150000,
     def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
         m = df.merge(df, on="gram")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
-        return out.rename(columns={"doc_id_x": "doc_a",
-                                   "doc_id_y": "doc_b"})
+        g = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+        out = g.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b",
+                                "size": "s"})
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "s": "int64"})
 
-    cand = joins.distinct(
+    def s_total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_a", "doc_b"], as_index=False)["s"].sum()
+
+    # candidate pairs WITH their shared-prefix-gram count s — the
+    # input to PPJoin's count filter below
+    cand_s = joins.grouped_agg(
         joins.partitioned_map(prefix, ["gram"], cand_pairs,
                               num_partitions=num_partitions),
-        ["doc_a", "doc_b"], num_partitions=num_partitions)
+        ["doc_a", "doc_b"], s_total, num_partitions=num_partitions)
 
-    # verify: replicate each candidate across doc_a's grams, then count
-    # matches against doc_b's gram rows inside gram partitions
-    _CAND = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-    probes = joins.hash_join(cand, gram_rows, on="doc_a",
+    # count filter (the load-bearing PPJoin prune): every common gram
+    # not among the s shared PREFIX grams is missing from at least one
+    # prefix, i.e. lies in A's or B's suffix, so
+    #   |A∩B| <= s + (|A| - L_A) + (|B| - L_B);
+    # and J >= tau  <=>  |A∩B| >= alpha = ceil(tau*(|A|+|B|)/(1+tau)).
+    # Pairs whose upper bound misses alpha are dropped WITHOUT
+    # verification — this is what collapses the one-rare-gram-in-
+    # common noise candidates that dominate a low-overlap corpus.
+    # (The length filter tau*|A| <= |B| is implied by this bound.)
+    _CS = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                     ("s", pa.int64())])
+    _CNT = pa.schema([("doc_id", pa.int64()), ("cnt", pa.int64())])
+    cs1 = joins.hash_join(cand_s, counts, on="doc_a", right_on="doc_id",
+                          num_partitions=num_partitions,
+                          left_schema=_CS, right_schema=_CNT)
+    _CS1 = pa.schema(list(_CS) + [pa.field("cnt", pa.int64())])
+    cs2 = joins.hash_join(cs1, counts, on="doc_b", right_on="doc_id",
+                          num_partitions=num_partitions,
+                          left_schema=_CS1, right_schema=_CNT)
+
+    def count_filter(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["cnt_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        la = ca - (threshold_e6 * ca + 999_999) // 1_000_000 + 1
+        lb = cb - (threshold_e6 * cb + 999_999) // 1_000_000 + 1
+        denom = 1_000_000 + threshold_e6
+        alpha = (threshold_e6 * (ca + cb) + denom - 1) // denom
+        keep = s + (ca - la) + (cb - lb) >= alpha
+        return pa.table({"doc_a": t["doc_a"].filter(pa.array(keep)),
+                         "doc_b": t["doc_b"].filter(pa.array(keep))})
+
+    cand = cs2.map_batches(count_filter, batch_format="pyarrow")
+
+    # ---- verification: set-payload intersection ----------------
+    # The naive verify (replicate each candidate across doc_a's gram
+    # ROWS) ships |grams| rows PER CANDIDATE — measured 3.6e9 string
+    # rows on a 10k-doc corpus, OOM. Instead each doc's gram set
+    # travels as ONE sorted-array payload, shipped at most once per
+    # (partition, doc) that needs it: candidates co-partition with
+    # doc_b's resident set, and the distinct doc_a sets each
+    # partition needs are semi-joined in. Per-pair work is the sorted
+    # set merge itself (np.intersect1d) — the irreducible cost of an
+    # EXACT verify; data volume is candidates + <= (P+1) copies of
+    # the set table, never candidates x grams.
+    def collect_sets(df: pd.DataFrame) -> pd.DataFrame:
+        # each sorted gram set rides as ONE concatenated string blob
+        # (grams are fixed-width n, so decoding is exact slicing) —
+        # plain strings survive every pandas<->arrow block round-trip
+        # (list<string> columns come back as ndarray cells, which the
+        # next arrow conversion rejects)
+        g = df.groupby("doc_id")["gram"].apply(
+            lambda s: "".join(np.sort(s.to_numpy(dtype=object))))
+        return pd.DataFrame({"doc_id": g.index.to_numpy(np.int64),
+                             "grams": g.to_numpy(dtype=object)})
+
+    glist = joins.partitioned_map(
+        gram_rows, ["doc_id"], collect_sets,
+        num_partitions=num_partitions).materialize()
+
+    def add_part_b(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_a", "doc_b"]].copy()
+        out["part"] = out["doc_b"].to_numpy(np.int64) % num_partitions
+        return out
+
+    # pinned: cand_p feeds BOTH a_needed and the verify union — an
+    # unpinned lineage re-executes the whole candidate cascade twice
+    cand_p = cand.map_batches(add_part_b,
+                              batch_format="pandas").materialize()
+    a_needed = joins.distinct(
+        cand_p.map_batches(lambda d: d[["part", "doc_a"]],
+                           batch_format="pandas"),
+        ["part", "doc_a"], num_partitions=num_partitions)
+    a_sets = joins.hash_join(a_needed, glist, on="doc_a",
                              right_on="doc_id",
-                             num_partitions=num_partitions,
-                             left_schema=_CAND, right_schema=_GR)
+                             num_partitions=num_partitions)
 
-    def pad_probe(t: pa.Table) -> pa.Table:
-        nr = len(t)
-        return pa.table({
-            "gram": t["gram"], "doc_a": t["doc_a"], "doc_b": t["doc_b"],
-            "doc_id": pa.nulls(nr, pa.int64())})
+    def pad_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part": df["part"].astype("int64"),
+            "doc_a": df["doc_a"].astype("int64"),
+            "doc_b": df["doc_b"].astype("int64"),
+            "sid": np.full(len(df), np.nan),
+            "grams": np.full(len(df), None, dtype=object)})
 
-    def pad_gram(t: pa.Table) -> pa.Table:
-        nr = len(t)
-        return pa.table({
-            "gram": t["gram"], "doc_a": pa.nulls(nr, pa.int64()),
-            "doc_b": pa.nulls(nr, pa.int64()),
-            "doc_id": t["doc_id"]})
+    def pad_a_sets(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part": df["part"].astype("int64"),
+            "doc_a": np.full(len(df), np.nan),
+            "doc_b": np.full(len(df), np.nan),
+            "sid": df["doc_a"].astype("float64"),
+            "grams": df["grams"].to_numpy(dtype=object)})
 
-    both = probes.map_batches(pad_probe, batch_format="pyarrow").union(
-        gram_rows.map_batches(pad_gram, batch_format="pyarrow"))
+    def pad_b_sets(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part": (df["doc_id"].to_numpy(np.int64)
+                     % num_partitions),
+            "doc_a": np.full(len(df), np.nan),
+            "doc_b": np.full(len(df), np.nan),
+            "sid": df["doc_id"].astype("float64"),
+            "grams": df["grams"].to_numpy(dtype=object)})
 
-    def inter_partial(df: pd.DataFrame) -> pd.DataFrame:
+    merged = (cand_p.map_batches(pad_pairs, batch_format="pandas")
+              .union(a_sets.map_batches(pad_a_sets,
+                                        batch_format="pandas"))
+              .union(glist.map_batches(pad_b_sets,
+                                       batch_format="pandas")))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "n_inter": pd.Series([], dtype="int64")})
+        sr = df[df["sid"].notna()]
         pr = df[df["doc_a"].notna()]
-        gr = df[df["doc_id"].notna()]
-        if len(pr) == 0 or len(gr) == 0:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "c": pd.Series([], dtype="int64")})
-        m = pr[["gram", "doc_a", "doc_b"]].merge(
-            gr[["gram", "doc_id"]],
-            left_on=["gram", "doc_b"], right_on=["gram", "doc_id"])
-        g = m.groupby(["doc_a", "doc_b"], as_index=False).size()
-        out = g.rename(columns={"size": "c"})
-        return out.astype({"doc_a": "int64", "doc_b": "int64",
-                           "c": "int64"})
+        if len(pr) == 0 or len(sr) == 0:
+            return empty
+        def decode(blob: str) -> np.ndarray:
+            # ASCII fast path: the whole sorted set as ONE zero-copy
+            # fixed-width bytes view (C-speed memcmp compares; UTF-8
+            # byte order == codepoint order, so sortedness carries)
+            b = blob.encode("utf-8")
+            if len(b) == len(blob):
+                return np.frombuffer(b, dtype=f"S{n}")
+            return np.array(
+                [blob[i:i + n].encode("utf-8")
+                 for i in range(0, len(blob), n)], dtype=object)
 
-    partials = joins.partitioned_map(both, ["gram"], inter_partial,
-                                     num_partitions=num_partitions)
+        sets: dict[int, np.ndarray] = {}
+        for sid, blob in zip(sr["sid"].to_numpy(np.int64),
+                             sr["grams"].to_numpy(dtype=object)):
+            sets[int(sid)] = decode(blob)
+        aa = pr["doc_a"].to_numpy(np.int64)
+        bb = pr["doc_b"].to_numpy(np.int64)
+        ni = np.empty(len(aa), dtype=np.int64)
+        for i in range(len(aa)):
+            # both arrays pre-sorted by collect_sets: one searchsorted
+            # pass beats intersect1d's concat+argsort ~3x
+            sa, sb = sets[int(aa[i])], sets[int(bb[i])]
+            if sa.dtype != sb.dtype:  # rare non-ASCII mix
+                sa = sa.astype(object)
+                sb = sb.astype(object)
+            if len(sa) > len(sb):
+                sa, sb = sb, sa
+            idx = np.searchsorted(sb, sa)
+            idx[idx == len(sb)] = len(sb) - 1
+            ni[i] = int(np.count_nonzero(sb[idx] == sa))
+        return pd.DataFrame({"doc_a": aa, "doc_b": bb, "n_inter": ni})
 
-    def inter_total(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["doc_a", "doc_b"], as_index=False)["c"].sum()
-        return g.rename(columns={"c": "n_inter"})
-
-    inter = joins.grouped_agg(partials, ["doc_a", "doc_b"], inter_total,
-                              num_partitions=num_partitions)
+    inter = joins.partitioned_map(merged, ["part"], verify,
+                                  num_partitions=num_partitions)
 
     _INTER = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                         ("n_inter", pa.int64())])
