@@ -9168,7 +9168,9 @@ from oluray.pipelines import queries_wave8 as _wave8  # noqa: E402
 from oluray.pipelines import queries_wave9 as _wave9  # noqa: E402
 from oluray.pipelines import queries_wave10 as _wave10  # noqa: E402
 from oluray.pipelines import queries_wave11 as _wave11  # noqa: E402
+from oluray.pipelines import queries_wave12 as _wave12  # noqa: E402
 
-for _w in (_wave5, _wave6, _wave7, _wave8, _wave9, _wave10, _wave11):
+for _w in (_wave5, _wave6, _wave7, _wave8, _wave9, _wave10, _wave11,
+           _wave12):
     QUERIES.update(_w.QUERIES)
     ORACLE.update(_w.ORACLE)
