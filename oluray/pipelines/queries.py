@@ -9209,6 +9209,7 @@ from oluray.pipelines import queries_wave49 as _wave49  # noqa: E402
 from oluray.pipelines import queries_wave50 as _wave50  # noqa: E402
 from oluray.pipelines import queries_wave51 as _wave51  # noqa: E402
 from oluray.pipelines import queries_wave52 as _wave52  # noqa: E402
+from oluray.pipelines import queries_wave53 as _wave53  # noqa: E402
 
 for _w in (_wave5, _wave6, _wave7, _wave8, _wave9, _wave10, _wave11,
            _wave12, _wave13, _wave14, _wave15, _wave16, _wave17,
@@ -9217,6 +9218,6 @@ for _w in (_wave5, _wave6, _wave7, _wave8, _wave9, _wave10, _wave11,
            _wave30, _wave31, _wave32, _wave33, _wave34, _wave35,
            _wave36, _wave37, _wave38, _wave39, _wave40, _wave41,
            _wave42, _wave43, _wave44, _wave45, _wave46, _wave47,
-           _wave48, _wave49, _wave50, _wave51, _wave52):
+           _wave48, _wave49, _wave50, _wave51, _wave52, _wave53):
     QUERIES.update(_w.QUERIES)
     ORACLE.update(_w.ORACLE)
