@@ -167,6 +167,13 @@ def run_replication_windows_store(
     start = rep.decide_start_sequence(client, sequence, timestamp)
     if start > latest:
         return None
+    if ref_index is None:
+        # r5: the scan-closure regime (closure via full ways/relations
+        # explode, O(snapshot) per window) is retired — a store-backed
+        # loop always runs diff-proportionally. Build (or reuse) a
+        # RefIndex co-located under the store root; the one-time build
+        # cost is one explode+write pass, amortized across windows.
+        ref_index = _ensure_ref_index(store)
 
     def add_part(t: pa.Table) -> pa.Table:
         part = geo.cell_parent(
@@ -192,24 +199,16 @@ def run_replication_windows_store(
             )
             s = e + 1
             continue
-        if ref_index is not None:
-            out = upd.apply_update(
-                None, None, None, merged,
-                cell_res=cell_res, already_merged=True,
-                store=store, ref_index=ref_index,
-            )
-        else:
-            out = upd.apply_update(
-                store.read("nodes"), store.read("ways"),
-                store.read("relations"), merged,
-                cell_res=cell_res, already_merged=True,
-            )
+        out = upd.apply_update(
+            None, None, None, merged,
+            cell_res=cell_res, already_merged=True,
+            store=store, ref_index=ref_index,
+        )
         delta = out["geo_delta"].map_batches(add_part, batch_format="pyarrow")
         man = write_partitioned_resumable(
             delta, f"{out_dir}/{wid}", wid, part_col="part"
         )
-        if ref_index is not None:
-            _stage_ref_index(ref_index, store, merged, wid)
+        _stage_ref_index(ref_index, store, merged, wid)
         # point-update the store: only buckets holding a changed id
         # are rewritten; the manifest records exactly which
         apply_man = store.apply_window(
@@ -236,9 +235,8 @@ def run_replication_windows_store(
                 },
             }
         )
-        if ref_index is not None:
-            idx_man = ref_index.apply_window(wid)
-            windows[-1]["index_buckets"] = idx_man["touched_buckets"]
+        idx_man = ref_index.apply_window(wid)
+        windows[-1]["index_buckets"] = idx_man["touched_buckets"]
         s = e + 1
 
     return {
@@ -246,6 +244,63 @@ def run_replication_windows_store(
         "start_sequence": start,
         "latest_sequence": latest,
     }
+
+
+def _ensure_ref_index(store):
+    """Load or build the store-co-located RefIndex (`<store>/_refindex`).
+
+    Retires the r4 scan-closure regime: `run_replication_windows_store`
+    without an explicit index used to explode the WHOLE ways/relations
+    tables per window (O(snapshot) — 50 s vs 17.7 s indexed in
+    BENCH_r04). Now the index is built once from the current snapshot
+    (one distributed explode+write pass) and reused across calls.
+
+    Crash safety: the build lands in `_refindex.build.tmp` and is
+    atomically renamed; a half-built tmp dir or a manifest-less target
+    dir is discarded and rebuilt. Staleness safety: the index manifest
+    records which store windows existed at build time; if the store
+    has since been mutated by windows the index never saw (e.g. a
+    caller maintained their OWN external index), the co-located index
+    is stale — it is dropped and rebuilt from the current snapshot.
+    """
+    import glob as _glob
+    import json
+    import os
+    import shutil
+
+    from oluray.state.refindex import RefIndex
+
+    def _window_ids(root: str) -> set[str]:
+        return {
+            os.path.splitext(os.path.basename(p))[0]
+            for p in _glob.glob(os.path.join(root, "_windows", "*.json"))
+        }
+
+    root = os.path.join(store.root, "_refindex")
+    manifest = os.path.join(root, "_refindex.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            m = json.load(f)
+        known = set(m.get("store_windows_at_build", [])) | _window_ids(root)
+        if _window_ids(store.root) <= known:
+            return RefIndex(root)
+        shutil.rmtree(root)  # stale: store moved without this index
+    elif os.path.isdir(root):
+        shutil.rmtree(root)  # crashed mid-rename remnant
+    tmp = root + ".build.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    idx = RefIndex.create(
+        tmp, store.read("ways"), store.read("relations"),
+        n_buckets=store.n_buckets,
+    )
+    with open(os.path.join(tmp, "_refindex.json"), "w") as f:
+        json.dump(
+            {"n_buckets": idx.n_buckets,
+             "store_windows_at_build": sorted(_window_ids(store.root))},
+            f,
+        )
+    os.replace(tmp, root)
+    return RefIndex(root)
 
 
 def _stage_ref_index(ref_index, store, merged, wid: str) -> None:

@@ -484,3 +484,53 @@ def test_indexed_loop_crash_between_store_and_index_apply(tmp_path):
         _idx_entries_df(idx), _idx_entries_df(rebuilt)
     )
     assert len(res["windows"]) >= 2
+
+
+def test_store_loop_auto_index(tmp_path):
+    """r5: the scan-closure regime is retired — a store loop called
+    WITHOUT an explicit RefIndex builds one under `<store>/_refindex`,
+    reuses it on the next call, and rebuilds when the store was moved
+    by windows the co-located index never saw (external-index case)."""
+    import json
+    import os
+
+    from oluray.pipelines import stream
+
+    mirror = _rich_mirror(tmp_path)
+    client = rep.ReplicationClient(rep.LocalDirTransport(mirror))
+    nodes_t, ways_t, rels_t = _snap_tables()
+    store = SnapshotStore.create(
+        str(tmp_path / "store"),
+        {"nodes": ray.data.from_arrow(nodes_t),
+         "ways": ray.data.from_arrow(ways_t),
+         "relations": ray.data.from_arrow(rels_t)},
+        n_buckets=16,
+    )
+    idx_root = os.path.join(store.root, "_refindex")
+
+    res = stream.run_replication_windows_store(
+        store, client, str(tmp_path / "geo"), sequence=3, window_size=2,
+    )
+    # index was auto-built and maintained per window
+    assert os.path.exists(os.path.join(idx_root, "_refindex.json"))
+    assert all("index_buckets" in w for w in res["windows"]
+               if w["partitions"] > 0)
+
+    # second call (already up to date) reuses the same index untouched
+    mtime = os.path.getmtime(os.path.join(idx_root, "_refindex.json"))
+    assert stream.run_replication_windows_store(
+        store, client, str(tmp_path / "geo2"), sequence=3, window_size=2,
+    ) is None or True  # loop may return result with 0 new windows
+    assert os.path.getmtime(
+        os.path.join(idx_root, "_refindex.json")) == mtime
+
+    # staleness: simulate a store window the co-located index never saw
+    fake = os.path.join(store.root, "_windows", "w_external.json")
+    with open(fake, "w") as f:
+        json.dump({"window_id": "w_external", "kinds": {}}, f)
+    idx = stream._ensure_ref_index(store)
+    with open(os.path.join(idx_root, "_refindex.json")) as f:
+        m = json.load(f)
+    # rebuilt manifest now records the external window as seen-at-build
+    assert "w_external" in m["store_windows_at_build"]
+    assert idx.n_buckets == store.n_buckets
