@@ -173,3 +173,224 @@ def way_member_lines(way_ids, node_ids) -> pa.Array:
     return _concat(
         "osmway:", _ids_str(way_ids), " osmway:node osmnode:", _ids_str(node_ids), " ."
     )
+
+
+# ---------------------------------------------------------------------------
+# osm2rdf-parity element emission (VERDICT r4 item 3)
+#
+# Produces the element + geometry triples the reference's vendored
+# osm2rdf converter writes (`/root/reference/src/osm/Osm2ttl.cpp:38-133`
+# runs osm2rdf in QLEVER format; the output contract is the three
+# goldens `/root/reference/tests/data/{node,way,relation}.ttl`).
+# Format details pinned from the goldens, NOT from osm2rdf source:
+#   - header: the fixed 20-line @prefix block (TTL_PREFIXES)
+#   - node:  rdf:type, osmmeta:timestamp, osmkey tags, osm2rdf:facts
+#            (= tag count), geo:hasGeometry osm2rdfgeom:osm_node_<id>,
+#            asWKT POINT, convex_hull/envelope/obb (degenerate 5-point
+#            ring for a point)   [node.ttl:21-37]
+#   - way:   same head; geometry subject is osm2rdf:way_<id> (NOT
+#            osm2rdfgeom:), asWKT LINESTRING over nd-ordered coords,
+#            hull/envelope/obb rings, osm2rdf:length = planar degree
+#            length %.6f   [way.ttl way block]
+#   - rel:   same head; members as blank nodes `_:<label>_<pos>` with
+#            osm2rdfmember:id/role/pos; empty role -> "member"; no
+#            geometry triples for unresolved members  [relation.ttl]
+# Coordinates: exactly 7 decimal places (the M8 contract).
+# Ring orders pinned from the goldens: hull = CW starting at the
+# leftmost vertex (the CCW monotone chain reversed), closed; envelope
+# = (minlon,minlat),(minlon,maxlat),(maxlon,maxlat),(maxlon,minlat),
+# closed; obb = rectangle aligned to the FIRST edge of the CW hull,
+# corners (umax,vmax),(umax,vmin),(umin,vmin),(umin,vmax) in the
+# edge frame, closed — this reproduces way.ttl exactly; it is a
+# single-sample contract (osm2rdf is not vendored in the reference)
+# and documented as such. Degenerate hulls (<3 distinct vertices)
+# fall back to the envelope ring, which reproduces node.ttl.
+# ---------------------------------------------------------------------------
+
+TTL_PREFIXES = [
+    '@prefix ohmnode: <https://www.openhistoricalmap.org/node/> .',
+    '@prefix osmrel: <https://www.openstreetmap.org/relation/> .',
+    '@prefix osmnode: <https://www.openstreetmap.org/node/> .',
+    '@prefix osmkey: <https://www.openstreetmap.org/wiki/Key:> .',
+    '@prefix osmway: <https://www.openstreetmap.org/way/> .',
+    '@prefix osmmeta: <https://www.openstreetmap.org/meta/> .',
+    '@prefix osm: <https://www.openstreetmap.org/> .',
+    '@prefix osm2rdfmeta: <https://osm2rdf.cs.uni-freiburg.de/rdf/meta#> .',
+    '@prefix ohmrel: <https://www.openhistoricalmap.org/relation/> .',
+    '@prefix osm2rdfmember: <https://osm2rdf.cs.uni-freiburg.de/rdf/member#> .',
+    '@prefix osm2rdfkey: <https://osm2rdf.cs.uni-freiburg.de/rdf/key#> .',
+    '@prefix osm2rdfgeom: <https://osm2rdf.cs.uni-freiburg.de/rdf/geom#> .',
+    '@prefix ohmway: <https://www.openhistoricalmap.org/way/> .',
+    '@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .',
+    '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .',
+    '@prefix ohm: <https://www.openhistoricalmap.org/> .',
+    '@prefix wd: <http://www.wikidata.org/entity/> .',
+    '@prefix osm2rdf: <https://osm2rdf.cs.uni-freiburg.de/rdf#> .',
+    '@prefix ogc: <http://www.opengis.net/rdf#> .',
+    '@prefix geo: <http://www.opengis.net/ont/geosparql#> .',
+]
+
+_TYPE_NS = {"node": "osmnode", "way": "osmway", "relation": "osmrel"}
+
+
+def fmt7(a) -> np.ndarray:
+    """%.7f vector formatter (the 7-dp coordinate contract)."""
+    return np.char.mod("%.7f", np.asarray(a, np.float64))
+
+
+def ts_literal_ms(ts_ms: np.ndarray) -> np.ndarray:
+    """timestamp[ms] int64 -> 'YYYY-MM-DDTHH:MM:SS' strings."""
+    secs = (np.asarray(ts_ms, np.int64) // 1000).astype("datetime64[s]")
+    return np.datetime_as_string(secs, unit="s")
+
+
+def turtle_escape(vals) -> np.ndarray:
+    """Escape Turtle string-literal metachars: backslash, quote,
+    newline, carriage return, tab (unexercised by the goldens, which
+    carry XML-encoded values; standard Turtle escaping)."""
+    out = np.asarray(vals, dtype=object)
+    for old, new in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")):
+        out = np.array([v.replace(old, new) if v is not None else v
+                        for v in out], dtype=object)
+    return out
+
+
+def _ring_cw_closed(lon: np.ndarray, lat: np.ndarray):
+    """CW closed hull ring in golden order, or None if degenerate."""
+    from oluray.functions.geo import convex_hull
+
+    hx, hy = convex_hull(np.asarray(lon, np.float64),
+                         np.asarray(lat, np.float64))
+    if len(hx) < 3:
+        return None
+    # CCW chain starts at the leftmost vertex; golden = same start,
+    # reversed direction (CW), closed
+    cw_x = np.concatenate([hx[:1], hx[:0:-1], hx[:1]])
+    cw_y = np.concatenate([hy[:1], hy[:0:-1], hy[:1]])
+    return cw_x, cw_y
+
+
+def envelope_ring(lon: np.ndarray, lat: np.ndarray):
+    x0, x1 = float(np.min(lon)), float(np.max(lon))
+    y0, y1 = float(np.min(lat)), float(np.max(lat))
+    return (np.array([x0, x0, x1, x1, x0]), np.array([y0, y1, y1, y0, y0]))
+
+
+def hull_ring(lon: np.ndarray, lat: np.ndarray):
+    ring = _ring_cw_closed(lon, lat)
+    return ring if ring is not None else envelope_ring(lon, lat)
+
+
+def obb_ring(lon: np.ndarray, lat: np.ndarray):
+    ring = _ring_cw_closed(lon, lat)
+    if ring is None:
+        return envelope_ring(lon, lat)
+    cx, cy = ring
+    a = np.array([cx[0], cy[0]])
+    d = np.array([cx[1] - cx[0], cy[1] - cy[0]])
+    d = d / np.hypot(*d)
+    n = np.array([-d[1], d[0]])
+    pts = np.stack([np.asarray(lon, np.float64),
+                    np.asarray(lat, np.float64)], 1)
+    P = (pts - a) @ np.stack([d, n], 1)
+    (umin, vmin), (umax, vmax) = P.min(0), P.max(0)
+    corners = np.array([[umax, vmax], [umax, vmin], [umin, vmin],
+                        [umin, vmax], [umax, vmax]])
+    world = corners @ np.stack([d, n], 1).T + a
+    return world[:, 0], world[:, 1]
+
+
+def _coords(lon, lat) -> str:
+    return ",".join(f"{x} {y}" for x, y in zip(fmt7(lon), fmt7(lat)))
+
+
+def polygon_wkt(lon, lat) -> str:
+    return f"POLYGON(({_coords(lon, lat)}))"
+
+
+def linestring_wkt(lon, lat) -> str:
+    return f"LINESTRING({_coords(lon, lat)})"
+
+
+def way_length_deg(lon: np.ndarray, lat: np.ndarray) -> str:
+    """Planar Euclidean path length in degrees, %.6f (way.ttl:
+    osm2rdf:length \"0.005285\")."""
+    dx = np.diff(np.asarray(lon, np.float64))
+    dy = np.diff(np.asarray(lat, np.float64))
+    return "%.6f" % float(np.hypot(dx, dy).sum())
+
+
+def _head_lines(subj: str, osm_type: str, ts_ms, tags) -> list[str]:
+    """rdf:type + timestamp + tag + facts lines shared by all kinds.
+    `tags` = iterable of (key, value) pairs, emitted in input order
+    (osm2rdf's own tag order is an unordered-container artifact; the
+    golden comparison is triple-set equality)."""
+    lines = [f"{subj} rdf:type osm:{osm_type} ."]
+    if ts_ms is not None:
+        t = ts_literal_ms(np.array([ts_ms]))[0]
+        lines.append(f'{subj} osmmeta:timestamp "{t}"^^xsd:dateTime .')
+    tags = list(tags or ())
+    if tags:
+        vals = turtle_escape([v for _, v in tags])
+        lines += [f'{subj} osmkey:{k} "{v}" .'
+                  for (k, _), v in zip(tags, vals)]
+    lines.append(f'{subj} osm2rdf:facts "{len(tags)}"^^xsd:integer .')
+    return lines
+
+
+def _geom_lines(subj: str, geom_subj: str, wkt: str,
+                lon: np.ndarray, lat: np.ndarray) -> list[str]:
+    hx, hy = hull_ring(lon, lat)
+    ex, ey = envelope_ring(lon, lat)
+    ox, oy = obb_ring(lon, lat)
+    return [
+        f"{subj} geo:hasGeometry {geom_subj} .",
+        f'{geom_subj} geo:asWKT "{wkt}"^^geo:wktLiteral .',
+        f'{subj} osm2rdfgeom:convex_hull "{polygon_wkt(hx, hy)}"^^geo:wktLiteral .',
+        f'{subj} osm2rdfgeom:envelope "{polygon_wkt(ex, ey)}"^^geo:wktLiteral .',
+        f'{subj} osm2rdfgeom:obb "{polygon_wkt(ox, oy)}"^^geo:wktLiteral .',
+    ]
+
+
+def node_ttl_block(id: int, lon: float, lat: float, tags, ts_ms) -> str:
+    subj = f"osmnode:{id}"
+    lon_a, lat_a = np.array([lon]), np.array([lat])
+    wkt = f"POINT({fmt7(lon_a)[0]} {fmt7(lat_a)[0]})"
+    lines = _head_lines(subj, "node", ts_ms, tags)
+    lines += _geom_lines(subj, f"osm2rdfgeom:osm_node_{id}", wkt,
+                         lon_a, lat_a)
+    return "\n".join(lines)
+
+
+def way_ttl_block(id: int, lons: np.ndarray, lats: np.ndarray,
+                  tags, ts_ms) -> str:
+    """`lons`/`lats` = resolved node coordinates in nd_refs order."""
+    subj = f"osmway:{id}"
+    lines = _head_lines(subj, "way", ts_ms, tags)
+    lines += _geom_lines(subj, f"osm2rdf:way_{id}",
+                         linestring_wkt(lons, lats), lons, lats)
+    lines.append(
+        f'{subj} osm2rdf:length "{way_length_deg(lons, lats)}"^^xsd:double .')
+    return "\n".join(lines)
+
+
+def relation_ttl_block(id: int, members, tags, ts_ms,
+                       bn_label: str | None = None) -> str:
+    """`members` = iterable of (ref, type, role) in position order.
+    Blank-node labels are `_:<bn_label>_<pos>`; the default label is
+    the relation id (the golden's numeric label is osm2rdf's internal
+    element counter — blank-node names are not RDF-significant, and
+    the golden test canonicalizes them on both sides)."""
+    subj = f"osmrel:{id}"
+    lines = _head_lines(subj, "relation", ts_ms, tags)
+    label = bn_label if bn_label is not None else str(id)
+    for pos, (ref, mtype, role) in enumerate(members or ()):
+        bn = f"_:{label}_{pos}"
+        lines += [
+            f"{subj} osmrel:member {bn} .",
+            f"{bn} osm2rdfmember:id {_TYPE_NS[mtype]}:{ref} .",
+            f'{bn} osm2rdfmember:role "{role if role else "member"}" .',
+            f'{bn} osm2rdfmember:pos "{pos}"^^xsd:integer .',
+        ]
+    return "\n".join(lines)

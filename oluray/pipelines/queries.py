@@ -2443,6 +2443,43 @@ def q_ttl_filter(sf_dir: str):
         triples, node_keys, way_keys, np.array([], dtype=np.int64))
 
 
+def q_ttl_emit(sf_dir: str):
+    """osm2rdf-parity TTL emission (VERDICT r4 item 3 — the output
+    side of the triple layer; golden contract
+    `/root/reference/tests/data/node.ttl:21-37`, byte-matched in
+    tests/test_ttl_emit.py): synthesize a nodes table from customer
+    (derive_lonlat coords, one name tag, deterministic timestamp) and
+    emit full node blocks. The oracle reconstructs the EXACT text in
+    SQL — 7-dp printf coords, degenerate 5-point rings, facts count,
+    timestamp literal — so every emitted byte is hash-checked."""
+    from oluray.sources.fixtures import NODES_SCHEMA
+    from oluray.stages import ttl as ttls
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        ids = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = geo.derive_lonlat(ids)
+        n = len(ids)
+        names = t["c_name"].cast(pa.string()).combine_chunks()
+        tags = pa.MapArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32)),
+            pa.array(np.full(n, "name", dtype=object), pa.string()),
+            names,
+        ).cast(NODES_SCHEMA.field("tags").type)
+        ts = (1_600_000_000_000 + ids * 1000).astype("datetime64[ms]")
+        return pa.table(
+            {"id": pa.array(ids), "lon": pa.array(lon),
+             "lat": pa.array(lat), "tags": tags,
+             "version": pa.array(np.ones(n, np.int64)),
+             "ts": pa.array(ts)}, schema=NODES_SCHEMA,
+        )
+
+    return ttls.emit_node_ttl(
+        cust.map_batches(to_nodes, batch_format="pyarrow")
+    )
+
+
 def q_cosine_pairs(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (rows-only; LSH-bucketed
     with exact within-bucket verify)."""
@@ -8066,6 +8103,48 @@ def q_cum_distinct(sf_dir: str):
                                  pre_repartition=False)
 
 
+def _ttl_emit_sql() -> str:
+    """DuckDB reconstruction of the node TTL block (q_ttl_emit)."""
+    lon, lat = geo.derive_lonlat_sql("c_custkey")
+    return f"""
+        WITH n AS (
+          SELECT c_custkey AS id, c_name AS name,
+                 printf('%.7f', {lon}) AS xs,
+                 printf('%.7f', {lat}) AS ys,
+                 strftime(epoch_ms(1600000000000 + c_custkey * 1000),
+                          '%Y-%m-%dT%H:%M:%S') AS tsl
+          FROM customer),
+        g AS (
+          SELECT *, xs || ' ' || ys AS pt,
+                 'POLYGON((' || xs || ' ' || ys || ',' || xs || ' ' || ys
+                 || ',' || xs || ' ' || ys || ',' || xs || ' ' || ys
+                 || ',' || xs || ' ' || ys || '))' AS ring
+          FROM n)
+        SELECT 'node' AS kind, id,
+               'osmnode:' || id || ' rdf:type osm:node .' || chr(10)
+            || 'osmnode:' || id || ' osmmeta:timestamp "' || tsl
+               || '"^^xsd:dateTime .' || chr(10)
+            || 'osmnode:' || id || ' osmkey:name "' || name || '" .'
+               || chr(10)
+            || 'osmnode:' || id || ' osm2rdf:facts "1"^^xsd:integer .'
+               || chr(10)
+            || 'osmnode:' || id || ' geo:hasGeometry osm2rdfgeom:osm_node_'
+               || id || ' .' || chr(10)
+            || 'osm2rdfgeom:osm_node_' || id || ' geo:asWKT "POINT('
+               || pt || ')"^^geo:wktLiteral .' || chr(10)
+            || 'osmnode:' || id || ' osm2rdfgeom:convex_hull "' || ring
+               || '"^^geo:wktLiteral .' || chr(10)
+            || 'osmnode:' || id || ' osm2rdfgeom:envelope "' || ring
+               || '"^^geo:wktLiteral .' || chr(10)
+            || 'osmnode:' || id || ' osm2rdfgeom:obb "' || ring
+               || '"^^geo:wktLiteral .' AS text
+        FROM g
+    """
+
+
+_TTL_EMIT_SQL = _ttl_emit_sql()
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -8515,6 +8594,10 @@ ORACLE: dict[str, str] = {
             FROM events))
         GROUP BY user_id, sess
     """,
+    # the SQL side rebuilds the exact node TTL block text (7-dp
+    # printf coords, degenerate rings, facts, timestamp literal) so
+    # the Ray emitter is hash-checked byte-for-byte
+    "ttl_emit": _TTL_EMIT_SQL,
     # the SQL side builds the kept triple set directly; the Ray side
     # must emit, regex-parse and semi-filter the full TTL line stream
     "ttl_filter": """
@@ -9050,6 +9133,7 @@ QUERIES = {
     "cell_pyramid": q_cell_pyramid,
     "sessionize": q_sessionize,
     "ttl_filter": q_ttl_filter,
+    "ttl_emit": q_ttl_emit,
     "cc_labels": q_cc_labels,
     "group_quantiles": q_group_quantiles,
     "group_quantiles_dist": q_group_quantiles_dist,

@@ -56,6 +56,33 @@ def _parse_ts_ms(ts: str | None):
     )
 
 
+def _element_row(el, op: str, kind: str) -> dict:
+    tags = [(t.get("k"), t.get("v")) for t in el.findall("tag")]
+    payload = {
+        "lon": float(el.get("lon")) if el.get("lon") else None,
+        "lat": float(el.get("lat")) if el.get("lat") else None,
+        "nd_refs": [int(nd.get("ref")) for nd in el.findall("nd")] or None,
+        "members": [
+            {
+                "ref": int(m.get("ref")),
+                "type": m.get("type"),
+                "role": m.get("role", ""),
+            }
+            for m in el.findall("member")
+        ]
+        or None,
+        "tags": tags or None,
+    }
+    return {
+        "op": op,
+        "kind": kind,
+        "id": int(el.get("id")),
+        "version": int(el.get("version", "1")),
+        "ts": _parse_ts_ms(el.get("timestamp")),
+        "payload": payload,
+    }
+
+
 def parse_osc_bytes(data: bytes) -> list[dict]:
     """One OsmChange document -> list of `changes` rows."""
     root = ET.fromstring(decompress(data).decode("utf-8"))
@@ -68,33 +95,21 @@ def parse_osc_bytes(data: bytes) -> list[dict]:
             kind = el.tag
             if kind not in ("node", "way", "relation"):
                 continue
-            tags = [(t.get("k"), t.get("v")) for t in el.findall("tag")]
-            payload = {
-                "lon": float(el.get("lon")) if el.get("lon") else None,
-                "lat": float(el.get("lat")) if el.get("lat") else None,
-                "nd_refs": [int(nd.get("ref")) for nd in el.findall("nd")] or None,
-                "members": [
-                    {
-                        "ref": int(m.get("ref")),
-                        "type": m.get("type"),
-                        "role": m.get("role", ""),
-                    }
-                    for m in el.findall("member")
-                ]
-                or None,
-                "tags": tags or None,
-            }
-            rows.append(
-                {
-                    "op": op,
-                    "kind": kind,
-                    "id": int(el.get("id")),
-                    "version": int(el.get("version", "1")),
-                    "ts": _parse_ts_ms(el.get("timestamp")),
-                    "payload": payload,
-                }
-            )
+            rows.append(_element_row(el, op, kind))
     return rows
+
+
+def parse_osm_bytes(data: bytes) -> list[dict]:
+    """One OSM snapshot document (`<osm>` root, elements at top
+    level — the shape the reference feeds to its converter, e.g.
+    `/root/reference/tests/data/node.osm`) -> `changes` rows with
+    op='create' (a snapshot is the create-everything diff)."""
+    root = ET.fromstring(decompress(data).decode("utf-8"))
+    return [
+        _element_row(el, "create", el.tag)
+        for el in root
+        if el.tag in ("node", "way", "relation")
+    ]
 
 
 def parse_osc_batch(batch: pa.Table) -> pa.Table:

@@ -240,3 +240,221 @@ def filter_relevant_triples(
         return df
 
     return out.map_batches(decode, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# osm2rdf-parity TTL emission (VERDICT r4 item 3) — the reverse of the
+# read path above: canonical element tables -> the triple text the
+# reference's vendored converter produces
+# (`/root/reference/src/osm/Osm2ttl.cpp:38-133`; golden contract
+# `/root/reference/tests/data/{node,way,relation}.ttl`). Formatting
+# kernels and the pinned ring-order/length contracts live in
+# `oluray.functions.ttl`.
+#
+# Scale shape: in the reference flow the TTL stream is DIFF-sized
+# (osm2rdf runs on the extracted change subset, not the planet), so
+# this is a window-output sink. Way geometry needs nd-ordered node
+# coordinates: one explode + size-probed join (`joins.auto_join`) +
+# one hash-partitioned collect — the same shuffle-count as the J8
+# reconstruction path. Per-element block assembly is per-item string
+# formatting by nature (like image encode): it happens inside
+# map_batches and the strings never re-shuffle.
+# ---------------------------------------------------------------------------
+
+TTL_BLOCK_SCHEMA = pa.schema(
+    [("kind", pa.string()), ("id", pa.int64()), ("text", pa.string())]
+)
+
+
+def _map_items(v) -> list:
+    """Arrow map scalar -> [(k, v), ...] (None -> [])."""
+    if v is None:
+        return []
+    return [(k, x) for k, x in v]
+
+
+def emit_node_ttl(nodes: ray.data.Dataset) -> ray.data.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        from oluray.functions import ttl as F
+
+        ids = t["id"].to_pylist()
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        tags = t["tags"].to_pylist() if "tags" in t.column_names else [None] * len(t)
+        ts = t["ts"].cast(pa.int64()).to_pylist() if "ts" in t.column_names else [None] * len(t)
+        txt = [
+            F.node_ttl_block(i, lo, la, _map_items(tg), s)
+            for i, lo, la, tg, s in zip(ids, lon, lat, tags, ts)
+        ]
+        return pa.table(
+            {"kind": pa.array(["node"] * len(t)), "id": t["id"],
+             "text": pa.array(txt, pa.string())}, schema=TTL_BLOCK_SCHEMA,
+        )
+
+    return nodes.map_batches(fn, batch_format="pyarrow")
+
+
+def emit_way_ttl(
+    ways: ray.data.Dataset, nodes: ray.data.Dataset,
+    missing: str = "error",
+) -> ray.data.Dataset:
+    """Ways -> TTL blocks; node coords resolved in nd_refs order.
+    `missing`: 'error' raises on an unresolvable node ref (the
+    default — osm2rdf has the full extract); 'skip' drops such ways.
+    """
+    exploded = closure.explode_way_refs(ways)
+    located = joins.auto_join(
+        exploded, nodes.select_columns(["id", "lon", "lat"]),
+        on="node_id", right_on="id",
+    )
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["way_id", "pos"], kind="mergesort")
+        g = df.groupby("way_id")
+        lons = g["lon"].agg(list)
+        return pd.DataFrame({
+            "way_id": lons.index.to_numpy(dtype=np.int64),
+            "lons": lons.to_numpy(),
+            "lats": g["lat"].agg(list).to_numpy(),
+            "npos": g["pos"].agg("count").to_numpy(),
+        })
+
+    coords = joins.partitioned_map(located, ["way_id"], collect,
+                                   num_partitions=32, pre_repartition=False)
+    def with_nref(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(t["nd_refs"])
+        cols = {c: t[c] for c in t.column_names if c != "nd_refs"}
+        cols["n_refs"] = pc.cast(n, pa.int64())
+        return pa.table(cols)
+
+    meta_cols = ["id", "nd_refs"] + [
+        c for c in ("tags", "ts") if c in ways.schema().names
+    ]
+    meta = ways.select_columns(meta_cols).map_batches(
+        with_nref, batch_format="pyarrow"
+    )
+    joined = joins.auto_join(
+        meta, coords, on="id", right_on="way_id",
+        how="left" if missing == "error" else "inner",
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        from oluray.functions import ttl as F
+
+        ids = t["id"].to_pylist()
+        tags = t["tags"].to_pylist() if "tags" in t.column_names else [None] * len(t)
+        ts = t["ts"].cast(pa.int64()).to_pylist() if "ts" in t.column_names else [None] * len(t)
+        lons, lats, npos = (t["lons"].to_pylist(), t["lats"].to_pylist(),
+                            t["npos"].to_pylist())
+        nref = t["n_refs"].to_pylist()
+        txt, keep_ids = [], []
+        for i, tg, s, lo, la, n, nr in zip(ids, tags, ts, lons, lats,
+                                           npos, nref):
+            if lo is None or n is None or n != nr:
+                # unresolved (or only partially resolved) refs — a
+                # PARTIAL resolve reaches here in both modes, since
+                # the inner join only drops fully-unmatched ways
+                if missing == "skip":
+                    continue
+                raise ValueError(
+                    f"way {i}: {0 if n is None else n}/{nr} node refs "
+                    "resolvable (missing='error')"
+                )
+            keep_ids.append(i)
+            txt.append(F.way_ttl_block(i, np.asarray(lo), np.asarray(la),
+                                       _map_items(tg), s))
+        return pa.table(
+            {"kind": pa.array(["way"] * len(txt)),
+             "id": pa.array(np.asarray(keep_ids, np.int64)),
+             "text": pa.array(txt, pa.string())}, schema=TTL_BLOCK_SCHEMA,
+        )
+
+    return joined.map_batches(fn, batch_format="pyarrow")
+
+
+def emit_relation_ttl(relations: ray.data.Dataset) -> ray.data.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        from oluray.functions import ttl as F
+
+        ids = t["id"].to_pylist()
+        mems = t["members"].to_pylist()
+        tags = t["tags"].to_pylist() if "tags" in t.column_names else [None] * len(t)
+        ts = t["ts"].cast(pa.int64()).to_pylist() if "ts" in t.column_names else [None] * len(t)
+        txt = []
+        for i, mm, tg, s in zip(ids, mems, tags, ts):
+            members = [(m["ref"], m["type"], m.get("role", ""))
+                       for m in (mm or [])]
+            txt.append(F.relation_ttl_block(i, members, _map_items(tg), s))
+        return pa.table(
+            {"kind": pa.array(["relation"] * len(t)), "id": t["id"],
+             "text": pa.array(txt, pa.string())}, schema=TTL_BLOCK_SCHEMA,
+        )
+
+    return relations.map_batches(fn, batch_format="pyarrow")
+
+
+def emit_ttl(
+    nodes: ray.data.Dataset | None = None,
+    ways: ray.data.Dataset | None = None,
+    relations: ray.data.Dataset | None = None,
+    missing: str = "error",
+) -> ray.data.Dataset:
+    """Union of per-kind TTL block streams (kind, id, text)."""
+    parts = []
+    if nodes is not None:
+        parts.append(emit_node_ttl(nodes))
+    if ways is not None:
+        if nodes is None:
+            raise ValueError("way emission needs the nodes table")
+        parts.append(emit_way_ttl(ways, nodes, missing=missing))
+    if relations is not None:
+        parts.append(emit_relation_ttl(relations))
+    if not parts:
+        raise ValueError("nothing to emit")
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
+def write_ttl(blocks: ray.data.Dataset, path: str) -> int:
+    """Debug/golden sink: ONE .ttl file = prefix header + all blocks
+    (driver-side collect — the reference's osm2rdf output is a single
+    file per window and diff-sized; use `write_ttl_shards` for bulk).
+    Returns the block count."""
+    from oluray.functions.ttl import TTL_PREFIXES
+
+    rows = blocks.to_pandas()
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(TTL_PREFIXES) + "\n")
+        for txt in rows["text"]:
+            f.write(txt + "\n")
+    return len(rows)
+
+
+def write_ttl_shards(blocks: ray.data.Dataset, out_dir: str) -> int:
+    """Bulk sink: each block-range writes its own `part-<kind>-<min>-
+    <max>.ttl` shard task-side (no driver collect); the prefix header
+    lands once in `_prefixes.ttl`. cat(_prefixes.ttl, part-*.ttl) is
+    a valid Turtle document."""
+    import os
+
+    from oluray.functions.ttl import TTL_PREFIXES
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_prefixes.ttl"), "w") as f:
+        f.write("\n".join(TTL_PREFIXES) + "\n")
+
+    def dump(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        kind = t["kind"][0].as_py()
+        p = os.path.join(out_dir, f"part-{kind}-{ids.min()}-{ids.max()}.ttl")
+        with open(p, "w", encoding="utf-8") as f:
+            for txt in t["text"].to_pylist():
+                f.write(txt + "\n")
+        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+
+    n = blocks.map_batches(dump, batch_format="pyarrow").sum("rows")
+    return int(n or 0)
