@@ -167,6 +167,75 @@ def _payload_relations(merged: ray.data.Dataset) -> ray.data.Dataset:
     return merged.map_batches(fn, batch_format="pyarrow")
 
 
+def _write_update_artifact(
+    merged: ray.data.Dataset,
+    loc_src: ray.data.Dataset,
+    out_dir: str,
+    debug_sets: dict | None = None,
+) -> dict:
+    """FILE / DEBUG_FILE output-mode sink (the reference's
+    `SparqlOutput::FILE` / `DEBUG_FILE`,
+    `/root/reference/src/sparql/SparqlWrapper.cpp:46-110`,
+    `include/config/Config.h:55-63`: updates are WRITTEN, not sent):
+    the window's delete+insert sets land as a deterministic artifact —
+    `deletes.parquet` (kind, id — sorted) and `inserts.ttl`
+    (osm2rdf-parity TTL blocks of the created/modified elements,
+    sorted by kind then id; the insert-triples analog of the
+    reference's `QueryWriter` insert text,
+    `src/sparql/QueryWriter.cpp:26-110`). DEBUG_FILE additionally
+    dumps the read-side id sets under `queries/` (the reference logs
+    its SELECT queries too). Everything here is DIFF-sized."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from oluray.stages import ttl as ttls
+
+    os.makedirs(out_dir, exist_ok=True)
+    mt = merged.to_pandas()  # diff-sized by contract
+    deletes = (
+        mt[["kind", "id"]].sort_values(["kind", "id"]).reset_index(drop=True)
+    )
+    pq.write_table(
+        pa.Table.from_pandas(deletes, preserve_index=False),
+        os.path.join(out_dir, "deletes.parquet"),
+    )
+    blocks = ttls.emit_ttl(
+        nodes=_payload_nodes(merged),
+        ways=_payload_ways(merged),
+        relations=_payload_relations(merged),
+        missing="skip",
+        way_loc_src=loc_src,
+    )
+    bt = blocks.to_pandas().sort_values(["kind", "id"])
+    from oluray.functions.ttl import TTL_PREFIXES
+
+    with open(os.path.join(out_dir, "inserts.ttl"), "w",
+              encoding="utf-8") as f:
+        f.write("\n".join(TTL_PREFIXES) + "\n")
+        for txt in bt["text"]:
+            f.write(txt + "\n")
+    man = {
+        "mode": "debug_file" if debug_sets else "file",
+        "delete_rows": int(len(deletes)),
+        "insert_blocks": int(len(bt)),
+    }
+    if debug_sets:
+        qdir = os.path.join(out_dir, "queries")
+        os.makedirs(qdir, exist_ok=True)
+        for name, ks in debug_sets.items():
+            arr = np.sort(np.asarray(ks.to_array(), dtype=np.int64))
+            pq.write_table(
+                pa.table({"id": pa.array(arr)}),
+                os.path.join(qdir, f"{name}.parquet"),
+            )
+        man["query_sets"] = sorted(debug_sets)
+    with open(os.path.join(out_dir, "_update.json"), "w") as f:
+        json.dump(man, f, sort_keys=True)
+    return man
+
+
 def apply_update(
     nodes: ray.data.Dataset,
     ways: ray.data.Dataset,
@@ -179,6 +248,8 @@ def apply_update(
     include_rel_of_rel: bool = False,
     store=None,
     ref_index=None,
+    output_mode: str = "endpoint",
+    output_dir: str | None = None,
 ) -> dict:
     """Apply one change window. Returns dict with the new snapshot
     (`nodes`, `ways`, `relations`), `geo_delta` (recomputed geometry
@@ -215,6 +286,10 @@ def apply_update(
     # snapshot) and is consumed ~10 times below (id sets, payload
     # extracts, counts) — without pinning, every consumer re-executes
     # the latest-wins shuffle
+    if output_mode not in ("endpoint", "file", "debug_file"):
+        raise ValueError(f"unknown output_mode {output_mode!r}")
+    if output_mode != "endpoint" and output_dir is None:
+        raise ValueError(f"output_mode={output_mode!r} requires output_dir")
     if already_merged:
         merged = changes
     else:
@@ -740,10 +815,42 @@ def apply_update(
     geo_delta = node_delta.union(way_delta).union(rel_delta)
 
     counts = merged.groupby(["op", "kind"]).count()
+
+    update_artifact = None
+    if output_mode != "endpoint":
+        # FILE / DEBUG_FILE: the update is WRITTEN, not applied — the
+        # returned snapshot is the UN-mutated input, exactly like the
+        # reference skipping request.perform() for updates
+        # (`SparqlWrapper.cpp:70-72`). Reads (geo_delta & co) still
+        # run in both modes, as the reference's queries do.
+        if indexed:
+            refs = closure.distinct_keys(
+                closure.explode_way_refs(_payload_ways(merged)),
+                "node_id", limit=BL,
+            )
+            ctx = store.lookup("nodes", refs,
+                               columns=["id", "lon", "lat"])
+            loc_src = _payload_nodes(merged).select_columns(
+                ["id", "lon", "lat"]
+            ).union(closure.anti_join(
+                ctx, "id", node_in_cf, schema=closure.LOCATIONS_SCHEMA,
+            ))
+        else:
+            loc_src = nodes2
+        update_artifact = _write_update_artifact(
+            merged, loc_src, output_dir,
+            debug_sets=(
+                {"impacted_ways": ways_geo,
+                 "impacted_relations": rels_geo}
+                if output_mode == "debug_file" else None
+            ),
+        )
+
     return {
-        "nodes": nodes2,
-        "ways": ways2,
-        "relations": relations2,
+        "nodes": nodes if output_mode != "endpoint" else nodes2,
+        "ways": ways if output_mode != "endpoint" else ways2,
+        "relations": relations if output_mode != "endpoint" else relations2,
+        "update_artifact": update_artifact,
         "geo_delta": geo_delta,
         "area_cover": area_cover,  # (rel_id, ring_id, cell) for
         # touched multipolygon relations' assembled outer rings

@@ -295,16 +295,18 @@ def emit_node_ttl(nodes: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def emit_way_ttl(
-    ways: ray.data.Dataset, nodes: ray.data.Dataset,
+    ways: ray.data.Dataset, loc_src: ray.data.Dataset,
     missing: str = "error",
 ) -> ray.data.Dataset:
-    """Ways -> TTL blocks; node coords resolved in nd_refs order.
+    """Ways -> TTL blocks; node coords resolved in nd_refs order
+    against `loc_src` (any dataset with id/lon/lat — the full nodes
+    table, or a window-scoped payload∪store-lookup overlay).
     `missing`: 'error' raises on an unresolvable node ref (the
     default — osm2rdf has the full extract); 'skip' drops such ways.
     """
     exploded = closure.explode_way_refs(ways)
     located = joins.auto_join(
-        exploded, nodes.select_columns(["id", "lon", "lat"]),
+        exploded, loc_src.select_columns(["id", "lon", "lat"]),
         on="node_id", right_on="id",
     )
 
@@ -398,15 +400,19 @@ def emit_ttl(
     ways: ray.data.Dataset | None = None,
     relations: ray.data.Dataset | None = None,
     missing: str = "error",
+    way_loc_src: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
-    """Union of per-kind TTL block streams (kind, id, text)."""
+    """Union of per-kind TTL block streams (kind, id, text).
+    `way_loc_src` overrides the coordinate source for way geometry
+    (defaults to `nodes`)."""
     parts = []
     if nodes is not None:
         parts.append(emit_node_ttl(nodes))
     if ways is not None:
-        if nodes is None:
-            raise ValueError("way emission needs the nodes table")
-        parts.append(emit_way_ttl(ways, nodes, missing=missing))
+        src = way_loc_src if way_loc_src is not None else nodes
+        if src is None:
+            raise ValueError("way emission needs a node-location source")
+        parts.append(emit_way_ttl(ways, src, missing=missing))
     if relations is not None:
         parts.append(emit_relation_ttl(relations))
     if not parts:
