@@ -414,6 +414,38 @@ def hot_semi_filter(rows, key_cols: list[str], shift: int,
     )
 
 
+def bucket_drop_stats(rows, key_cols, cap: int, id_col: str = "doc_id",
+                      num_partitions: int = 16) -> "ray.data.Dataset":
+    """No-silent-caps side table (VERDICT r4 item 5): one row per
+    OVER-cap bucket — (*key_cols, bucket_size, dropped) — computed
+    distributed from the same hot rows the pair emitters consume, so
+    a capped bucket is visible in the output manifest instead of only
+    a worker log. Empty when nothing was capped."""
+    key_cols = list(key_cols)
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_cols, sort=False)[id_col].nunique()
+        over = g[g > cap]
+        out = over.index.to_frame(index=False)
+        if out.empty:
+            out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                                for c in key_cols})
+        out["bucket_size"] = over.to_numpy(dtype=np.int64)
+        out["dropped"] = out["bucket_size"] - cap
+        return out
+
+    return joins.partitioned_map(rows, key_cols, sizes,
+                                 num_partitions=num_partitions)
+
+
+def _empty_drop_stats(key_cols) -> "ray.data.Dataset":
+    return ray.data.from_arrow(pa.table(
+        {**{c: pa.array([], pa.int64()) for c in key_cols},
+         "bucket_size": pa.array([], pa.int64()),
+         "dropped": pa.array([], pa.int64())}
+    ))
+
+
 def _emit_pairs_capped(ids: np.ndarray, cap: int, label: str):
     """Sorted-unique ids -> (a, b) index pairs with a size cap."""
     ids = np.unique(ids)
@@ -433,9 +465,14 @@ def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
                       bands: int = 16, shingle_k: int = 5,
                       concurrency: int = 4, bucket_cap: int = DEFAULT_BUCKET_CAP,
                       num_partitions: int = 64, est_margin: float = 0.3,
-                      hot_broadcast_limit: int = DEFAULT_HOT_BROADCAST_LIMIT):
+                      hot_broadcast_limit: int = DEFAULT_HOT_BROADCAST_LIMIT,
+                      return_stats: bool = False):
     """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold),
-    returned as a Dataset of (doc_a, doc_b, jaccard).
+    returned as a Dataset of (doc_a, doc_b, jaccard). With
+    `return_stats=True` returns (pairs, drop_stats) where drop_stats
+    is the `bucket_drop_stats` side table over (band_id, band_hash) —
+    every bucket whose pair sources were capped, with its drop count
+    (the no-silent-caps manifest; empty when nothing was capped).
 
     Stages (all distributed; the ONLY driver-resident state is the
     hot-bucket key set, and only while it fits `hot_broadcast_limit`
@@ -514,8 +551,18 @@ def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
         num_partitions=np_eff,
         broadcast_limit=hot_broadcast_limit, rows_schema=_BAND,
     )
+    _KEYS = ("band_id", "band_hash")
     if collided is None:
-        return ray.data.from_arrow(empty)
+        out0 = ray.data.from_arrow(empty)
+        return (out0, _empty_drop_stats(_KEYS)) if return_stats else out0
+    drop_stats = None
+    if return_stats:
+        # pin the hot rows: consumed by BOTH the stats pass and the
+        # sig join below (the stats pass is count-only, no payloads)
+        collided = collided.materialize()
+        drop_stats = bucket_drop_stats(
+            collided, _KEYS, bucket_cap, num_partitions=np_eff
+        )
     # co-shuffle each hot row's signature onto it (hot rows are the
     # LSH-pruned minority; sig payload is n_perm*8 B)
     collided = joins.hash_join(
@@ -573,7 +620,8 @@ def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
     # r2 item 1) — then co-shuffle texts onto the pairs
     cand = cand.materialize()  # consumed by the id extract AND join 1
     if cand.count() == 0:
-        return ray.data.from_arrow(empty)
+        out0 = ray.data.from_arrow(empty)
+        return (out0, drop_stats) if return_stats else out0
 
     def both_ids(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -628,7 +676,8 @@ def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
         )
         return out[out["jaccard"] >= threshold]
 
-    return j2.map_batches(verify, batch_format="pandas")
+    pairs = j2.map_batches(verify, batch_format="pandas")
+    return (pairs, drop_stats) if return_stats else pairs
 
 
 def near_dedup_keep(docs, threshold: float = 0.6, cc_partitions: int = 32,
@@ -728,7 +777,8 @@ def hamming_band_pairs(sig_rows, id_col: str = "doc_id",
                        num_partitions: int = 64,
                        hot_broadcast_limit: int = DEFAULT_HOT_BROADCAST_LIMIT,
                        out_prefix: str = "doc",
-                       id_type: pa.DataType = pa.int64()):
+                       id_type: pa.DataType = pa.int64(),
+                       return_stats: bool = False):
     """Banded-Hamming near-dup pairs over ANY 64-bit signature column
     — simhash over text (`simhash_pairs`) or a perceptual phash over
     images (`queries.q_phash_near_dup`): the same sketch machinery
@@ -772,8 +822,17 @@ def hamming_band_pairs(sig_rows, id_col: str = "doc_id",
         num_partitions=num_partitions,
         broadcast_limit=hot_broadcast_limit, rows_schema=_SH,
     )
+    _KEYS = ("band_id", "band_val")
     if collided is None:
-        return ray.data.from_arrow(empty)
+        out0 = ray.data.from_arrow(empty)
+        return (out0, _empty_drop_stats(_KEYS)) if return_stats else out0
+    drop_stats = None
+    if return_stats:
+        collided = collided.materialize()
+        drop_stats = bucket_drop_stats(
+            collided, _KEYS, bucket_cap, id_col=id_col,
+            num_partitions=min(num_partitions, 16),
+        )
 
     id_dtype = "int64" if pa.types.is_integer(id_type) else "object"
     out_empty = pd.DataFrame(
@@ -816,23 +875,26 @@ def hamming_band_pairs(sig_rows, id_col: str = "doc_id",
     cand = joins.partitioned_map(
         collided, ["band_id", "band_val"], emit, num_partitions=num_partitions
     )
-    return joins.pair_dedup(cand, (a_col, b_col), num_partitions=32)
+    pairs = joins.pair_dedup(cand, (a_col, b_col), num_partitions=32)
+    return (pairs, drop_stats) if return_stats else pairs
 
 
 def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4,
                   bucket_cap: int = DEFAULT_BUCKET_CAP,
                   num_partitions: int = 64,
-                  hot_broadcast_limit: int = DEFAULT_HOT_BROADCAST_LIMIT):
+                  hot_broadcast_limit: int = DEFAULT_HOT_BROADCAST_LIMIT,
+                  return_stats: bool = False):
     """Near-dup pairs by simhash band bucketing, returned as a
     Dataset of (doc_a, doc_b, hamming) — the text instantiation of
     `hamming_band_pairs` (see there for the pigeonhole and pair-dedup
-    rationale)."""
+    rationale; `return_stats` surfaces the bucket-cap manifest)."""
     sigs = docs.map_batches(SimHash, batch_format="pandas",
                             concurrency=(1, concurrency))
     return hamming_band_pairs(
         sigs, id_col="doc_id", sig_col="simhash", max_hamming=max_hamming,
         bucket_cap=bucket_cap, num_partitions=num_partitions,
         hot_broadcast_limit=hot_broadcast_limit, out_prefix="doc",
+        return_stats=return_stats,
     )
 
 

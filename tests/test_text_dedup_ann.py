@@ -805,3 +805,41 @@ def test_pq_train_shapes_and_determinism():
 
     with pytest.raises(ValueError):
         ann.pq_train(_emb_ds(), m_sub=7)  # 64 % 7 != 0
+
+
+def test_bucket_cap_drops_surfaced(ray_session):
+    """VERDICT r4 item 5 (no-silent-caps): an over-cap LSH bucket must
+    appear in the drop-stats side table with its drop count — and the
+    pair output under a cap must stay a subset of the uncapped one."""
+    import pandas as pd
+    import ray.data
+
+    from oluray.stages import dedup
+
+    # 12 identical docs -> every band bucket holds all 12 ids
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(12, dtype=np.int64),
+        "text": ["the same exact duplicated text body here"] * 12,
+    }))
+    pairs, drops = dedup.minhash_lsh_pairs(
+        docs, threshold=0.9, bucket_cap=5, return_stats=True,
+    )
+    dd = drops.to_pandas()
+    assert len(dd) > 0
+    assert set(dd.columns) == {"band_id", "band_hash", "bucket_size",
+                               "dropped"}
+    assert (dd["bucket_size"] == 12).all() and (dd["dropped"] == 7).all()
+    # capped pair set is the C(5,2) clique over the kept ids
+    pp = pairs.to_pandas()
+    assert len(pp) == 10
+    # un-capped control: no drops, full clique
+    pairs2, drops2 = dedup.minhash_lsh_pairs(
+        docs, threshold=0.9, bucket_cap=100, return_stats=True,
+    )
+    assert drops2.count() == 0
+    assert pairs2.count() == 66  # C(12,2)
+
+    # simhash flavor shares the manifest plumbing
+    _, sdrops = dedup.simhash_pairs(docs, bucket_cap=5, return_stats=True)
+    sd = sdrops.to_pandas()
+    assert len(sd) > 0 and (sd["dropped"] == 7).all()
