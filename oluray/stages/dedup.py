@@ -40,6 +40,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -251,20 +252,48 @@ def unpack_sigs(col) -> np.ndarray:
     return np.frombuffer(b"".join(rows), dtype=np.uint64).reshape(len(rows), -1)
 
 
-def bands_from_sigs(bands: int):
-    """(doc_id, sig) rows -> (doc_id, band_id, band_hash) rows."""
+def _binary_col_to_u64(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Arrow binary column of fixed-width signature blobs ->
+    (n, n_perm) uint64 matrix, ZERO-COPY from the Arrow value buffer
+    (the pandas-era path paid a per-row bytes materialize + b''.join;
+    r5, VERDICT r4 item 6)."""
+    v = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(v) == 0:
+        return np.empty((0, 0), dtype=np.uint64)
+    if isinstance(v, pa.LargeBinaryArray):
+        offs = np.frombuffer(v.buffers()[1], dtype=np.int64,
+                             count=len(v) + 1, offset=v.offset * 8)
+    else:
+        offs = np.frombuffer(v.buffers()[1], dtype=np.int32,
+                             count=len(v) + 1, offset=v.offset * 4)
+    start, end = int(offs[0]), int(offs[-1])
+    raw = np.frombuffer(v.buffers()[2], dtype=np.uint8)[start:end]
+    return raw.view(np.uint64).reshape(len(v), -1)
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame({"doc_id": [], "band_id": [], "band_hash": []})
-        sigs = unpack_sigs(batch["sig"])
+
+def bands_from_sigs(bands: int):
+    """(doc_id, sig) rows -> (doc_id, band_id, band_hash) rows.
+    Arrow-native: signature bytes come straight out of the binary
+    value buffer, ids are replicated with one vectorized take."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "band_id": pa.array([], pa.int64()),
+                 "band_hash": pa.array([], pa.int64())}
+            )
+        sigs = _binary_col_to_u64(t["sig"])
         folded = _fold_bands(sigs, bands)  # (ndocs, bands)
-        ndocs = len(batch)
-        return pd.DataFrame(
+        ndocs = len(t)
+        idx = np.tile(np.arange(ndocs, dtype=np.int64), bands)
+        return pa.table(
             {
-                "doc_id": np.tile(batch["doc_id"].to_numpy(), bands),
-                "band_id": np.repeat(np.arange(bands, dtype=np.int64), ndocs),
-                "band_hash": folded.T.reshape(-1).astype(np.int64),
+                "doc_id": pc.take(t["doc_id"], pa.array(idx)),
+                "band_id": pa.array(
+                    np.repeat(np.arange(bands, dtype=np.int64), ndocs)
+                ),
+                "band_hash": pa.array(folded.T.reshape(-1).astype(np.int64)),
             }
         )
 
@@ -530,7 +559,7 @@ def minhash_lsh_pairs(docs, threshold: float = 0.6, n_perm: int = 64,
     n_docs = sig_rows.count()
     np_eff = int(np.clip(n_docs // 1500, 8, num_partitions))
     band_rows = sig_rows.map_batches(
-        bands_from_sigs(bands), batch_format="pandas"
+        bands_from_sigs(bands), batch_format="pyarrow"
     )
 
     empty = pa.table(
@@ -797,17 +826,27 @@ def hamming_band_pairs(sig_rows, id_col: str = "doc_id",
     n_bands = min(max_hamming + 1, 32)
     a_col, b_col = f"{out_prefix}_a", f"{out_prefix}_b"
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[sig_col].to_numpy().view(np.uint64)
-        frames = []
-        for band in range(n_bands):
-            frames.append(pd.DataFrame({
-                id_col: batch[id_col], sig_col: batch[sig_col],
-                "band_id": band, "band_val": _band_values(s, band, n_bands),
-            }))
-        return pd.concat(frames, ignore_index=True)
+    def explode(t: pa.Table) -> pa.Table:
+        # Arrow-native (r5): one vectorized take replaces the pandas
+        # per-band frame build + concat (which copied ids and sigs
+        # n_bands times through python objects)
+        n = len(t)
+        s = t[sig_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        vals = (
+            np.concatenate([_band_values(s, b, n_bands)
+                            for b in range(n_bands)])
+            if n else np.empty(0, np.int64)
+        )
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), n_bands))
+        return pa.table({
+            id_col: pc.take(t[id_col], idx),
+            sig_col: pc.take(t[sig_col], idx),
+            "band_id": pa.array(
+                np.repeat(np.arange(n_bands, dtype=np.int64), n)),
+            "band_val": pa.array(vals),
+        })
 
-    exploded = sig_rows.map_batches(explode, batch_format="pandas").materialize()
+    exploded = sig_rows.map_batches(explode, batch_format="pyarrow").materialize()
 
     empty = pa.table(
         {a_col: pa.array([], id_type), b_col: pa.array([], id_type),
