@@ -328,6 +328,9 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from oluray.runtime import quiet_ray_empty_block_warnings
+
+    quiet_ray_empty_block_warnings()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from oluray.pipelines import queries as Q
@@ -430,6 +433,9 @@ def run_headline() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from oluray.runtime import quiet_ray_empty_block_warnings
+
+    quiet_ray_empty_block_warnings()
     import pyarrow.parquet as pq
 
     pq.read_table(f"{sf_dir}/lineitem.parquet")  # warm page cache

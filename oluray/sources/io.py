@@ -205,6 +205,29 @@ def bucketed_join(
     lkey, rkey = lm["key"], rm["key"]
     n = lm["n_buckets"]
 
+    def _side_schema(d: str):
+        for b in range(n):
+            p = os.path.join(d, f"__bucket={b}")
+            if os.path.isdir(p):
+                return pq.ParquetDataset(p).schema
+        return None
+
+    def _typed_empty() -> "pd.DataFrame":
+        # TYPED empty (r5): run the real merge on schema-derived empty
+        # frames so a no-match bucket emits the exact output dtypes
+        # instead of a schema-less pd.DataFrame() block
+        ls, rs = _side_schema(left_dir), _side_schema(right_dir)
+        if ls is None:
+            return pd.DataFrame()
+        lf = ls.empty_table().to_pandas()
+        if rs is None:
+            rf = pd.DataFrame({rkey: pd.Series([], dtype="int64")})
+        else:
+            rf = rs.empty_table().to_pandas()
+        collide = (set(lf.columns) & set(rf.columns)) - {rkey}
+        rf = rf.rename(columns={c: c + suffix for c in collide})
+        return lf.merge(rf, how=how, left_on=lkey, right_on=rkey)
+
     def join_bucket(batch: "pd.DataFrame") -> "pd.DataFrame":
         frames = []
         for b in batch["bucket"]:
@@ -225,7 +248,7 @@ def bucketed_join(
                 lf.merge(rf, how=how, left_on=lkey, right_on=rkey)
             )
         if not frames:
-            return pd.DataFrame()
+            return _typed_empty()
         return pd.concat(frames, ignore_index=True)
 
     ids = ray.data.from_items([{"bucket": b} for b in range(n)])

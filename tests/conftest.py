@@ -15,5 +15,8 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from oluray.runtime import quiet_ray_empty_block_warnings
+
+    quiet_ray_empty_block_warnings()
     yield
     ray.shutdown()

@@ -53,8 +53,11 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-
     sys.path.insert(0, "/root/repo")
+    from oluray.runtime import quiet_ray_empty_block_warnings
+
+    quiet_ray_empty_block_warnings()
+
     import __ray_entry__ as e
 
     con = duckdb.connect()
