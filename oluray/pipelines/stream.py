@@ -246,6 +246,77 @@ def run_replication_windows_store(
     }
 
 
+def apply_changes_window(
+    store,
+    changes: ray.data.Dataset,
+    out_dir: str,
+    window_id: str = "w1",
+    cell_res: int = 12,
+    part_res: int = 2,
+    output_mode: str = "endpoint",
+    artifact_dir: str | None = None,
+) -> dict:
+    """One-shot window apply over a persistent store — the CLI's
+    `--input <dir>` path (the reference applies the merged local
+    change dir in one pass, `/root/reference/src/osm/OsmUpdater.cpp:
+    136-147`). Same primitives as the replication loop body:
+    latest-wins merge -> diff-proportional apply (auto RefIndex) ->
+    resumable geo-delta sink -> staged index + store commit. With
+    `output_mode` 'file'/'debug_file' the update is written to
+    `artifact_dir` instead of committed (store and index untouched),
+    mirroring the reference's SparqlOutput semantics."""
+    from oluray.pipelines.update import (
+        _keys_of, _payload_nodes, _payload_relations, _payload_ways,
+    )
+    from oluray.stages.diff import merge_latest_wins
+
+    ref_index = _ensure_ref_index(store)
+    merged = merge_latest_wins(changes).materialize()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = geo.cell_parent(
+            t["cell"].to_numpy(zero_copy_only=False), part_res
+        )
+        return t.append_column("part", pa.array(part))
+
+    out = upd.apply_update(
+        None, None, None, merged, cell_res=cell_res, already_merged=True,
+        store=store, ref_index=ref_index,
+        output_mode=output_mode, output_dir=artifact_dir,
+    )
+    delta = out["geo_delta"].map_batches(add_part, batch_format="pyarrow")
+    man = write_partitioned_resumable(
+        delta, f"{out_dir}/{window_id}", window_id, part_col="part"
+    )
+    result = {
+        "window_id": window_id,
+        "partitions": len(man.partitions),
+        "rows": sum(i["rows"] for i in man.partitions.values()),
+        "artifact": out.get("update_artifact"),
+    }
+    if output_mode == "endpoint":
+        all_ops = ("create", "modify", "delete")
+        _stage_ref_index(ref_index, store, merged, window_id)
+        apply_man = store.apply_window(
+            window_id,
+            {
+                "nodes": (_keys_of(merged, "node", all_ops),
+                          _payload_nodes(merged)),
+                "ways": (_keys_of(merged, "way", all_ops),
+                         _payload_ways(merged)),
+                "relations": (_keys_of(merged, "relation", all_ops),
+                              _payload_relations(merged)),
+            },
+        )
+        result["store_buckets"] = {
+            k: v["touched_buckets"] for k, v in apply_man["kinds"].items()
+        }
+        result["index_buckets"] = (
+            ref_index.apply_window(window_id)["touched_buckets"]
+        )
+    return result
+
+
 def _ensure_ref_index(store):
     """Load or build the store-co-located RefIndex (`<store>/_refindex`).
 

@@ -201,14 +201,23 @@ def _write_update_artifact(
         pa.Table.from_pandas(deletes, preserve_index=False),
         os.path.join(out_dir, "deletes.parquet"),
     )
-    blocks = ttls.emit_ttl(
-        nodes=_payload_nodes(merged),
-        ways=_payload_ways(merged),
-        relations=_payload_relations(merged),
-        missing="skip",
-        way_loc_src=loc_src,
-    )
-    bt = blocks.to_pandas().sort_values(["kind", "id"])
+    # emit only the kinds the window inserts (an empty payload
+    # dataset has no runtime schema and cannot feed the way join)
+    ins = mt[mt["op"].isin(["create", "modify"])]
+    kinds = set(ins["kind"])
+    if kinds:
+        blocks = ttls.emit_ttl(
+            nodes=_payload_nodes(merged) if "node" in kinds else None,
+            ways=_payload_ways(merged) if "way" in kinds else None,
+            relations=(
+                _payload_relations(merged) if "relation" in kinds else None
+            ),
+            missing="skip",
+            way_loc_src=loc_src,
+        )
+        bt = blocks.to_pandas().sort_values(["kind", "id"])
+    else:  # delete-only window: header-only inserts file
+        bt = pd.DataFrame({"kind": [], "id": [], "text": []})
     from oluray.functions.ttl import TTL_PREFIXES
 
     with open(os.path.join(out_dir, "inserts.ttl"), "w",

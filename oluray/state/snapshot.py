@@ -162,6 +162,18 @@ class SnapshotStore:
             for d in _glob.glob(os.path.join(kind_dir, "__b=*")):
                 b = int(os.path.basename(d).split("=", 1)[1])
                 os.replace(d, _bucket_dir(kind_dir, b))
+            if not _glob.glob(os.path.join(kind_dir, "*", "*.parquet")):
+                # empty kind (e.g. a snapshot with no relations): a
+                # zero-row TYPED file in bucket 0 keeps schema() and
+                # every read path working
+                from oluray.stages.joins import _arrow_schema
+
+                bd = _bucket_dir(kind_dir, 0)
+                os.makedirs(bd, exist_ok=True)
+                pq.write_table(
+                    _arrow_schema(ds).empty_table(),
+                    os.path.join(bd, "empty.parquet"),
+                )
         os.makedirs(os.path.join(root, "_windows"), exist_ok=True)
         with open(os.path.join(root, _STORE_MANIFEST), "w") as f:
             json.dump(
