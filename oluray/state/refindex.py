@@ -139,7 +139,17 @@ class RefIndex:
         relations: ray.data.Dataset, n_buckets: int = 64,
     ) -> "RefIndex":
         """One-time index build (the DB's CREATE INDEX): one
-        distributed explode+write pass over ways and relations."""
+        distributed explode+write pass over ways and relations.
+
+        Files are written by a KEYED partition write — each bucket
+        lands in exactly ONE file regardless of how many input blocks
+        the sources arrive in. (The r4 hive write produced one file
+        per block x bucket: an index auto-built from a 192-block
+        `store.read` carried ~20 files/bucket, and every per-window
+        `owners_of` paid ~20 file opens per touched bucket — measured
+        30 s vs 18 s on the 4-window backfill bench.)"""
+        from oluray.stages import joins
+
         os.makedirs(root, exist_ok=True)
         entries = explode_ways_entries(ways).union(
             explode_relations_entries(relations)
@@ -150,12 +160,25 @@ class RefIndex:
             keys = t["key"].to_numpy(zero_copy_only=False)
             return t.append_column("__b", pa.array(_bucket_of(keys, _nb)))
 
-        entries.map_batches(tag, batch_format="pyarrow").write_parquet(
-            root, partition_cols=["__b"]
-        )
-        for d in _glob.glob(os.path.join(root, "__b=*")):
-            b = int(os.path.basename(d).split("=", 1)[1])
-            os.replace(d, _bucket_dir(root, b))
+        def write_part(df: "pd.DataFrame") -> "pd.DataFrame":
+            import pandas as _pd
+
+            out_b, out_rows = [], []
+            for b, g in df.groupby("__b", sort=False):
+                d = _bucket_dir(root, int(b))
+                os.makedirs(d, exist_ok=True)
+                t = pa.Table.from_pandas(
+                    g.drop(columns="__b"), preserve_index=False
+                ).select(SCHEMA.names).cast(SCHEMA)
+                pq.write_table(t, os.path.join(d, "part-0.parquet"))
+                out_b.append(int(b))
+                out_rows.append(len(g))
+            return _pd.DataFrame({"b": out_b, "rows": out_rows})
+
+        joins.partitioned_map(
+            entries.map_batches(tag, batch_format="pyarrow"), ["__b"],
+            write_part, num_partitions=min(n_buckets, 32),
+        ).count()  # consume: the writes ARE the output
         os.makedirs(os.path.join(root, "_windows"), exist_ok=True)
         with open(os.path.join(root, _IDX_MANIFEST), "w") as f:
             json.dump({"n_buckets": n_buckets}, f)
