@@ -315,10 +315,12 @@ def linestring_wkt(lon, lat) -> str:
 
 def way_length_deg(lon: np.ndarray, lat: np.ndarray) -> str:
     """Planar Euclidean path length in degrees, %.6f (way.ttl:
-    osm2rdf:length \"0.005285\")."""
+    osm2rdf:length \"0.005285\"). sqrt(dx*dx+dy*dy) — plain IEEE
+    ops, bit-identical to the SQL oracle's sqrt expression (np.hypot
+    takes a different path and can differ in the last ulp)."""
     dx = np.diff(np.asarray(lon, np.float64))
     dy = np.diff(np.asarray(lat, np.float64))
-    return "%.6f" % float(np.hypot(dx, dy).sum())
+    return "%.6f" % float(np.sqrt(dx * dx + dy * dy).sum())
 
 
 def _head_lines(subj: str, osm_type: str, ts_ms, tags) -> list[str]:

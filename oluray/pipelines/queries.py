@@ -2480,6 +2480,60 @@ def q_ttl_emit(sf_dir: str):
     )
 
 
+def q_ttl_emit_ways(sf_dir: str):
+    """Way-block TTL emission with a byte-exact SQL oracle: 2-node
+    ways (way id = o_orderkey, node ids 2k/2k+1, derive_lonlat
+    coords, one priority tag) make every geometry literal
+    SQL-expressible — LINESTRING over the nd order, degenerate hull/
+    envelope/obb rings (a 2-vertex hull falls back to the envelope
+    ring, the documented contract), and the %.6f segment length via
+    plain IEEE sqrt(dx*dx+dy*dy) on both sides. Exercises the full
+    explode -> locate-join -> pos-ordered collect -> format path of
+    `stages/ttl.emit_way_ttl`."""
+    from oluray.sources.fixtures import NODES_SCHEMA, WAYS_SCHEMA
+    from oluray.stages import ttl as ttls
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.concatenate([2 * k, 2 * k + 1])
+        lon, lat = geo.derive_lonlat(ids)
+        n = len(ids)
+        return pa.table(
+            {"id": pa.array(ids), "lon": pa.array(lon),
+             "lat": pa.array(lat),
+             "tags": pa.nulls(n, NODES_SCHEMA.field("tags").type),
+             "version": pa.array(np.ones(n, np.int64)),
+             "ts": pa.nulls(n, pa.timestamp("ms"))}, schema=NODES_SCHEMA,
+        )
+
+    def to_ways(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        refs = np.empty(2 * n, np.int64)
+        refs[0::2] = 2 * k
+        refs[1::2] = 2 * k + 1
+        offs = pa.array(np.arange(n + 1, dtype=np.int32) * 2)
+        pr = t["o_orderpriority"].cast(pa.string()).combine_chunks()
+        tags = pa.MapArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32)),
+            pa.array(np.full(n, "priority", dtype=object), pa.string()),
+            pr,
+        ).cast(WAYS_SCHEMA.field("tags").type)
+        return pa.table(
+            {"id": pa.array(k),
+             "nd_refs": pa.ListArray.from_arrays(offs, pa.array(refs)),
+             "tags": tags,
+             "version": pa.array(np.ones(n, np.int64)),
+             "ts": pa.nulls(n, pa.timestamp("ms"))}, schema=WAYS_SCHEMA,
+        )
+
+    nodes = orders.map_batches(to_nodes, batch_format="pyarrow")
+    ways = orders.map_batches(to_ways, batch_format="pyarrow")
+    return ttls.emit_way_ttl(ways, nodes)
+
+
 def q_cosine_pairs(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (rows-only; LSH-bucketed
     with exact within-bucket verify)."""
@@ -8145,6 +8199,60 @@ def _ttl_emit_sql() -> str:
 _TTL_EMIT_SQL = _ttl_emit_sql()
 
 
+def _ttl_emit_ways_sql() -> str:
+    """DuckDB reconstruction of the 2-node way TTL block
+    (q_ttl_emit_ways): LINESTRING over nd order, degenerate
+    envelope-shaped hull/envelope/obb rings, IEEE sqrt length."""
+    x1, y1 = geo.derive_lonlat_sql("2 * o_orderkey")
+    x2, y2 = geo.derive_lonlat_sql("2 * o_orderkey + 1")
+    return f"""
+        WITH n AS (
+          SELECT o_orderkey AS id, o_orderpriority AS pr,
+                 {x1} AS x1d, {y1} AS y1d, {x2} AS x2d, {y2} AS y2d
+          FROM orders),
+        f AS (
+          SELECT id, pr,
+                 printf('%.7f', x1d) AS x1, printf('%.7f', y1d) AS y1,
+                 printf('%.7f', x2d) AS x2, printf('%.7f', y2d) AS y2,
+                 printf('%.7f', least(x1d, x2d)) AS xl,
+                 printf('%.7f', greatest(x1d, x2d)) AS xh,
+                 printf('%.7f', least(y1d, y2d)) AS yl,
+                 printf('%.7f', greatest(y1d, y2d)) AS yh,
+                 printf('%.6f', sqrt((x2d - x1d) * (x2d - x1d)
+                                     + (y2d - y1d) * (y2d - y1d))) AS len
+          FROM n),
+        g AS (
+          SELECT *,
+                 'POLYGON((' || xl || ' ' || yl || ',' || xl || ' ' || yh
+                 || ',' || xh || ' ' || yh || ',' || xh || ' ' || yl
+                 || ',' || xl || ' ' || yl || '))' AS ring
+          FROM f)
+        SELECT 'way' AS kind, id,
+               'osmway:' || id || ' rdf:type osm:way .' || chr(10)
+            || 'osmway:' || id || ' osmkey:priority "' || pr || '" .'
+               || chr(10)
+            || 'osmway:' || id || ' osm2rdf:facts "1"^^xsd:integer .'
+               || chr(10)
+            || 'osmway:' || id || ' geo:hasGeometry osm2rdf:way_' || id
+               || ' .' || chr(10)
+            || 'osm2rdf:way_' || id || ' geo:asWKT "LINESTRING(' || x1
+               || ' ' || y1 || ',' || x2 || ' ' || y2
+               || ')"^^geo:wktLiteral .' || chr(10)
+            || 'osmway:' || id || ' osm2rdfgeom:convex_hull "' || ring
+               || '"^^geo:wktLiteral .' || chr(10)
+            || 'osmway:' || id || ' osm2rdfgeom:envelope "' || ring
+               || '"^^geo:wktLiteral .' || chr(10)
+            || 'osmway:' || id || ' osm2rdfgeom:obb "' || ring
+               || '"^^geo:wktLiteral .' || chr(10)
+            || 'osmway:' || id || ' osm2rdf:length "' || len
+               || '"^^xsd:double .' AS text
+        FROM g
+    """
+
+
+_TTL_EMIT_WAYS_SQL = _ttl_emit_ways_sql()
+
+
 ORACLE: dict[str, str] = {
     "label_centroids": """
         SELECT label, i AS dim,
@@ -8598,6 +8706,7 @@ ORACLE: dict[str, str] = {
     # printf coords, degenerate rings, facts, timestamp literal) so
     # the Ray emitter is hash-checked byte-for-byte
     "ttl_emit": _TTL_EMIT_SQL,
+    "ttl_emit_ways": _TTL_EMIT_WAYS_SQL,
     # the SQL side builds the kept triple set directly; the Ray side
     # must emit, regex-parse and semi-filter the full TTL line stream
     "ttl_filter": """
@@ -9134,6 +9243,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "ttl_filter": q_ttl_filter,
     "ttl_emit": q_ttl_emit,
+    "ttl_emit_ways": q_ttl_emit_ways,
     "cc_labels": q_cc_labels,
     "group_quantiles": q_group_quantiles,
     "group_quantiles_dist": q_group_quantiles_dist,
