@@ -2534,6 +2534,64 @@ def q_ttl_emit_ways(sf_dir: str):
     return ttls.emit_way_ttl(ways, nodes)
 
 
+def q_ttl_emit_rels(sf_dir: str):
+    """Relation-block TTL emission with a byte-exact SQL oracle:
+    relation id = o_orderkey, members = that order's lineitems in
+    l_linenumber order (ref = l_partkey, node/way by parity, role
+    from l_returnflag with 'N' -> '' -> the 'member' default), one
+    type tag. The oracle rebuilds the member blank-node text with an
+    ordered string_agg, so member ORDER, blank-node labels, role
+    defaulting and facts count are all hash-checked."""
+    from oluray.sources.fixtures import RELATIONS_SCHEMA
+    from oluray.stages import ttl as ttls
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"])
+
+    def to_rels(df: pd.DataFrame) -> pd.DataFrame:
+        # full (l_linenumber, l_partkey, l_returnflag) tiebreak: the
+        # synthetic lineitem repeats l_linenumber (and even partkey)
+        # within an order, and member order must be deterministic on
+        # both sides
+        df = df.sort_values(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"],
+            kind="mergesort")
+        recs = pd.DataFrame({
+            "m": [
+                {"ref": int(p), "type": "node" if p % 2 == 0 else "way",
+                 "role": "" if rf == "N" else str(rf)}
+                for p, rf in zip(df["l_partkey"], df["l_returnflag"])
+            ]
+        }, index=df.index)
+        g = recs["m"].groupby(df["l_orderkey"].to_numpy()).agg(list)
+        return pd.DataFrame({"rel_id": g.index.to_numpy(),
+                             "members": g.to_numpy()})
+
+    grouped = joins.partitioned_map(li, ["l_orderkey"], to_rels,
+                                    num_partitions=16)
+
+    def to_table(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        ids = df["rel_id"].to_numpy(dtype=np.int64)
+        members = pa.array(
+            list(df["members"]),
+            RELATIONS_SCHEMA.field("members").type,
+        )
+        tags = pa.array([[("type", "route")]] * n,
+                        RELATIONS_SCHEMA.field("tags").type)
+        return pa.table(
+            {"id": pa.array(ids), "members": members,
+             "type": pa.array(np.full(n, "route", object), pa.string()),
+             "tags": tags,
+             "version": pa.array(np.ones(n, np.int64)),
+             "ts": pa.nulls(n, pa.timestamp("ms"))},
+            schema=RELATIONS_SCHEMA,
+        )
+
+    rels = grouped.map_batches(to_table, batch_format="pandas")
+    return ttls.emit_relation_ttl(rels)
+
+
 def q_cosine_pairs(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (rows-only; LSH-bucketed
     with exact within-bucket verify)."""
@@ -8252,6 +8310,42 @@ def _ttl_emit_ways_sql() -> str:
 
 _TTL_EMIT_WAYS_SQL = _ttl_emit_ways_sql()
 
+# relation blocks (q_ttl_emit_rels): head lines + ordered member
+# blank-node quads rebuilt with a string_agg over l_linenumber order
+_TTL_EMIT_RELS_SQL = """
+    WITH m AS (
+      SELECT l_orderkey AS id, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey,
+                                         l_returnflag) - 1 AS pos,
+             l_partkey AS ref,
+             CASE WHEN l_partkey % 2 = 0 THEN 'osmnode' ELSE 'osmway'
+             END AS ns,
+             CASE WHEN l_returnflag = 'N' THEN 'member'
+                  ELSE l_returnflag END AS role
+      FROM lineitem),
+    agg AS (
+      SELECT id,
+             string_agg(
+               'osmrel:' || id || ' osmrel:member _:' || id || '_'
+               || pos || ' .' || chr(10)
+               || '_:' || id || '_' || pos || ' osm2rdfmember:id '
+               || ns || ':' || ref || ' .' || chr(10)
+               || '_:' || id || '_' || pos || ' osm2rdfmember:role "'
+               || role || '" .' || chr(10)
+               || '_:' || id || '_' || pos
+               || ' osm2rdfmember:pos "' || pos
+               || '"^^xsd:integer .',
+               chr(10) ORDER BY pos) AS mem_text
+      FROM m GROUP BY id)
+    SELECT 'relation' AS kind, id,
+           'osmrel:' || id || ' rdf:type osm:relation .' || chr(10)
+        || 'osmrel:' || id || ' osmkey:type "route" .' || chr(10)
+        || 'osmrel:' || id || ' osm2rdf:facts "1"^^xsd:integer .'
+           || chr(10) || mem_text AS text
+    FROM agg
+"""
+
 
 ORACLE: dict[str, str] = {
     "label_centroids": """
@@ -8707,6 +8801,7 @@ ORACLE: dict[str, str] = {
     # the Ray emitter is hash-checked byte-for-byte
     "ttl_emit": _TTL_EMIT_SQL,
     "ttl_emit_ways": _TTL_EMIT_WAYS_SQL,
+    "ttl_emit_rels": _TTL_EMIT_RELS_SQL,
     # the SQL side builds the kept triple set directly; the Ray side
     # must emit, regex-parse and semi-filter the full TTL line stream
     "ttl_filter": """
@@ -9244,6 +9339,7 @@ QUERIES = {
     "ttl_filter": q_ttl_filter,
     "ttl_emit": q_ttl_emit,
     "ttl_emit_ways": q_ttl_emit_ways,
+    "ttl_emit_rels": q_ttl_emit_rels,
     "cc_labels": q_cc_labels,
     "group_quantiles": q_group_quantiles,
     "group_quantiles_dist": q_group_quantiles_dist,
