@@ -459,7 +459,14 @@ def write_ttl_shards(blocks: ray.data.Dataset, out_dir: str) -> int:
             return pa.table({"rows": pa.array([], pa.int64())})
         ids = t["id"].to_numpy(zero_copy_only=False)
         kind = t["kind"][0].as_py()
-        p = os.path.join(out_dir, f"part-{kind}-{ids.min()}-{ids.max()}.ttl")
+        # deterministic name; the id-set digest disambiguates blocks
+        # whose (kind, min, max) coincide
+        import hashlib
+
+        digest = hashlib.sha1(np.sort(ids).tobytes()).hexdigest()[:10]
+        p = os.path.join(
+            out_dir, f"part-{kind}-{ids.min()}-{ids.max()}-{digest}.ttl"
+        )
         with open(p, "w", encoding="utf-8") as f:
             for txt in t["text"].to_pylist():
                 f.write(txt + "\n")
