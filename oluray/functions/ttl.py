@@ -26,6 +26,8 @@ row loops; the Dataset stages live in `oluray.stages.ttl`.
 
 from __future__ import annotations
 
+import re as _re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -244,16 +246,33 @@ def ts_literal_ms(ts_ms: np.ndarray) -> np.ndarray:
     return np.datetime_as_string(secs, unit="s")
 
 
+_TTL_ESC = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r",
+            "\t": "\\t"}
+# every OTHER line-breaking / C0 control char must be \uXXXX-escaped
+# too: the reference consumes TTL line-by-line
+# (`/root/reference/src/osm/OsmChangeHandler.cpp:599-604`), so a raw
+# form feed / vertical tab / U+2028 inside a literal would split one
+# triple across "lines" (found by the emit->parse hypothesis test)
+_TTL_ESC_RE = _re.compile(
+    '[\\\\"\n\r\t\x00-\x08\x0b\x0c\x0e-\x1f\x85\u2028\u2029]'
+)
+
+
+def _ttl_esc_one(m) -> str:
+    ch = m.group(0)
+    return _TTL_ESC.get(ch) or "\\u%04X" % ord(ch)
+
+
 def turtle_escape(vals) -> np.ndarray:
-    """Escape Turtle string-literal metachars: backslash, quote,
-    newline, carriage return, tab (unexercised by the goldens, which
-    carry XML-encoded values; standard Turtle escaping)."""
-    out = np.asarray(vals, dtype=object)
-    for old, new in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
-                     ("\r", "\\r"), ("\t", "\\t")):
-        out = np.array([v.replace(old, new) if v is not None else v
-                        for v in out], dtype=object)
-    return out
+    """Escape Turtle string-literal metachars: backslash, quote, the
+    named control escapes, and \\uXXXX for every other C0 control or
+    unicode line break (unexercised by the goldens, which carry
+    XML-encoded values; standard Turtle escaping)."""
+    return np.array(
+        [_TTL_ESC_RE.sub(_ttl_esc_one, v) if v is not None else v
+         for v in np.asarray(vals, dtype=object)],
+        dtype=object,
+    )
 
 
 def _ring_cw_closed(lon: np.ndarray, lat: np.ndarray):

@@ -162,3 +162,46 @@ def test_shard_sink_roundtrip(ray_session, tmp_path):
         if p.startswith("part-"):
             text += open(os.path.join(d, p)).read()
     assert canon_triples(text) == _golden("node.ttl")
+
+
+def test_emit_parse_roundtrip_property(ray_session):
+    """Property link between the write and read paths: every line a
+    block emitter produces must (a) parse under the reference's
+    triple regex (M10) and (b) resolve its element subject back to
+    the original id (M11) — including tag values that need Turtle
+    escaping (quotes, backslashes, newlines), which the goldens never
+    exercise."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from oluray.functions import ttl as F
+
+    tag_val = st.text(min_size=0, max_size=40).filter(
+        lambda s: "\x00" not in s
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        id=st.integers(min_value=1, max_value=2**53),
+        lon=st.floats(min_value=-180, max_value=180, allow_nan=False),
+        lat=st.floats(min_value=-85, max_value=85, allow_nan=False),
+        vals=st.lists(tag_val, max_size=3),
+    )
+    def check(id, lon, lat, vals):
+        tags = [(f"k{i}", v) for i, v in enumerate(vals)]
+        block = F.node_ttl_block(id, lon, lat, tags, 1_700_000_000_000)
+        lines = block.splitlines()
+        # facts line counts the tags
+        assert f'osm2rdf:facts "{len(tags)}"^^xsd:integer' in block
+        for ln in lines:
+            m = re.match(F.TRIPLE_PATTERN + r"$", ln)
+            assert m, ln
+            # escaped literals stay single-line: regex groups rejoin
+            s = m.group("s")
+            if s.startswith("osmnode:"):
+                got = F.id_from_subject(
+                    __import__("pyarrow").array([s]), "node"
+                )[0].as_py()
+                assert got == id
+
+    check()
