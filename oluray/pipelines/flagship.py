@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -81,12 +82,26 @@ def add_centroid_dist(batch: pa.Table, cent_ref) -> pa.Table:
 
 
 def poly_centroids(polys: pa.Table) -> dict[int, tuple[float, float]]:
-    out = {}
-    for row in polys.to_pylist():
-        lons = np.array([v["lon"] for v in row["ring"]])
-        lats = np.array([v["lat"] for v in row["ring"]])
-        out[row["poly_id"]] = (float(lons.mean()), float(lats.mean()))
-    return out
+    """Ring-vertex mean per polygon, vectorized over the flattened
+    list column (per-ring segment means via reduceat — the old
+    to_pylist() loop was driver-side O(total vertices) in Python;
+    this runs once per window over the DIFF-sized polygon table, but
+    cheap is cheap)."""
+    ring = polys["ring"].combine_chunks()
+    flat = pc.list_flatten(ring)
+    offs = ring.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lon = flat.field("lon").to_numpy(zero_copy_only=False)
+    lat = flat.field("lat").to_numpy(zero_copy_only=False)
+    n = np.diff(offs).astype(np.float64)
+    sum_lon = np.add.reduceat(lon, offs[:-1])
+    sum_lat = np.add.reduceat(lat, offs[:-1])
+    # reduceat on a zero-length segment returns the element AT the
+    # offset — polygons always have >= 3 ring vertices, so n > 0
+    ids = polys["poly_id"].to_numpy(zero_copy_only=False)
+    return {
+        int(i): (float(slon / c), float(slat / c))
+        for i, slon, slat, c in zip(ids, sum_lon, sum_lat, n)
+    }
 
 
 def assignments_pipeline(
