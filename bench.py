@@ -7,10 +7,13 @@ num_cpus=$RAY_GRAFT_CPUS, default 32) and prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N}
 
-`--scaling` re-runs the harness in two fresh processes (num_cpus=8,
-then 32) on the same input and reports both throughputs + scaling
-efficiency (the sandbox evidence for the north rule's N vs 4N
-cluster criterion).
+`--scaling` re-runs the HEADLINE pipeline in fresh processes at
+4/8/16/32 CPUs on the same input, interleaved with two platform
+calibrations per width (raw Ray tasks + a no-Ray multiprocessing
+pool), and reports throughput at every width plus the scaling
+efficiencies: the 4->16 pair is the north rule's N-vs-4N evidence,
+the 8->32 pair is read against the measured host-saturation ceiling
+(see run_scaling's docstring and BASELINE.md run P).
 """
 
 from __future__ import annotations
