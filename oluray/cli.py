@@ -151,9 +151,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         if not files:
             return _fail(f"no .osc files in {args.input}")
+        # content-derived window id: re-running the SAME input stays
+        # idempotent (store.apply_window manifest short-circuit), a
+        # DIFFERENT change set gets a fresh window instead of being
+        # silently swallowed by the previous run's manifest
+        import hashlib
+
+        h = hashlib.sha1()
+        for p in files:
+            h.update(os.path.basename(p).encode())
+            with open(p, "rb") as fh:
+                h.update(hashlib.sha1(fh.read()).digest())
+        wid = f"cli-{h.hexdigest()[:12]}"
         res = stream.apply_changes_window(
             store, osc.read_osc(files), out_dir,
-            window_id="cli", cell_res=args.cell_res,
+            window_id=wid, cell_res=args.cell_res,
             output_mode=args.sparql_output,
             artifact_dir=args.sparql_output_file,
         )

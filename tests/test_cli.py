@@ -91,8 +91,9 @@ def test_cli_input_dir_end_to_end(ray_session, store_dir, tmp_path, capsys):
     nodes = store.read("nodes").to_pandas().set_index("id")
     assert nodes.loc[2, "lon"] == pytest.approx(7.5)
     assert 99 in nodes.index
-    # geo output landed under <store>/_geo
-    assert os.path.isdir(os.path.join(store_dir, "_geo", "cli"))
+    # geo output landed under <store>/_geo (content-derived window id)
+    assert any(d.startswith("cli-")
+               for d in os.listdir(os.path.join(store_dir, "_geo")))
 
 
 def test_cli_file_mode_no_commit(ray_session, store_dir, tmp_path, capsys):
@@ -155,3 +156,34 @@ def test_cli_replication_mode(ray_session, tmp_path, capsys):
     assert rc == cli.EXIT_OK
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out.get("up_to_date") is True
+
+
+def test_cli_second_change_set_applies(ray_session, tmp_path, capsys):
+    """A SECOND --input run with DIFFERENT changes must commit (the
+    window id is content-derived, not a fixed label that the first
+    run's manifest would short-circuit)."""
+    osm = str(tmp_path / "snap.osm")
+    _write_osm(osm)
+    chd = str(tmp_path / "changes")
+    _write_change_dir(chd)
+    store_dir = str(tmp_path / "store")
+    assert cli.main([store_dir, "-i", chd, "--init-osm", osm]) == cli.EXIT_OK
+    capsys.readouterr()
+
+    chd2 = str(tmp_path / "changes2")
+    os.makedirs(chd2)
+    rows = [
+        {"op": "create", "kind": "node", "id": 777, "version": 1,
+         "ts": 1_700_000_005_000,
+         "payload": {"lon": 5.0, "lat": 45.0, "nd_refs": None,
+                     "members": None, "tags": None}},
+    ]
+    with open(os.path.join(chd2, "002.osc.gz"), "wb") as f:
+        f.write(gzip.compress(osc.write_osc(rows).encode()))
+    assert cli.main([store_dir, "-i", chd2]) == cli.EXIT_OK
+    capsys.readouterr()
+    from oluray.state.snapshot import SnapshotStore
+
+    nodes = SnapshotStore(store_dir).read("nodes").to_pandas()
+    assert 777 in set(nodes["id"])  # second window actually committed
+    assert 99 in set(nodes["id"])   # first window's effect preserved
