@@ -832,11 +832,11 @@ def apply_update(
         # reference skipping request.perform() for updates
         # (`SparqlWrapper.cpp:70-72`). Reads (geo_delta & co) still
         # run in both modes, as the reference's queries do.
+        refs = closure.distinct_keys(
+            closure.explode_way_refs(_payload_ways(merged)),
+            "node_id", limit=BL,
+        )
         if indexed:
-            refs = closure.distinct_keys(
-                closure.explode_way_refs(_payload_ways(merged)),
-                "node_id", limit=BL,
-            )
             ctx = store.lookup("nodes", refs,
                                columns=["id", "lon", "lat"])
             loc_src = _payload_nodes(merged).select_columns(
@@ -845,7 +845,13 @@ def apply_update(
                 ctx, "id", node_in_cf, schema=closure.LOCATIONS_SCHEMA,
             ))
         else:
-            loc_src = nodes2
+            # window-scoped location slice of the post-update
+            # snapshot: the emission join's build side must be
+            # DIFF-sized, not the whole nodes table
+            loc_src = closure.semi_join(
+                nodes2.select_columns(["id", "lon", "lat"]), "id",
+                refs, schema=closure.LOCATIONS_SCHEMA,
+            )
         update_artifact = _write_update_artifact(
             merged, loc_src, output_dir,
             debug_sets=(
