@@ -163,12 +163,20 @@ def main(argv: list[str] | None = None) -> int:
             with open(p, "rb") as fh:
                 h.update(hashlib.sha1(fh.read()).digest())
         wid = f"cli-{h.hexdigest()[:12]}"
-        res = stream.apply_changes_window(
-            store, osc.read_osc(files), out_dir,
-            window_id=wid, cell_res=args.cell_res,
-            output_mode=args.sparql_output,
-            artifact_dir=args.sparql_output_file,
-        )
+        from oluray.stages.diff import EmptyDiffError
+
+        try:
+            res = stream.apply_changes_window(
+                store, osc.read_osc(files), out_dir,
+                window_id=wid, cell_res=args.cell_res,
+                output_mode=args.sparql_output,
+                artifact_dir=args.sparql_output_file,
+            )
+        except EmptyDiffError:
+            # the reference errors on an element-free change file
+            # (`OsmChangeHandler.cpp:192-196`)
+            print("Change files contain no elements", file=sys.stderr)
+            return 1
         print(json.dumps({"windows": [res]}, default=str))
         return EXIT_OK
 

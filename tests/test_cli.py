@@ -187,3 +187,18 @@ def test_cli_second_change_set_applies(ray_session, tmp_path, capsys):
     nodes = SnapshotStore(store_dir).read("nodes").to_pandas()
     assert 777 in set(nodes["id"])  # second window actually committed
     assert 99 in set(nodes["id"])   # first window's effect preserved
+
+
+def test_cli_empty_change_file(ray_session, tmp_path, capsys):
+    """Element-free change files error cleanly (exit 1), mirroring
+    the reference's empty-diff abort."""
+    osm = str(tmp_path / "snap.osm")
+    _write_osm(osm)
+    chd = str(tmp_path / "empty_changes")
+    os.makedirs(chd)
+    with open(os.path.join(chd, "001.osc.gz"), "wb") as f:
+        f.write(gzip.compress(osc.write_osc([]).encode()))
+    store_dir = str(tmp_path / "store")
+    rc = cli.main([store_dir, "-i", chd, "--init-osm", osm])
+    assert rc == 1
+    assert "no elements" in capsys.readouterr().err
