@@ -2592,6 +2592,55 @@ def q_ttl_emit_rels(sf_dir: str):
     return ttls.emit_relation_ttl(rels)
 
 
+def _pii_docs(sf_dir: str):
+    """documents with deterministically injected PII (email always;
+    ipv4 on doc_id%3==0; US phone on doc_id%5==0) — the SQL oracle
+    derives the IDENTICAL text, so counts and redactions are
+    hash-exact, not merely zero."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        t = df["text"].astype(object).to_numpy()
+        out = [
+            txt + f" u{i}@ex{i % 7}.org"
+            + (f" ip 10.0.{i % 256}.{i % 100}" if i % 3 == 0 else "")
+            + (f" call 321-{i % 1000:03d}-{i % 10000:04d}"
+               if i % 5 == 0 else "")
+            for i, txt in zip(d, t)
+        ]
+        return pd.DataFrame({"doc_id": d, "text": out})
+
+    return docs.map_batches(inject, batch_format="pandas")
+
+
+_PII_TXT_SQL = """
+    text || ' u' || doc_id || '@ex' || (doc_id % 7) || '.org'
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' ip 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 321-' || lpad((doc_id % 1000)::TEXT, 3, '0')
+                 || '-' || lpad((doc_id % 10000)::TEXT, 4, '0')
+            ELSE '' END
+"""
+
+
+def q_pii_stats(sf_dir: str):
+    """Per-doc PII counts (email / ipv4 / us-phone) over documents
+    with injected PII — `text.pii_stats`, one vectorized map pass,
+    no shuffle. Patterns live in the Python-re ∩ RE2 common dialect
+    so the oracle runs the identical regexes."""
+    return text.pii_stats(_pii_docs(sf_dir))
+
+
+def q_pii_redact(sf_dir: str):
+    """Scrubbed text with `<EMAIL>`/`<IPV4>`/`<PHONE>` placeholders —
+    `text.pii_redact`; the oracle nests regexp_replace in the same
+    declaration order, so every output byte is hash-checked."""
+    return text.pii_redact(_pii_docs(sf_dir))
+
+
 def q_cosine_pairs(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (rows-only; LSH-bucketed
     with exact within-bucket verify)."""
@@ -8310,6 +8359,41 @@ def _ttl_emit_ways_sql() -> str:
 
 _TTL_EMIT_WAYS_SQL = _ttl_emit_ways_sql()
 
+def _pii_sql() -> tuple[str, str]:
+    """(stats_sql, redact_sql) sharing the Ray side's exact patterns
+    and injected-text derivation."""
+    from oluray.stages.text import PII_PATTERNS
+
+    e, i, p = (PII_PATTERNS["email"], PII_PATTERNS["ipv4"],
+               PII_PATTERNS["phone"])
+    base = f"WITH d AS (SELECT doc_id, {_PII_TXT_SQL} AS txt FROM documents)"
+    stats = f"""
+        {base}
+        SELECT doc_id,
+               len(regexp_extract_all(txt, '{e}')) AS n_email,
+               len(regexp_extract_all(txt, '{i}')) AS n_ipv4,
+               len(regexp_extract_all(txt, '{p}')) AS n_phone,
+               len(regexp_extract_all(txt, '{e}'))
+               + len(regexp_extract_all(txt, '{i}'))
+               + len(regexp_extract_all(txt, '{p}')) AS n_pii
+        FROM d
+    """
+    redact = f"""
+        {base}
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(txt, '{e}', '<EMAIL>', 'g'),
+                   '{i}', '<IPV4>', 'g'),
+                 '{p}', '<PHONE>', 'g') AS text
+        FROM d
+    """
+    return stats, redact
+
+
+_PII_STATS_SQL, _PII_REDACT_SQL = _pii_sql()
+
+
 # relation blocks (q_ttl_emit_rels): head lines + ordered member
 # blank-node quads rebuilt with a string_agg over l_linenumber order
 _TTL_EMIT_RELS_SQL = """
@@ -8802,6 +8886,8 @@ ORACLE: dict[str, str] = {
     "ttl_emit": _TTL_EMIT_SQL,
     "ttl_emit_ways": _TTL_EMIT_WAYS_SQL,
     "ttl_emit_rels": _TTL_EMIT_RELS_SQL,
+    "pii_stats": _PII_STATS_SQL,
+    "pii_redact": _PII_REDACT_SQL,
     # the SQL side builds the kept triple set directly; the Ray side
     # must emit, regex-parse and semi-filter the full TTL line stream
     "ttl_filter": """
@@ -9340,6 +9426,8 @@ QUERIES = {
     "ttl_emit": q_ttl_emit,
     "ttl_emit_ways": q_ttl_emit_ways,
     "ttl_emit_rels": q_ttl_emit_rels,
+    "pii_stats": q_pii_stats,
+    "pii_redact": q_pii_redact,
     "cc_labels": q_cc_labels,
     "group_quantiles": q_group_quantiles,
     "group_quantiles_dist": q_group_quantiles_dist,

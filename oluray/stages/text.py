@@ -1268,3 +1268,64 @@ class BpeApply:
             columns={"n": "n_bpe_tokens"})
         g["n_bpe_tokens"] = g["n_bpe_tokens"].astype("int64")
         return g
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (r5) — the scrubbing pass every
+# web-scale training-data pipeline runs before tokenization. Patterns
+# are deliberately restricted to the Python-re ∩ RE2 common dialect
+# (no backrefs / lookarounds), so the DuckDB oracle evaluates the
+# IDENTICAL expressions (`ttl_emit`-style byte parity, verified on
+# boundary cases in tests). Counting/replacing is vectorized pandas
+# .str (compiled-once patterns); nothing shuffles — one map stage.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    # name -> (regex, placeholder) — declaration order IS the
+    # redaction order (email first so its digits never half-match ip)
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_stats(docs, text_col: str = "text",
+              id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-doc PII match counts: (id, n_email, n_ipv4, n_phone,
+    n_pii). Single vectorized map pass — run it BEFORE redaction to
+    decide drop-vs-scrub per document."""
+    import re as _re
+
+    compiled = {k: _re.compile(v) for k, v in PII_PATTERNS.items()}
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({id_col: df[id_col]})
+        total = np.zeros(len(df), dtype=np.int64)
+        s = df[text_col].astype("string")
+        for name, rx in compiled.items():
+            n = s.str.count(rx).fillna(0).astype("int64").to_numpy()
+            out[f"n_{name}"] = n
+            total += n
+        out["n_pii"] = total
+        return out
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def pii_redact(docs, text_col: str = "text",
+               id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Replace every PII match with `<NAME>` placeholders, in
+    declaration order: (id, text) with the scrubbed text."""
+    import re as _re
+
+    compiled = [(k.upper(), _re.compile(v))
+                for k, v in PII_PATTERNS.items()]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].astype("string")
+        for name, rx in compiled:
+            s = s.str.replace(rx, f"<{name}>", regex=True)
+        return pd.DataFrame({id_col: df[id_col],
+                             text_col: s.astype(object)})
+
+    return docs.map_batches(fn, batch_format="pandas")

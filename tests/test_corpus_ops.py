@@ -155,3 +155,36 @@ def test_cc_pointer_doubling_converges_fast():
         .to_pandas()
     )
     assert (got["label"] == 3).all() and len(got) == n
+
+
+def test_pii_stats_and_redact(ray_session):
+    """PII counting/redaction boundary cases: overlapping-looking
+    tokens, dotted quads inside longer runs, placeholder ordering."""
+    import pandas as pd
+    import ray.data
+
+    from oluray.stages import text as T
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a@b.io and 10.0.0.1 call 321-004-0001",
+            "no pii at all",
+            "edge .@x.com 1.2.3.4.5 999.999.999.999 12-345-6789",
+            "two a@b.cd e@f.gh",
+        ],
+    }))
+    st = T.pii_stats(docs).to_pandas().set_index("doc_id").sort_index()
+    assert st.loc[1].tolist() == [1, 1, 1, 3]
+    assert st.loc[2].tolist() == [0, 0, 0, 0]
+    # ".@x.com" matches from '@'? no — local part needs >=1 char but
+    # '.' qualifies; "1.2.3.4.5" contains a quad; phone needs 3-3-4
+    assert st.loc[3, "n_email"] == 1
+    assert st.loc[3, "n_ipv4"] >= 1
+    assert st.loc[3, "n_phone"] == 0
+    assert st.loc[4].tolist() == [2, 0, 0, 2]
+
+    red = T.pii_redact(docs).to_pandas().set_index("doc_id")
+    assert red.loc[1, "text"] == "<EMAIL> and <IPV4> call <PHONE>"
+    assert red.loc[2, "text"] == "no pii at all"
+    assert red.loc[4, "text"] == "two <EMAIL> <EMAIL>"
