@@ -2641,6 +2641,38 @@ def q_pii_redact(sf_dir: str):
     return text.pii_redact(_pii_docs(sf_dir))
 
 
+_URL_SYNTH_SQL = """
+    CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END
+    || source || '.com'
+    || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+    || '/Page/' || (doc_id % 50)
+    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN '#frag' || doc_id ELSE '' END
+"""
+
+
+def q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup (`text.url_dedup`): crawl-style URLs
+    synthesized with case/port/fragment/trailing-slash noise collapse
+    to one canonical form; keep min doc_id per group. The oracle
+    canonicalizes with the same regex steps in SQL."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        src = df["source"].astype(object).to_numpy()
+        urls = [
+            ("HTTPS://WWW." if i % 4 == 0 else "https://www.")
+            + s + ".com" + (":443" if i % 3 == 0 else "")
+            + f"/Page/{i % 50}" + ("/" if i % 5 == 0 else "")
+            + (f"#frag{i}" if i % 7 == 0 else "")
+            for i, s in zip(d, src)
+        ]
+        return pd.DataFrame({"doc_id": d, "url": urls})
+
+    return text.url_dedup(docs.map_batches(synth, batch_format="pandas"))
+
+
 def q_cosine_pairs(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (rows-only; LSH-bucketed
     with exact within-bucket verify)."""
@@ -8393,6 +8425,27 @@ def _pii_sql() -> tuple[str, str]:
 
 _PII_STATS_SQL, _PII_REDACT_SQL = _pii_sql()
 
+# canonical-URL dedup: same synth + the same canonicalization steps
+# as text.canonical_url (lowercase authority, strip default port /
+# fragment / trailing slash), then keep min(doc_id) per canonical
+_URL_DEDUP_SQL = f"""
+    WITH u AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+    c AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/]*)', 1))
+              || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]*', ''),
+              '#.*$', ''),
+            ':(443|80)(/|$)', '\\2'),
+          '/+$', '') AS canon_url
+      FROM u)
+    SELECT canon_url, min(doc_id) AS keep_id,
+           count(*)::BIGINT AS n_dups
+    FROM c GROUP BY canon_url
+"""
+
 
 # relation blocks (q_ttl_emit_rels): head lines + ordered member
 # blank-node quads rebuilt with a string_agg over l_linenumber order
@@ -8888,6 +8941,7 @@ ORACLE: dict[str, str] = {
     "ttl_emit_rels": _TTL_EMIT_RELS_SQL,
     "pii_stats": _PII_STATS_SQL,
     "pii_redact": _PII_REDACT_SQL,
+    "url_dedup": _URL_DEDUP_SQL,
     # the SQL side builds the kept triple set directly; the Ray side
     # must emit, regex-parse and semi-filter the full TTL line stream
     "ttl_filter": """
@@ -9428,6 +9482,7 @@ QUERIES = {
     "ttl_emit_rels": q_ttl_emit_rels,
     "pii_stats": q_pii_stats,
     "pii_redact": q_pii_redact,
+    "url_dedup": q_url_dedup,
     "cc_labels": q_cc_labels,
     "group_quantiles": q_group_quantiles,
     "group_quantiles_dist": q_group_quantiles_dist,

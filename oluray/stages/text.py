@@ -1329,3 +1329,60 @@ def pii_redact(docs, text_col: str = "text",
                              text_col: s.astype(object)})
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+# canonical-URL dedup (r5) — CommonCrawl-style: many crawl records
+# point at one logical page through scheme/host case, default ports,
+# fragments and trailing slashes. Canonicalization is a pure string
+# map (pandas .str chains = RE2-parity regexes, same contract as the
+# PII ops); the dedup itself is the exact-dedup shape: hash-partition
+# on the canonical key, keep the minimum id per group.
+
+_URL_STEPS: tuple[tuple[str, str], ...] = (
+    # lowercase scheme+host (authority only — path case is significant)
+    # handled separately below; these are the RE2-parity regex steps:
+    (r"#.*$", ""),              # strip fragment
+    (r":(443|80)(/|$)", r"\2"),  # strip default ports
+    (r"/+$", ""),               # strip trailing slashes
+)
+
+
+def canonical_url(s: "pd.Series") -> "pd.Series":
+    """Vectorized URL canonicalization: lowercase scheme://host,
+    strip default port / fragment / trailing slash."""
+    s = s.astype("string")
+    # lowercase ONLY the scheme://host[:port] prefix
+    head = s.str.extract(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)",
+                         expand=False)
+    tail = s.str.slice(start=0).str.replace(
+        r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", "", regex=True
+    )
+    s = head.str.lower().fillna("") + tail
+    for pat, rep in _URL_STEPS:
+        s = s.str.replace(pat, rep, regex=True)
+    return s.astype(object)
+
+
+def url_dedup(docs, url_col: str = "url",
+              id_col: str = "doc_id", num_partitions: int = 32):
+    """(canonical url, keep_id = min id, n_dups) — one canonical pass
+    + one hash-partitioned group min (no driver state)."""
+    from oluray.stages import joins
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "canon_url": canonical_url(df[url_col]),
+        })
+
+    rows = docs.map_batches(canon, batch_format="pandas")
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("canon_url", sort=False)[id_col]
+        out = g.min().to_frame("keep_id")
+        out["n_dups"] = g.size().astype("int64")
+        out.index.name = "canon_url"
+        return out.reset_index()
+
+    return joins.partitioned_map(rows, ["canon_url"], agg,
+                                 num_partitions=num_partitions)

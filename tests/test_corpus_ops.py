@@ -188,3 +188,26 @@ def test_pii_stats_and_redact(ray_session):
     assert red.loc[1, "text"] == "<EMAIL> and <IPV4> call <PHONE>"
     assert red.loc[2, "text"] == "no pii at all"
     assert red.loc[4, "text"] == "two <EMAIL> <EMAIL>"
+
+
+def test_canonical_url_cases(ray_session):
+    """Canonicalization collapses scheme/host case, default ports,
+    fragments and trailing slashes — and leaves PATH case, non-default
+    ports and query strings alone."""
+    import pandas as pd
+
+    from oluray.stages.text import canonical_url
+
+    s = pd.Series([
+        "HTTPS://WWW.Ex.COM:443/A/B#frag",
+        "https://www.ex.com/A/B",
+        "http://ex.com:80/",
+        "http://ex.com",
+        "https://ex.com:8443/x/",     # non-default port KEPT
+        "https://ex.com/p?q=1#f",     # query kept, fragment dropped
+    ])
+    got = canonical_url(s).tolist()
+    assert got[0] == got[1] == "https://www.ex.com/A/B"
+    assert got[2] == got[3] == "http://ex.com"
+    assert got[4] == "https://ex.com:8443/x"
+    assert got[5] == "https://ex.com/p?q=1"
