@@ -2673,6 +2673,14 @@ def q_url_dedup(sf_dir: str):
     return text.url_dedup(docs.map_batches(synth, batch_format="pandas"))
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per doc
+    (`text.doc_repetition`) — integer micro-unit fractions so the
+    oracle's arithmetic is exact."""
+    return text.doc_repetition(_read(sf_dir, "documents",
+                                     ["doc_id", "text"]))
+
+
 def q_cosine_pairs(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (rows-only; LSH-bucketed
     with exact within-bucket verify)."""
@@ -8425,6 +8433,32 @@ def _pii_sql() -> tuple[str, str]:
 
 _PII_STATS_SQL, _PII_REDACT_SQL = _pii_sql()
 
+# Gopher-style repetition signals: same whitespace split, integer
+# micro-unit fractions (floor division on both sides)
+_DOC_REPETITION_SQL = """
+    WITH tok AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents)
+      WHERE len(w) > 0),
+    cnt AS (
+      SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    per AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_words,
+             count(*)::BIGINT AS n_distinct,
+             max(c)::BIGINT AS top
+      FROM cnt GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(p.n_words, 0) AS n_words,
+           coalesce(p.n_distinct, 0) AS n_distinct,
+           coalesce(p.top * 1000000 // p.n_words, 0)
+             AS top_word_frac_e6,
+           coalesce(p.n_distinct * 1000000 // p.n_words, 0)
+             AS distinct_frac_e6
+    FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
 # canonical-URL dedup: same synth + the same canonicalization steps
 # as text.canonical_url (lowercase authority, strip default port /
 # fragment / trailing slash), then keep min(doc_id) per canonical
@@ -8942,6 +8976,7 @@ ORACLE: dict[str, str] = {
     "pii_stats": _PII_STATS_SQL,
     "pii_redact": _PII_REDACT_SQL,
     "url_dedup": _URL_DEDUP_SQL,
+    "doc_repetition": _DOC_REPETITION_SQL,
     # the SQL side builds the kept triple set directly; the Ray side
     # must emit, regex-parse and semi-filter the full TTL line stream
     "ttl_filter": """
@@ -9483,6 +9518,7 @@ QUERIES = {
     "pii_stats": q_pii_stats,
     "pii_redact": q_pii_redact,
     "url_dedup": q_url_dedup,
+    "doc_repetition": q_doc_repetition,
     "cc_labels": q_cc_labels,
     "group_quantiles": q_group_quantiles,
     "group_quantiles_dist": q_group_quantiles_dist,

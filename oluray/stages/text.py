@@ -1386,3 +1386,53 @@ def url_dedup(docs, url_col: str = "url",
 
     return joins.partitioned_map(rows, ["canon_url"], agg,
                                  num_partitions=num_partitions)
+
+
+def doc_repetition(docs, text_col: str = "text",
+                   id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Gopher-style repetition signals per document: (id, n_words,
+    n_distinct, top_word_frac_e6, distinct_frac_e6). A document whose
+    most-frequent word dominates (or whose distinct ratio collapses)
+    is boilerplate/spam-shaped and gets filtered before training.
+    Fractions ship as integer micro-units (the engine-wide exactness
+    convention — float division is done identically by the oracle).
+    One vectorized explode+groupby per batch; no cross-batch shuffle
+    (documents never split across rows)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].astype("string")
+        toks = s.str.split(r"\s+", regex=True)
+        tok = toks.explode().dropna()
+        tok = tok[tok.str.len() > 0]
+        ids = df[id_col]
+        frame = pd.DataFrame({id_col: ids.loc[tok.index], "w": tok})
+        g = frame.groupby([id_col, "w"], sort=False).size()
+        per_doc = g.groupby(level=0)
+        n_words = per_doc.sum()
+        top = per_doc.max()
+        n_distinct = per_doc.size()
+        out = pd.DataFrame({
+            id_col: n_words.index.to_numpy(),
+            "n_words": n_words.to_numpy(dtype=np.int64),
+            "n_distinct": n_distinct.to_numpy(dtype=np.int64),
+        })
+        out["top_word_frac_e6"] = (
+            top.to_numpy(dtype=np.int64) * 1_000_000 // out["n_words"]
+        ).astype("int64")
+        out["distinct_frac_e6"] = (
+            out["n_distinct"] * 1_000_000 // out["n_words"]
+        ).astype("int64")
+        # empty/whitespace-only docs: zero words, zero fractions
+        empty = ids[~ids.isin(out[id_col])]
+        if len(empty):
+            pad = pd.DataFrame({
+                id_col: empty.to_numpy(),
+                "n_words": np.zeros(len(empty), np.int64),
+                "n_distinct": np.zeros(len(empty), np.int64),
+                "top_word_frac_e6": np.zeros(len(empty), np.int64),
+                "distinct_frac_e6": np.zeros(len(empty), np.int64),
+            })
+            out = pd.concat([out, pad], ignore_index=True)
+        return out
+
+    return docs.map_batches(fn, batch_format="pandas")
